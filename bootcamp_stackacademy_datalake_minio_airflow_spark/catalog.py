@@ -1,0 +1,54 @@
+"""Zone/path catalog.
+
+The reference hard-codes bucket + object paths in every script
+(reference: scripts/bronze_to_silver/ingestion_orders_bronze_to_silver.py:39,
+:88-90). Here a single resolver maps (zone, table) -> URI so jobs never
+embed storage layout, and the synthetic testdata directory is exposed
+through the same interface.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+ZONES = ("bronze", "silver", "gold")
+
+#: tables in the driver's synthetic testdata (TESTDATA.md)
+TESTDATA_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def zone_path(zone: str, table: str, base: str | None = None) -> str:
+    """Resolve a lake URI for (zone, table).
+
+    ``base`` defaults to ``$LAKE_BASE`` (e.g. ``s3a://`` for MinIO) and
+    falls back to a local directory for tests. Layout mirrors the
+    reference's ``{bucket}/olist/{table}/`` prefixes.
+    """
+    if zone not in ZONES:
+        raise ValueError(f"unknown zone {zone!r}; expected one of {ZONES}")
+    base = base if base is not None else os.environ.get("LAKE_BASE", "s3a://")
+    return f"{base.rstrip('/')}/{zone}/olist/{table}/"
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one synthetic testdata table (parquet)."""
+    return spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TESTDATA_TABLES
+) -> dict[str, DataFrame]:
+    return {n: load_table(spark, sf_dir, n) for n in names}
