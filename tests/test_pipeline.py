@@ -1,0 +1,108 @@
+"""End-to-end medallion pipeline on a miniature Olist sample:
+bronze CSV -> silver parquet -> gold vendas parquet (local paths)."""
+
+from __future__ import annotations
+
+import datetime
+import os
+
+import pytest
+
+from bootcamp_stackacademy_datalake_minio_airflow_spark.jobs import bronze_to_silver, vendas_gold
+from bootcamp_stackacademy_datalake_minio_airflow_spark.sources import read_parquet
+
+ORDERS_CSV = """order_id,customer_id,order_status,order_purchase_timestamp,order_approved_at,order_delivered_carrier_date,order_delivered_customer_date,order_estimated_delivery_date
+o1,c1,delivered,2017-10-02 10:56:33,2017-10-02 11:07:15,2017-10-04 19:55:00,2017-10-10 21:25:13,2017-10-18 00:00:00
+o2,c2,shipped,2018-07-24 20:41:37,2018-07-26 03:24:27,2018-07-26 14:31:00,,2018-08-13 00:00:00
+"""
+
+ORDER_ITEMS_CSV = """order_id,order_item_id,product_id,seller_id,shipping_limit_date,price,freight_value
+o1,1,p1,s1,2017-10-06 11:07:15,58.9,13.29
+o1,2,p2,s1,2017-10-06 11:07:15,239.9,19.93
+o2,1,p1,s2,2018-07-30 03:24:27,199.0,17.87
+"""
+
+ORDER_PAYMENTS_CSV = """order_id,payment_sequential,payment_type,payment_installments,payment_value
+o1,1,credit_card,8,99.33
+o1,2,voucher,1,20.0
+o2,1,boleto,1,216.87
+"""
+
+PRODUCTS_CSV = """product_id,product_category_name,product_name_lenght,product_description_lenght,product_photos_qty,product_weight_g,product_length_cm,product_height_cm,product_width_cm
+p1,cool_stuff,58,598,4,650,28,9,14
+p2,moveis_decoracao,56,239,2,30000,50,30,40
+"""
+
+CUSTOMERS_CSV = """customer_id,customer_unique_id,customer_zip_code_prefix,customer_city,customer_state
+c1,u1,01409,sao paulo,SP
+c2,u2,09790,sao bernardo do campo,SP
+"""
+
+# quoted free text with embedded newline + comma (SURVEY §7.3 risk)
+REVIEWS_CSV = '''review_id,order_id,review_score,review_comment_title,review_comment_message,review_creation_date,review_answer_timestamp
+r1,o1,5,"otimo","chegou antes do prazo,
+recomendo",2017-10-11 00:00:00,2017-10-12 03:43:48
+r2,o2,1,,,2018-08-15 00:00:00,2018-08-15 04:10:00
+'''
+
+
+@pytest.fixture(scope="module")
+def lake(tmp_path_factory):
+    base = tmp_path_factory.mktemp("lake")
+    csvs = {
+        "orders": ORDERS_CSV,
+        "order_items": ORDER_ITEMS_CSV,
+        "order_payments": ORDER_PAYMENTS_CSV,
+        "products": PRODUCTS_CSV,
+        "customers": CUSTOMERS_CSV,
+        "order_reviews": REVIEWS_CSV,
+    }
+    for t, body in csvs.items():
+        d = base / "bronze" / "olist" / t
+        os.makedirs(d)
+        (d / f"{t}.csv").write_text(body)
+    return str(base)
+
+
+def test_bronze_to_silver_typed(spark, lake):
+    df = bronze_to_silver(spark, "orders", base=lake)
+    silver = read_parquet(spark, f"{lake}/silver/olist/orders/")
+    assert silver.count() == 2
+    # timestamps are real TimestampType in silver (the fix for SURVEY §3.1)
+    assert dict(silver.dtypes)["order_purchase_timestamp"] == "timestamp"
+    row = {r.order_id: r for r in silver.collect()}
+    assert row["o1"].order_purchase_timestamp == datetime.datetime(2017, 10, 2, 10, 56, 33)
+    assert row["o2"].order_delivered_customer_date is None  # empty -> NULL
+    assert df.schema == silver.schema
+
+
+def test_bronze_to_silver_multiline_reviews(spark, lake):
+    bronze_to_silver(spark, "order_reviews", base=lake)
+    silver = read_parquet(spark, f"{lake}/silver/olist/order_reviews/")
+    rows = {r.review_id: r for r in silver.collect()}
+    assert len(rows) == 2
+    assert "chegou antes do prazo,\nrecomendo" == rows["r1"].review_comment_message
+    assert rows["r2"].review_comment_title is None
+
+
+def test_vendas_gold_end_to_end(spark, lake):
+    for t in ["orders", "order_items", "order_payments", "products", "customers"]:
+        bronze_to_silver(spark, t, base=lake)
+    vendas_gold(spark, base=lake)
+
+    gold = read_parquet(spark, f"{lake}/gold/olist/vendas/")
+    rows = {(r.PEDIDO, r.ID_PRODUTO): r for r in gold.collect()}
+    assert len(rows) == 3  # one row per order item
+
+    r = rows[("o1", "p1")]
+    assert r.VALOR_VENDA == 58.9 and r.FRETE == 13.29
+    assert r.DATA_VENDA == datetime.date(2017, 10, 2)
+    assert r.CATEGORIA_PRODUTO == "COOL STUFF"
+    assert r.CIDADE_CLIENTE == "SAO PAULO" and r.ESTADO_CLIENTE == "SP"
+    assert r.VALOR_CREDITO == 99.33 and r.VALOR_VOUCHER == 20.0
+    assert r.VALOR_BOLETO == 0.0
+    assert rows[("o2", "p1")].VALOR_BOLETO == 216.87
+    # partitioned layout on disk (gold by sale month)
+    assert r.MES_VENDA == "2017-10"
+    part_dirs = os.listdir(f"{lake}/gold/olist/vendas/")
+    assert any(p.startswith("MES_VENDA=") for p in part_dirs)
