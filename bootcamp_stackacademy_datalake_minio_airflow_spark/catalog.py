@@ -44,8 +44,22 @@ def zone_path(zone: str, table: str, base: str | None = None) -> str:
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one synthetic testdata table (parquet)."""
-    return spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
+    """Load one synthetic testdata table (parquet).
+
+    The events table is written with nanosecond timestamps, which
+    Spark's parquet reader rejects by default; read them as longs and
+    convert to (microsecond) TimestampType.
+    """
+    path = f"{sf_dir.rstrip('/')}/{name}.parquet"
+    if name == "events":
+        from pyspark.sql import functions as F
+
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+        return df
+    return spark.read.parquet(path)
 
 
 def load_tables(

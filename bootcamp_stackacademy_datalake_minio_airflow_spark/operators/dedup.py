@@ -1,0 +1,439 @@
+"""Deduplication operators for large-scale text corpora.
+
+The reference has no dedup of any kind; these are the extension
+operators a 100 TB training-data pipeline needs (BASELINE.json north
+star). All hot paths are JVM-side expressions (xxhash64 / transform /
+aggregate / array_min) — no Python UDFs — so whole-stage codegen
+applies and the only shuffles are the candidate-pair joins.
+
+Scale design notes per operator are in each docstring; the common
+theme: never materialize the O(n^2) pair space. Exact dedup is one
+hash-shuffle; MinHash/SimHash generate candidates by banding (equal
+keys collide) so the join fans out only within buckets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def dedup_exact(df: DataFrame, cols: list[str], order_by: str) -> DataFrame:
+    """Keep one row per distinct ``cols`` value (the one with the
+    smallest ``order_by``), dropping exact duplicates.
+
+    One shuffle on a hash of ``cols``; with AQE skew-split, a hot
+    duplicate cluster (e.g. boilerplate pages repeated millions of
+    times) is split across reducers. Deterministic victim choice via
+    ``order_by`` makes reruns reproducible.
+    """
+    w = Window.partitionBy(*cols).orderBy(F.asc(order_by))
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# shingling + MinHash
+# ---------------------------------------------------------------------------
+
+
+def normalize_text(col: str | Column) -> Column:
+    """Lowercase + collapse whitespace — the canonical form all
+    fingerprint/dedup operators hash."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
+
+
+def _shingles_of(c: Column, n: int) -> Column:
+    """Distinct character n-grams of an ALREADY-NORMALIZED column.
+
+    The input must be a materialized column, not an expression:
+    transform() re-evaluates its target expression per element, so an
+    inlined regex normalization would run O(len) times per row.
+    Documents shorter than ``n`` produce one whole-text shingle so
+    they still participate.
+    """
+    idx = F.sequence(F.lit(1), F.greatest(F.length(c) - F.lit(n - 1), F.lit(1)))
+    return F.array_distinct(F.transform(idx, lambda i: F.substr(c, i, F.lit(n))))
+
+
+def char_shingles(col: str | Column, n: int = 5) -> Column:
+    """Distinct character n-grams of the normalized text, as an array.
+
+    Single-expression convenience form. For corpus-scale shingling,
+    materialize ``normalize_text`` behind an exchange first (see
+    ``_norm_base`` in minhash_lsh_pairs) — otherwise the
+    normalization regex is re-evaluated once per shingle.
+    """
+    return _shingles_of(normalize_text(col), n)
+
+
+def _norm_base(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(__id, __txt) with normalization materialized via an exchange
+    boundary so downstream per-element expressions read a concrete
+    column instead of re-running the regex per element."""
+    return df.select(
+        F.col(id_col).alias("__id"), normalize_text(text_col).alias("__txt")
+    ).repartition("__id")
+
+
+def minhash_signature(shingles: Column, num_hashes: int = 64) -> Column:
+    """MinHash signature as an array column (single-expression form,
+    for per-row use). NOTE: higher-order functions are interpreted
+    (not codegen'd) in Spark — for corpus-scale signatures use the
+    explode/groupBy path inside ``minhash_lsh_pairs``, which stays in
+    whole-stage codegen and partial-aggregates map-side.
+    """
+    return F.array(
+        *[
+            F.array_min(F.transform(shingles, lambda s, _i=i: F.xxhash64(s, F.lit(_i))))
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def _minhash_table(
+    base: DataFrame, num_hashes: int
+) -> DataFrame:
+    """(__id, h0..h{n-1}) minhash table via explode + min-aggregate.
+
+    Shape chosen for scale: xxhash64 columns are plain codegen'd
+    expressions (no interpreted lambda per element), and groupBy(min)
+    partial-aggregates map-side, so the shuffle carries one row of
+    ``num_hashes`` longs per document — not the shingle sets.
+    """
+    exploded = base.select("__id", F.explode("__sh").alias("__s"))
+    hashed = exploded.select(
+        "__id", *[F.xxhash64("__s", F.lit(i)).alias(f"h{i}") for i in range(num_hashes)]
+    )
+    return hashed.groupBy("__id").agg(
+        *[F.min(f"h{i}").alias(f"h{i}") for i in range(num_hashes)]
+    )
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """Exact Jaccard similarity of two array columns (set semantics)."""
+    inter = F.size(F.array_intersect(a, b))
+    union = F.size(F.array_union(a, b))
+    return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 5,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash + LSH banding, verified with
+    exact Jaccard on the shingle sets.
+
+    Plan shape (the part that must survive 100 TB):
+      1. per-doc signature (no shuffle, codegen)
+      2. explode to (band_id, band_hash) keys — rows x bands, narrow
+      3. self-join on the band key == bucket collision (shuffle on
+         band_hash; bucket sizes are the skew risk — AQE skew-join
+         handles pathological buckets, and the band hash's 64-bit
+         range keeps random collisions negligible)
+      4. dedupe candidate pairs, re-join the two shingle sets by id,
+         verify exact Jaccard >= threshold. Carrying only (id, band)
+         through the wide join — not the shingle arrays — keeps
+         shuffle bytes proportional to candidates, not corpus size.
+
+    Returns (id_a, id_b, jaccard_sim) with id_a < id_b.
+    """
+    if num_hashes % bands != 0:
+        raise ValueError(f"bands={bands} must divide num_hashes={num_hashes}")
+    rows_per_band = num_hashes // bands
+
+    # persist the two tables every later stage re-references: the
+    # self-join and the verification join would otherwise recompute
+    # the full scan->shingle->hash pipeline once per reference (2x for
+    # banded, 2x for shingles). Both are one row per document —
+    # signature: num_hashes longs; shingles: the set — so the cache is
+    # ~corpus-metadata-sized, not corpus-sized.
+    base = (
+        _norm_base(df, id_col, text_col)
+        .select("__id", _shingles_of(F.col("__txt"), shingle_n).alias("__sh"))
+        .persist()
+    )
+    sig = _minhash_table(base, num_hashes).persist()
+
+    banded = sig.select(
+        "__id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.hash(
+                            F.lit(b),
+                            *[f"h{i}" for i in range(b * rows_per_band, (b + 1) * rows_per_band)],
+                        ).alias("bhash"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("__b"),
+    ).select("__id", "__b.band", "__b.bhash")
+
+    left = banded.alias("l")
+    right = banded.alias("r")
+    cand = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bhash") == F.col("r.bhash"))
+            & (F.col("l.__id") < F.col("r.__id")),
+        )
+        .select(F.col("l.__id").alias("id_a"), F.col("r.__id").alias("id_b"))
+        .distinct()
+    )
+
+    # Stage 4a: cheap prefilter — estimated Jaccard = fraction of
+    # agreeing minhashes. 64 integer equality checks per candidate
+    # (codegen, no arrays); kills the false candidates banding lets
+    # through when the corpus shares vocabulary (bucket collisions at
+    # sim << threshold). Margin covers estimator variance
+    # (std ≈ sqrt(s(1-s)/num_hashes) ≈ 0.06 at s=0.7, so ~2σ).
+    margin = 0.12
+    sig_a = sig.select(
+        F.col("__id").alias("id_a"), *[F.col(f"h{i}").alias(f"a{i}") for i in range(num_hashes)]
+    )
+    sig_b = sig.select(
+        F.col("__id").alias("id_b"), *[F.col(f"h{i}").alias(f"b{i}") for i in range(num_hashes)]
+    )
+    est = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0) for i in range(num_hashes)
+    ) / F.lit(num_hashes)
+    prefiltered = (
+        cand.join(sig_a, "id_a")
+        .join(sig_b, "id_b")
+        .withColumn("__est", est)
+        .filter(F.col("__est") >= threshold - margin)
+        .select("id_a", "id_b")
+    )
+
+    # Stage 4b: exact verification on the (now small) survivor set.
+    sh = base
+    verified = (
+        prefiltered.join(
+            sh.withColumnRenamed("__id", "id_a").withColumnRenamed("__sh", "sh_a"), "id_a"
+        )
+        .join(sh.withColumnRenamed("__id", "id_b").withColumnRenamed("__sh", "sh_b"), "id_b")
+        .select(
+            "id_a", "id_b", F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 4).alias("jaccard_sim")
+        )
+        .filter(F.col("jaccard_sim") >= threshold)
+    )
+    return verified
+
+
+def dedup_minhash(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    **lsh_kwargs,
+) -> DataFrame:
+    """Drop near-duplicates: for every verified pair, the larger id is
+    the victim. (Connected-component canonicalization — A~B~C collapses
+    to A — needs iterative label propagation; single-hop removal is
+    the standard one-pass approximation and never drops a cluster
+    entirely.)"""
+    pairs = minhash_lsh_pairs(df, id_col, text_col, **lsh_kwargs)
+    victims = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(victims, on=id_col, how="left_anti")
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash64(col: str | Column) -> Column:
+    """64-bit SimHash over whitespace tokens of the normalized text.
+
+    For each bit b: sum +1/-1 over token hashes' bit b; bit set in the
+    output if the sum is positive. Single-expression form for per-row
+    use; ``_simhash_table`` below is the corpus-scale path.
+    """
+    tokens = F.split(normalize_text(col), " ")
+    hashes = F.transform(tokens, lambda t: F.xxhash64(t))
+    out = F.lit(0).cast("long")
+    for b in range(64):
+
+        def _bit(acc: Column, h: Column, _b: int = b) -> Column:
+            return acc + F.when(
+                F.shiftright(h, _b).bitwiseAND(F.lit(1)) == 1, 1
+            ).otherwise(-1)
+
+        bit_sum = F.aggregate(hashes, F.lit(0), _bit)
+        out = out.bitwiseOR(
+            F.when(bit_sum > 0, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    return out
+
+
+def _simhash_table(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(__id, __sim) simhash table via explode + bit-sum aggregation.
+
+    Same scale shape as ``_minhash_table``: token hashes are plain
+    codegen'd columns; the 64 per-bit +1/-1 sums partial-aggregate
+    map-side, so the shuffle carries 64 ints per document; the final
+    projection folds the sums into one 64-bit signature.
+    """
+    toks = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(F.split(normalize_text(text_col), " ")).alias("__t"),
+    )
+    hashed = toks.select("__id", F.xxhash64("__t").alias("__h"))
+    sums = hashed.groupBy("__id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright("__h", b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"b{b}")
+            for b in range(64)
+        ]
+    )
+    sim = F.lit(0).cast("long")
+    for b in range(64):
+        sim = sim.bitwiseOR(
+            F.when(F.col(f"b{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    return sums.select("__id", sim.alias("__sim"))
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    """Hamming distance between two 64-bit simhashes (popcount of XOR)."""
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    blocks: int = 4,
+) -> DataFrame:
+    """Near-duplicate pairs by SimHash: candidates share at least one
+    of ``blocks`` 16-bit blocks (pigeonhole: any pair within
+    max_hamming <= blocks-1 differing bits must agree on >= 1 block),
+    verified by exact Hamming distance.
+
+    Same banding scale-shape as MinHash LSH: candidates come from
+    equal-key collisions, never a cross join.
+    """
+    width = 64 // blocks
+    # persisted: the block self-join references this table twice
+    sh = _simhash_table(df, id_col, text_col).persist()
+    mask = (1 << width) - 1
+    blocked = sh.select(
+        "__id",
+        "__sim",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("blk"),
+                        F.shiftright(F.col("__sim"), b * width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("bval"),
+                    )
+                    for b in range(blocks)
+                ]
+            )
+        ).alias("__b"),
+    ).select("__id", "__sim", "__b.blk", "__b.bval")
+
+    l, r = blocked.alias("l"), blocked.alias("r")
+    return (
+        l.join(
+            r,
+            (F.col("l.blk") == F.col("r.blk"))
+            & (F.col("l.bval") == F.col("r.bval"))
+            & (F.col("l.__id") < F.col("r.__id")),
+        )
+        .select(
+            F.col("l.__id").alias("id_a"),
+            F.col("r.__id").alias("id_b"),
+            hamming64(F.col("l.__sim"), F.col("r.__sim")).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (exact, for candidate pairs or small corpora)
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact word-n-gram Jaccard join with prefix filtering.
+
+    Candidate generation uses the prefix-filter principle (Vernica et
+    al.'s distributed set-similarity join): order grams globally by
+    ascending document frequency; each document indexes only its
+    ``floor((1-t)*|grams|)+1`` rarest grams. Any pair with Jaccard >=
+    t MUST share one of those prefix grams, so recall is preserved
+    while candidate fan-out drops from every-shared-gram to
+    rare-prefix collisions — the difference between O(sum df^2) and
+    near-linear at corpus scale. Verification computes exact Jaccard
+    on the full gram sets.
+    """
+    norm = _norm_base(df, id_col, text_col).select(
+        "__id", F.split("__txt", " ").alias("__toks")
+    ).repartition("__id")
+    toks = F.col("__toks")
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        )
+    )
+    # persisted: the inverted-index join and both verification joins
+    # re-reference the gram sets
+    base = norm.select("__id", grams.alias("__g")).persist()
+    inv = base.select("__id", F.size("__g").alias("__sz"), F.explode("__g").alias("gram"))
+    dfreq = inv.groupBy("gram").agg(F.count(F.lit(1)).alias("__df"))
+    w = Window.partitionBy("__id").orderBy(F.asc("__df"), F.asc("gram"))
+    prefix = (
+        inv.join(dfreq, "gram")
+        .withColumn("__rk", F.row_number().over(w))
+        .filter(
+            F.col("__rk")
+            <= F.floor((1.0 - threshold) * F.col("__sz")).cast("int") + F.lit(1)
+        )
+        .select("__id", "gram")
+    )
+    l, r = prefix.alias("l"), prefix.alias("r")
+    cand = (
+        l.join(r, (F.col("l.gram") == F.col("r.gram")) & (F.col("l.__id") < F.col("r.__id")))
+        .select(F.col("l.__id").alias("id_a"), F.col("r.__id").alias("id_b"))
+        .distinct()
+    )
+    return (
+        cand.join(base.withColumnRenamed("__id", "id_a").withColumnRenamed("__g", "g_a"), "id_a")
+        .join(base.withColumnRenamed("__id", "id_b").withColumnRenamed("__g", "g_b"), "id_b")
+        .select("id_a", "id_b", F.round(jaccard(F.col("g_a"), F.col("g_b")), 4).alias("jaccard_sim"))
+        .filter(F.col("jaccard_sim") >= threshold)
+    )

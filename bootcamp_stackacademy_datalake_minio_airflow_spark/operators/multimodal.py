@@ -1,0 +1,133 @@
+"""Multimodal column handling (extension).
+
+Images/audio/video are opaque ``binary`` columns with a typed metadata
+struct. The Spark-side plumbing — schemas, Arrow-batched mapInPandas,
+partition sizing — is real and tested; the actual media decoding is
+STUBBED (image/audio libraries are not in this container): decode
+functions either raise NotImplementedError (strict mode) or produce a
+clearly-marked deterministic fake derived from the bytes, so pipelines
+exercise the full distributed path end-to-end.
+
+Scale notes: media rows are large (MBs), so partition sizing is by
+bytes not rows — ``repartition_for_media`` targets a bytes/partition
+budget, and mapInPandas streams Arrow record batches so an executor
+never holds a whole partition of raw media in Python memory at once.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+#: lake schema for a multimodal asset table
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType(), False),
+        StructField("kind", StringType(), False),  # image | audio | video
+        StructField("data", BinaryType(), True),  # opaque encoded bytes
+        StructField(
+            "meta",
+            StructType(
+                [
+                    StructField("mime", StringType(), True),
+                    StructField("width", IntegerType(), True),
+                    StructField("height", IntegerType(), True),
+                    StructField("duration_ms", IntegerType(), True),
+                ]
+            ),
+            True,
+        ),
+    ]
+)
+
+FEATURE_DIM = 8
+
+FEATURES_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType(), False),
+        StructField("n_bytes", LongType(), True),
+        StructField("features", ArrayType(FloatType()), True),
+    ]
+)
+
+
+def _fake_features(data: bytes | None, dim: int = FEATURE_DIM) -> list[float]:
+    """DETERMINISTIC FAKE decode: byte-histogram-ish features.
+
+    Stands in for a real image/audio feature extractor; replace the
+    body with e.g. PIL/torchvision when the libs exist. Keeping it
+    deterministic makes the distributed plumbing testable.
+    """
+    if not data:
+        return [0.0] * dim
+    acc = [0] * dim
+    for i, b in enumerate(data):
+        acc[i % dim] += b
+    total = float(sum(acc)) or 1.0
+    return [round(a / total, 6) for a in acc]
+
+
+def extract_features(df: DataFrame, strict: bool = False) -> DataFrame:
+    """Feature-extract each asset via Arrow-batched mapInPandas.
+
+    ``strict=True`` raises NotImplementedError at executor time —
+    marking the decode as a stub — instead of emitting fake features.
+    """
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if strict:
+                raise NotImplementedError(
+                    "media decoding requires an image/audio library not present "
+                    "in this environment; wire a real decoder here"
+                )
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "n_bytes": pdf["data"].map(lambda d: 0 if d is None else len(d)),
+                    "features": pdf["data"].map(_fake_features),
+                }
+            )
+
+    return df.select("asset_id", "data").mapInPandas(_extract, FEATURES_SCHEMA)
+
+
+def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Plan the frames to sample from each video: one row per
+    (asset_id, frame_ts_ms). Pure expression — the expensive decode of
+    each planned frame happens in extract_features downstream. Assets
+    without duration metadata plan a single frame at t=0.
+    """
+    n_frames = F.greatest(
+        (F.col("meta.duration_ms") / every_ms).cast("int"), F.lit(1)
+    )
+    return df.filter(F.col("kind") == "video").select(
+        "asset_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.coalesce(n_frames, F.lit(1)) - 1),
+                lambda i: i * every_ms,
+            )
+        ).alias("frame_ts_ms"),
+    )
+
+
+def repartition_for_media(
+    df: DataFrame, total_bytes: int, target_partition_bytes: int = 128 * 1024 * 1024
+) -> DataFrame:
+    """Partition a media table by its payload volume, not row count."""
+    n = max(1, total_bytes // target_partition_bytes)
+    return df.repartition(int(n))

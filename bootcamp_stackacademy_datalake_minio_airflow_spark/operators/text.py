@@ -1,0 +1,105 @@
+"""Text-analysis operators for training-data pipelines (extension).
+
+All built on pyspark.sql.functions string/regex/array expressions —
+JVM-side, codegen, zero Python in the row path — and each designed so
+an identical formulation exists in ANSI/DuckDB SQL for the oracle
+gate (same regexes, same wordlists, same tie-breaks).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from .dedup import normalize_text
+
+
+def tokens(col: str | Column) -> Column:
+    """Whitespace tokens of the normalized text."""
+    return F.split(normalize_text(col), " ")
+
+
+def token_count(col: str | Column) -> Column:
+    """Whitespace token count (0 for empty/blank text)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.when(F.length(F.trim(c)) == 0, F.lit(0)).otherwise(F.size(tokens(c)))
+
+
+#: BPE-ish subword proxy: runs of letters, runs of digits, or single
+#: non-space symbols — a deterministic stand-in for a real tokenizer's
+#: piece count (tokenizer libs aren't in this container).
+BPE_ISH_PATTERN = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+
+
+def bpeish_token_count(col: str | Column) -> Column:
+    """Count of BPE-ish pieces (letter runs / digit runs / symbols)."""
+    return F.size(F.regexp_extract_all(normalize_text(col), F.lit(BPE_ISH_PATTERN), 0))
+
+
+#: tiny deterministic stopword lists per language — the wordlists ARE
+#: the spec (they must be identical in the SQL oracle).
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "a"],
+    "de": ["der", "die", "und", "das", "ist", "ein"],
+    "es": ["el", "la", "de", "que", "los", "es"],
+    "fr": ["le", "la", "les", "des", "est", "une"],
+}
+
+
+def stopword_count(col: str | Column, lang: str = "en") -> Column:
+    """Number of tokens that are stopwords of ``lang``."""
+    words = STOPWORDS[lang]
+    return F.size(F.filter(tokens(col), lambda t: t.isin(*words)))
+
+
+def language_id(col: str | Column) -> Column:
+    """Rule-based language guess: the language whose stopword list
+    matches the most tokens; 'unknown' when nothing matches. Ties
+    break in fixed order en > de > es > fr (a deterministic spec the
+    oracle replicates with the same CASE chain).
+    """
+    scores = {lang: stopword_count(col, lang) for lang in STOPWORDS}
+    s_en, s_de, s_es, s_fr = scores["en"], scores["de"], scores["es"], scores["fr"]
+    best = F.greatest(s_en, s_de, s_es, s_fr)
+    return (
+        F.when(best == 0, "unknown")
+        .when(s_en == best, "en")
+        .when(s_de == best, "de")
+        .when(s_es == best, "es")
+        .otherwise("fr")
+    )
+
+
+def punct_ratio(col: str | Column) -> Column:
+    """Punctuation chars / total chars (0 for empty text)."""
+    c = F.col(col) if isinstance(col, str) else col
+    n = F.length(c)
+    punct = F.length(F.regexp_replace(c, r"[^.,;:!?'\"()\[\]{}-]", ""))
+    return F.when(n > 0, F.round(punct / n, 4)).otherwise(F.lit(0.0))
+
+
+def quality_score(col: str | Column) -> Column:
+    """Composite [0,1] quality heuristic: length band + stopword
+    presence + low punctuation. Deterministic, SQL-replicable:
+
+        0.4 * (50 <= n_chars <= 10000)
+      + 0.3 * min(en_stopwords / tokens, 0.3) / 0.3
+      + 0.3 * (punct_ratio <= 0.2)
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    n = F.length(c)
+    tok = token_count(c)
+    stop_ratio = F.when(tok > 0, stopword_count(c, "en") / tok).otherwise(F.lit(0.0))
+    len_ok = F.when((n >= 50) & (n <= 10000), 1.0).otherwise(0.0)
+    stop_part = F.least(stop_ratio, F.lit(0.3)) / 0.3
+    punct_ok = F.when(punct_ratio(c) <= 0.2, 1.0).otherwise(0.0)
+    return F.round(0.4 * len_ok + 0.3 * stop_part + 0.3 * punct_ok, 4)
+
+
+def fingerprint(col: str | Column) -> Column:
+    """Deterministic document fingerprint: md5 of the normalized text.
+
+    md5 (not xxhash64) so the DuckDB oracle can compute the identical
+    value; collision-safe enough for dedup bookkeeping at corpus scale.
+    """
+    return F.md5(normalize_text(col))

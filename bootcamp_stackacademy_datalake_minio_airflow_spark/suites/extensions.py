@@ -1,0 +1,256 @@
+"""Training-data pipeline queries (extension; BASELINE.json north star).
+
+Dedup / similarity / text analysis over the documents & embeddings
+tables. Oracle-able ops use functions both engines implement
+identically (md5, regexp with explicit 'g' in DuckDB, list lambdas);
+hash-family ops (MinHash/SimHash use xxhash64, which DuckDB lacks)
+register without SQL → the driver records rows-only checks, and
+pytest verifies their semantics on planted duplicates instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..operators.dedup import (
+    dedup_exact,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from ..operators.similarity import ann_topk_lsh, cosine_topk
+from ..operators.text import (
+    bpeish_token_count,
+    fingerprint,
+    language_id,
+    punct_ratio,
+    quality_score,
+    token_count,
+)
+from ..queries import register
+from ..streaming.windows import sliding_user_activity, tumbling_counts
+
+# --- exact dedup ------------------------------------------------------------
+
+
+@register(
+    "dedup_exact_documents",
+    """
+    SELECT doc_id, text, lang, source, n_chars FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+      FROM documents
+    ) WHERE rn = 1
+    """,
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup_exact(docs, ["text"], order_by="doc_id")
+
+
+# --- fingerprint (md5 of normalized text; identical in DuckDB) --------------
+
+
+@register(
+    "doc_fingerprint",
+    r"""
+    SELECT doc_id,
+           md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+    FROM documents
+    """,
+)
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", fingerprint("text").alias("fp"))
+
+
+# --- token counting ----------------------------------------------------------
+
+
+@register(
+    "text_token_count",
+    r"""
+    SELECT doc_id,
+           CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE len(string_split(
+                       regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '))
+           END AS n_tokens,
+           len(regexp_extract_all(
+                 regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
+                 '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS n_bpeish
+    FROM documents
+    """,
+)
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count("text").alias("n_tokens"),
+        bpeish_token_count("text").alias("n_bpeish"),
+    )
+
+
+# --- language id --------------------------------------------------------------
+
+_LANG_ID_ORACLE = r"""
+WITH tok AS (
+  SELECT doc_id,
+         string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS ts
+  FROM documents
+), scores AS (
+  SELECT doc_id,
+         len(list_filter(ts, x -> x IN ('the','and','of','to','in','is','a'))) AS s_en,
+         len(list_filter(ts, x -> x IN ('der','die','und','das','ist','ein'))) AS s_de,
+         len(list_filter(ts, x -> x IN ('el','la','de','que','los','es'))) AS s_es,
+         len(list_filter(ts, x -> x IN ('le','la','les','des','est','une'))) AS s_fr
+  FROM tok
+)
+SELECT doc_id,
+       CASE WHEN greatest(s_en, s_de, s_es, s_fr) = 0 THEN 'unknown'
+            WHEN s_en = greatest(s_en, s_de, s_es, s_fr) THEN 'en'
+            WHEN s_de = greatest(s_en, s_de, s_es, s_fr) THEN 'de'
+            WHEN s_es = greatest(s_en, s_de, s_es, s_fr) THEN 'es'
+            ELSE 'fr' END AS lang_guess
+FROM scores
+"""
+
+
+@register("text_language_id", _LANG_ID_ORACLE)
+def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", language_id("text").alias("lang_guess"))
+
+
+# --- quality scoring -----------------------------------------------------------
+
+_QUALITY_ORACLE = r"""
+WITH base AS (
+  SELECT doc_id, text, length(text) AS n,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(string_split(
+                     regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '))
+         END AS tok,
+         len(list_filter(
+               string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '),
+               x -> x IN ('the','and','of','to','in','is','a'))) AS stops,
+         CASE WHEN length(text) > 0
+              THEN round(length(regexp_replace(text, '[^.,;:!?''"()\[\]{}-]', '', 'g'))
+                         * 1.0 / length(text), 4)
+              ELSE 0.0 END AS pr
+  FROM documents
+)
+SELECT doc_id, pr AS punct_ratio,
+       round(0.4 * (CASE WHEN n BETWEEN 50 AND 10000 THEN 1.0 ELSE 0.0 END)
+           + 0.3 * least(CASE WHEN tok > 0 THEN stops * 1.0 / tok ELSE 0.0 END, 0.3) / 0.3
+           + 0.3 * (CASE WHEN pr <= 0.2 THEN 1.0 ELSE 0.0 END), 4) AS quality
+FROM base
+"""
+
+
+@register("text_quality_score", _QUALITY_ORACLE)
+def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        punct_ratio("text").alias("punct_ratio"),
+        quality_score("text").alias("quality"),
+    )
+
+
+# --- embedding similarity -------------------------------------------------------
+
+#: deterministic 64-dim query vector (same literal in Spark + SQL)
+QUERY_VEC = [round(((i * 37) % 19 - 9) / 10.0, 1) for i in range(64)]
+_VEC_SQL = "[" + ", ".join(str(v) for v in QUERY_VEC) + "]"
+
+
+@register(
+    "embedding_cosine_topk",
+    f"""
+    SELECT vec_id,
+           ROUND(list_cosine_similarity(embedding::DOUBLE[], {_VEC_SQL}::DOUBLE[]), 4)
+             AS cos_sim
+    FROM embeddings
+    ORDER BY cos_sim DESC, vec_id
+    LIMIT 10
+    """,
+)
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_topk(emb, QUERY_VEC, k=10)
+
+
+@register("embedding_ann_lsh_topk", None)  # hyperplane buckets: not SQL-expressible
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ann_topk_lsh(emb, QUERY_VEC, k=10, n_planes=8, multiprobe=1)
+
+
+# --- near-dup families (xxhash64-based → rows-only checks) ----------------------
+
+
+@register("dedup_minhash_pairs", None)
+def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.7)
+
+
+@register("dedup_simhash_pairs", None)
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_pairs(docs, "doc_id", "text", max_hamming=3)
+
+
+@register("dedup_ngram_jaccard_pairs", None)
+def q_ngram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.6)
+
+
+# --- windowed event aggregation (batch twin of the streaming job) ---------------
+
+
+@register(
+    "events_tumbling_window",
+    """
+    SELECT date_trunc('hour', ts) AS window_start,
+           date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+           event_type,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS total_value
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+)
+def q_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return tumbling_counts(events, "1 hour")
+
+
+@register("events_sliding_window", None)  # approx_count_distinct: no SQL twin
+def q_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return sliding_user_activity(events)
+
+
+# --- multimodal plumbing (mapInPandas; binary built from text bytes) -------------
+
+
+@register("multimodal_features", None)
+def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import extract_features
+
+    docs = load_table(spark, sf_dir, "documents")
+    assets = docs.select(
+        F.col("doc_id").alias("asset_id"),
+        F.lit("image").alias("kind"),
+        F.encode("text", "utf-8").alias("data"),
+        F.struct(
+            F.lit("image/fake").alias("mime"),
+            F.lit(64).cast("int").alias("width"),
+            F.lit(64).cast("int").alias("height"),
+            F.lit(None).cast("int").alias("duration_ms"),
+        ).alias("meta"),
+    )
+    return extract_features(assets)

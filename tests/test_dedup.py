@@ -1,0 +1,77 @@
+"""Dedup operator semantics on planted duplicates (the rows-only
+queries' real verification — xxhash-family ops have no SQL oracle)."""
+
+from __future__ import annotations
+
+import pytest
+
+from bootcamp_stackacademy_datalake_minio_airflow_spark.operators.dedup import (
+    dedup_exact,
+    dedup_minhash,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from the warm windowsill and the birds sing in the garden outside"
+)
+NEAR = BASE.replace("warm", "cold")  # one-word edit -> near-duplicate
+OTHER = (
+    "completely different content about distributed query engines and "
+    "columnar storage formats with vectorized execution pipelines"
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, BASE),
+            (2, BASE),  # exact dup of 1
+            (3, NEAR),  # near dup of 1
+            (4, OTHER),
+            (5, "Short text."),
+        ],
+        "doc_id long, text string",
+    )
+
+
+def test_dedup_exact_keeps_smallest_id(docs):
+    kept = sorted(r.doc_id for r in dedup_exact(docs, ["text"], "doc_id").collect())
+    assert kept == [1, 3, 4, 5]  # doc 2 dropped, doc 3 differs by one word
+
+
+def test_minhash_pairs_find_exact_and_near(docs):
+    pairs = {
+        (r.id_a, r.id_b): r.jaccard_sim
+        for r in minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.5).collect()
+    }
+    assert pairs.get((1, 2)) == 1.0  # exact dup
+    assert (1, 3) in pairs and pairs[(1, 3)] >= 0.5  # near dup
+    assert all(4 not in p and 5 not in p for p in pairs)  # no false pairs
+
+
+def test_dedup_minhash_drops_victims(docs):
+    kept = sorted(
+        r.doc_id for r in dedup_minhash(docs, "doc_id", "text", threshold=0.5).collect()
+    )
+    assert kept == [1, 4, 5]  # 2 and 3 are victims of 1
+
+
+def test_simhash_pairs(docs):
+    pairs = {(r.id_a, r.id_b): r.hamming for r in simhash_pairs(docs, "doc_id", "text").collect()}
+    assert pairs.get((1, 2)) == 0  # identical text -> identical simhash
+    assert (1, 3) in pairs and pairs[(1, 3)] <= 3  # near dup within hamming budget
+    assert all(4 not in p for p in pairs)
+
+
+def test_ngram_jaccard_pairs(docs):
+    pairs = {
+        (r.id_a, r.id_b): r.jaccard_sim
+        for r in ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5).collect()
+    }
+    assert pairs.get((1, 2)) == 1.0
+    assert (1, 3) in pairs
+    assert all(4 not in p and 5 not in p for p in pairs)

@@ -1,0 +1,78 @@
+"""Similarity search: brute-force correctness + LSH recall."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from bootcamp_stackacademy_datalake_minio_airflow_spark.catalog import load_table
+from bootcamp_stackacademy_datalake_minio_airflow_spark.operators.similarity import (
+    ann_topk_lsh,
+    cosine_similarity_join,
+    cosine_topk,
+)
+from bootcamp_stackacademy_datalake_minio_airflow_spark.suites.extensions import QUERY_VEC
+
+
+def _py_cosine(a, b):
+    d = sum(x * y for x, y in zip(a, b))
+    na = math.sqrt(sum(x * x for x in a))
+    nb = math.sqrt(sum(x * x for x in b))
+    return d / (na * nb)
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.9, 0.1, 0.0]),
+        (3, [0.0, 1.0, 0.0]),
+        (4, [-1.0, 0.0, 0.0]),
+        (5, [0.7, 0.7, 0.0]),
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_cosine_topk_matches_python(vecs):
+    got = cosine_topk(vecs, [1.0, 0.0, 0.0], k=3).collect()
+    assert [r.vec_id for r in got] == [1, 2, 5]
+    expected = round(_py_cosine([0.9, 0.1, 0.0], [1.0, 0.0, 0.0]), 4)
+    assert abs(got[1].cos_sim - expected) < 1e-9
+
+
+def test_cosine_similarity_join_threshold(vecs):
+    a = vecs.selectExpr("vec_id AS id_a", "embedding")
+    b = vecs.selectExpr("vec_id AS id_b", "embedding")
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in cosine_similarity_join(a, b, threshold=0.99).collect()
+        if r.id_a < r.id_b
+    }
+    assert (1, 2) in pairs  # cos ~0.9939
+    assert (1, 4) not in pairs  # opposite vectors
+
+
+def test_ann_lsh_recall_on_planted_neighbors(spark, sf_dir):
+    """The testdata embeddings are ~random (best non-self cosine ≈0.33),
+    where no ANN scheme can beat chance — LSH's guarantee is for
+    genuinely-near vectors. Plant high-cosine neighbors of the query
+    and require LSH to recall those."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = [float(v) for v in emb.filter("vec_id = 0").first().embedding]
+    planted = [
+        (10_000 + i, [v * (1.0 + 0.01 * ((i + j) % 3)) for j, v in enumerate(q)])
+        for i in range(5)
+    ]
+    corpus = emb.select("vec_id", "embedding").unionByName(
+        spark.createDataFrame(planted, "vec_id long, embedding array<float>")
+    )
+    exact = [r.vec_id for r in cosine_topk(corpus, q, k=6).collect()]
+    assert set(exact) == {0, 10_000, 10_001, 10_002, 10_003, 10_004}
+
+    approx = [
+        r.vec_id
+        for r in ann_topk_lsh(corpus, q, k=6, n_planes=8, multiprobe=1).collect()
+    ]
+    recall = len(set(exact) & set(approx)) / 6
+    assert recall >= 0.8, f"LSH recall {recall}; exact={exact} approx={approx}"

@@ -1,0 +1,111 @@
+"""Text-analysis functions, multimodal plumbing, streaming windows."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from bootcamp_stackacademy_datalake_minio_airflow_spark.catalog import load_table
+from bootcamp_stackacademy_datalake_minio_airflow_spark.operators.multimodal import (
+    FEATURE_DIM,
+    extract_features,
+    frame_sample_plan,
+)
+from bootcamp_stackacademy_datalake_minio_airflow_spark.operators.text import (
+    fingerprint,
+    language_id,
+    quality_score,
+    token_count,
+)
+from bootcamp_stackacademy_datalake_minio_airflow_spark.streaming.windows import (
+    events_stream_tumbling,
+    tumbling_counts,
+)
+
+
+def test_token_count_edges(spark):
+    df = spark.createDataFrame(
+        [("a b  c",), ("",), ("   ",), ("one",)], "t string"
+    )
+    got = [r.n for r in df.select(token_count("t").alias("n")).collect()]
+    assert got == [3, 0, 0, 1]
+
+
+def test_language_id_deterministic(spark):
+    df = spark.createDataFrame(
+        [
+            ("the cat and the dog is in a house",),  # en
+            ("der hund und die katze ist ein tier",),  # de
+            ("xyzzy qwerty",),  # unknown
+        ],
+        "t string",
+    )
+    got = [r.lang for r in df.select(language_id("t").alias("lang")).collect()]
+    assert got == ["en", "de", "unknown"]
+
+
+def test_quality_score_bounds(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    mm = docs.select(
+        F.min(quality_score("text")).alias("lo"), F.max(quality_score("text")).alias("hi")
+    ).first()
+    assert 0.0 <= mm.lo <= mm.hi <= 1.0
+
+
+def test_fingerprint_normalization_invariance(spark):
+    df = spark.createDataFrame([("Hello  World",), ("hello world",)], "t string")
+    fps = [r.fp for r in df.select(fingerprint("t").alias("fp")).collect()]
+    assert fps[0] == fps[1]
+
+
+def test_multimodal_feature_extraction(spark):
+    assets = spark.createDataFrame(
+        [(1, "image", bytearray(b"\x01\x02\x03\x04"), None), (2, "image", None, None)],
+        "asset_id long, kind string, data binary, meta string",
+    ).drop("meta")
+    got = {r.asset_id: r for r in extract_features(assets).collect()}
+    assert got[1].n_bytes == 4
+    assert len(got[1].features) == FEATURE_DIM
+    assert abs(sum(got[1].features) - 1.0) < 1e-3  # normalized histogram
+    assert got[2].n_bytes == 0 and got[2].features == [0.0] * FEATURE_DIM
+
+
+def test_multimodal_strict_raises(spark):
+    assets = spark.createDataFrame(
+        [(1, "image", bytearray(b"xx"))], "asset_id long, kind string, data binary"
+    )
+    with pytest.raises(Exception, match="NotImplementedError|media decoding"):
+        extract_features(assets, strict=True).collect()
+
+
+def test_frame_sample_plan(spark):
+    df = spark.createDataFrame(
+        [(1, "video", (None, None, None, 3500)), (2, "image", (None, None, None, None))],
+        "asset_id long, kind string, "
+        "meta struct<mime:string,width:int,height:int,duration_ms:int>",
+    )
+    frames = frame_sample_plan(df, every_ms=1000).collect()
+    got = sorted((r.asset_id, r.frame_ts_ms) for r in frames)
+    assert got == [(1, 0), (1, 1000), (1, 2000)]  # 3 full seconds; image excluded
+
+
+def test_streaming_tumbling_matches_batch(spark, sf_dir, tmp_path):
+    events = load_table(spark, sf_dir, "events")
+    batch = tumbling_counts(events, "1 hour")
+
+    # stream the same data from a parquet dir (micro-batched file source)
+    src = str(tmp_path / "events_src")
+    events.write.parquet(src)
+    q = events_stream_tumbling(
+        spark,
+        src,
+        window="1 hour",
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        output_table="t_events_windowed",
+    )
+    q.awaitTermination(120)
+    streamed = spark.table("t_events_windowed")
+    # availableNow + update mode processes everything; final state == batch
+    b = {tuple(r) for r in batch.collect()}
+    s = {tuple(r) for r in streamed.collect()}
+    assert b == s
