@@ -80,11 +80,19 @@ def _fake_features(data: bytes | None, dim: int = FEATURE_DIM) -> list[float]:
     return [round(a / total, 6) for a in acc]
 
 
-def extract_features(df: DataFrame, strict: bool = False) -> DataFrame:
+def extract_features(
+    df: DataFrame, strict: bool = False, min_parallelism: int | None = None
+) -> DataFrame:
     """Feature-extract each asset via Arrow-batched mapInPandas.
 
     ``strict=True`` raises NotImplementedError at executor time —
     marking the decode as a stub — instead of emitting fake features.
+
+    Decode is the expensive stage, so parallelism must come from the
+    DATA layout, not the file layout: a table written as one fat file
+    scans as one partition and would decode on a single Python worker.
+    Repartition up to ``min_parallelism`` (default: the cluster's
+    defaultParallelism) before the decode when the scan is narrower.
     """
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -102,7 +110,11 @@ def extract_features(df: DataFrame, strict: bool = False) -> DataFrame:
                 }
             )
 
-    return df.select("asset_id", "data").mapInPandas(_extract, FEATURES_SCHEMA)
+    narrow = df.select("asset_id", "data")
+    target = min_parallelism or narrow.sparkSession.sparkContext.defaultParallelism
+    if narrow.rdd.getNumPartitions() < target:
+        narrow = narrow.repartition(target)
+    return narrow.mapInPandas(_extract, FEATURES_SCHEMA)
 
 
 def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:

@@ -91,6 +91,60 @@ def cosine_similarity_join(
     )
 
 
+def cosine_all_pairs_matmul(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 4,
+) -> DataFrame:
+    """Exact all-pairs cosine >= threshold via broadcast matmul.
+
+    The expression-based crossJoin form evaluates an interpreted
+    lambda per element (O(n^2 * dim) interpreter steps); this variant
+    broadcasts the row-normalized corpus matrix (n x dim floats — a
+    few MB for dim-scale corpora) and streams the left side through
+    numpy matmul in Arrow batches, so the pair scores run at BLAS
+    speed. Emits (id_a, id_b, cos_sim) with id_a < id_b.
+
+    At 100 TB corpus scale the matrix no longer broadcasts — shard the
+    right side by LSH bucket (hyperplane_buckets) and apply this
+    within buckets.
+    """
+    import numpy as np
+    import pandas as pd
+
+    rows = df.select(id_col, vec_col).collect()
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    mat = np.array([r[1] for r in rows], dtype=np.float64)
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    spark = df.sparkSession
+    b_ids = spark.sparkContext.broadcast(ids)
+    b_mat = spark.sparkContext.broadcast(mat)
+
+    out_schema = (
+        f"id_a long, id_b long, cos_sim double"
+    )
+
+    def _pairs(batches):
+        r_ids, r_mat = b_ids.value, b_mat.value
+        for pdf in batches:
+            l_ids = pdf[id_col].to_numpy(dtype=np.int64)
+            l_mat = np.array(list(pdf[vec_col]), dtype=np.float64)
+            l_mat /= np.linalg.norm(l_mat, axis=1, keepdims=True)
+            sims = np.round(l_mat @ r_mat.T, round_to)
+            li, ri = np.nonzero(sims >= threshold)
+            mask = l_ids[li] < r_ids[ri]
+            li, ri = li[mask], ri[mask]
+            yield pd.DataFrame(
+                {"id_a": l_ids[li], "id_b": r_ids[ri], "cos_sim": sims[li, ri]}
+            )
+
+    left = df.select(id_col, vec_col)
+    n_parts = max(left.rdd.getNumPartitions(), spark.sparkContext.defaultParallelism)
+    return left.repartition(n_parts).mapInPandas(_pairs, out_schema)
+
+
 # ---------------------------------------------------------------------------
 # LSH (random hyperplanes) — the scale path
 # ---------------------------------------------------------------------------

@@ -109,3 +109,52 @@ def test_streaming_tumbling_matches_batch(spark, sf_dir, tmp_path):
     b = {tuple(r) for r in batch.collect()}
     s = {tuple(r) for r in streamed.collect()}
     assert b == s
+
+
+def test_stateful_sessionization_stream(spark, tmp_path):
+    """Closed sessions emitted by the stateful streaming operator must
+    match the batch gaps-and-islands sessionization (for sessions the
+    watermark has closed)."""
+    import datetime
+
+    from bootcamp_stackacademy_datalake_minio_airflow_spark.streaming.sessions import (
+        sessionize_stream,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1, 10, 0, 0)
+
+    def ts(minutes):
+        return t0 + datetime.timedelta(minutes=minutes)
+
+    rows = [
+        # user 1: two sessions separated by a 40-min gap
+        (1, ts(0)), (1, ts(10)), (1, ts(20)),
+        (1, ts(60)), (1, ts(65)),
+        # user 2: one session
+        (2, ts(5)), (2, ts(15)),
+        # user 3 far in the future: advances watermark past users 1-2
+        (3, ts(60 * 24)),
+    ]
+    src = str(tmp_path / "sess_src")
+    events = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    events.write.parquet(src)
+
+    stream = spark.readStream.schema("user_id long, ts timestamp").parquet(src)
+    q = (
+        sessionize_stream(stream, watermark="1 minute")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_sessions")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.user_id, r.session_start.minute, r.session_end.minute, r.n_events)
+        for r in spark.table("t_sessions").collect()
+    }
+    # sessions closed by the watermark: user1 session A (0-20, 3 events),
+    # user1 session B (60-65, 2), user2 (5-15, 2)
+    assert (1, 0, 20, 3) in got
+    assert (1, 0, 5, 2) in got  # 60->0, 65->5 (minute-of-hour)
+    assert (2, 5, 15, 2) in got
