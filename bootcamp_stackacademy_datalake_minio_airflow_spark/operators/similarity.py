@@ -216,3 +216,69 @@ def ann_topk_lsh(
     )
     cands = bucketed.filter(F.col("__bucket").isin(*[int(b) for b in probe]))
     return cosine_topk(cands, query, k=k, id_col=id_col, vec_col=vec_col, round_to=round_to)
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted file with KMeans coarse quantizer) — alternative scale path
+# ---------------------------------------------------------------------------
+
+
+def ivf_build(
+    df: DataFrame,
+    n_lists: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+):
+    """Train a KMeans coarse quantizer and assign every vector to its
+    nearest centroid ("inverted list").
+
+    Returns ``(assigned_df, centroids)`` where assigned_df carries a
+    ``__list`` column. Persist/write the assigned table partitioned by
+    ``__list`` in production so a probe touches only its lists' files.
+    Uses Spark ML's distributed KMeans (public API) — training is one
+    pass per iteration over the corpus, assignment is a broadcast of
+    n_lists centroids.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array  # noqa: F401
+
+    featurized = df.withColumn(
+        "__features", array_to_vector(F.col(vec_col).cast("array<double>"))
+    )
+    km = KMeans(k=n_lists, seed=seed, featuresCol="__features", predictionCol="__list")
+    model = km.fit(featurized)
+    assigned = model.transform(featurized).drop("__features")
+    centroids = [list(map(float, c)) for c in model.clusterCenters()]
+    return assigned, centroids
+
+
+def ivf_topk(
+    assigned: DataFrame,
+    centroids: list[list[float]],
+    query: list[float],
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 4,
+) -> DataFrame:
+    """IVF probe: rank centroids by cosine to the query, exact-search
+    only the ``n_probe`` nearest inverted lists.
+
+    With n_lists ~ sqrt(corpus) and n_probe lists scanned, the probe
+    reads ~n_probe/n_lists of the corpus; recall follows how cleanly
+    the corpus clusters.
+    """
+    import math
+
+    def cos(a: list[float], b: list[float]) -> float:
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a)) or 1.0
+        nb = math.sqrt(sum(x * x for x in b)) or 1.0
+        return d / (na * nb)
+
+    ranked = sorted(range(len(centroids)), key=lambda i: -cos(centroids[i], query))
+    probe = ranked[:n_probe]
+    cands = assigned.filter(F.col("__list").isin(probe))
+    return cosine_topk(cands, query, k=k, id_col=id_col, vec_col=vec_col, round_to=round_to)

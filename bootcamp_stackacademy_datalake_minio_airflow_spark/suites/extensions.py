@@ -254,3 +254,52 @@ def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("meta"),
     )
     return extract_features(assets)
+
+
+# --- sliding window with EXACT distinct users (full SQL oracle) --------------
+# Each event of a [1h window, 30min slide] belongs to exactly 2 windows:
+# the one starting at its 30-min-floor and the one 30 min before that.
+# Spark's window() aligns to the epoch, as does floor(epoch/1800)*1800.
+
+
+@register(
+    "events_sliding_exact",
+    """
+    WITH assigned AS (
+      SELECT user_id,
+             unnest([
+               CAST(to_timestamp(floor(epoch(ts) / 1800) * 1800) AS TIMESTAMP),
+               CAST(to_timestamp(floor(epoch(ts) / 1800) * 1800 - 1800) AS TIMESTAMP)
+             ]) AS window_start
+      FROM events
+    )
+    SELECT window_start,
+           window_start + INTERVAL 1 HOUR AS window_end,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM assigned
+    GROUP BY window_start
+    """,
+)
+def q_sliding_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "n_users",
+        )
+    )
+
+
+# --- IVF ANN (KMeans coarse quantizer; ML pipeline -> rows-only check) -------
+
+
+@register("embedding_ivf_topk", None)
+def q_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import ivf_build, ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned, centroids = ivf_build(emb, n_lists=8)
+    return ivf_topk(assigned, centroids, QUERY_VEC, k=10, n_probe=3)

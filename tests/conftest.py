@@ -1,5 +1,7 @@
 from __future__ import annotations
 
+import tempfile
+
 import pytest
 
 from bootcamp_stackacademy_datalake_minio_airflow_spark.session import get_spark
@@ -7,7 +9,13 @@ from bootcamp_stackacademy_datalake_minio_airflow_spark.session import get_spark
 
 @pytest.fixture(scope="session")
 def spark():
-    s = get_spark("pytest", master="local[4]", shuffle_partitions=4)
+    warehouse = tempfile.mkdtemp(prefix="spark-warehouse-")
+    s = get_spark(
+        "pytest",
+        master="local[4]",
+        shuffle_partitions=4,
+        extra_conf={"spark.sql.warehouse.dir": warehouse},
+    )
     yield s
 
 
