@@ -28,9 +28,15 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     qs = ep.queries()
-    # warm up JVM + parquet footer caches with the cheapest query
+    # Warm up the JVM (first scan), the Python workers (tiny
+    # mapInPandas), and a broadcast, so one-time process startup isn't
+    # attributed to whichever query happens to run first.
     try:
         next(iter(qs.values()))(spark, sf_dir).count()
+        n_workers = spark.sparkContext.defaultParallelism * 2
+        spark.range(n_workers * 4).repartition(n_workers).mapInPandas(
+            lambda it: it, "id long"
+        ).count()
     except Exception:  # noqa: BLE001
         pass
 
@@ -44,6 +50,9 @@ def main() -> None:
         except Exception as e:  # noqa: BLE001
             print(f"bench error in {name}: {e}", file=sys.stderr)
             timings[name] = -1.0
+        # operators persist() intermediates; clear between queries so
+        # later timings don't inherit earlier queries' cache pressure
+        spark.catalog.clearCache()
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     print(
