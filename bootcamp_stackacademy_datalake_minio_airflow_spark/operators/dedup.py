@@ -99,19 +99,40 @@ def minhash_signature(shingles: Column, num_hashes: int = 64) -> Column:
     )
 
 
+def _signed64(x: int) -> int:
+    x &= (1 << 64) - 1
+    return x - (1 << 64) if x >= 1 << 63 else x
+
+
+def _perm(h: Column, i: int) -> Column:
+    """Bijective 64-bit mixing for hash family i: rotate + XOR a
+    splitmix-style constant. Rotations/XOR never overflow (ANSI mode
+    forbids wrapping long multiplication), and bijectivity preserves
+    the min-wise property given a well-mixed base hash."""
+    s = (i * 29 + 17) % 63 + 1
+    c = _signed64(0x9E3779B97F4A7C15 * (i + 1) ^ 0xBF58476D1CE4E5B9)
+    rot = F.shiftleft(h, s).bitwiseOR(F.shiftrightunsigned(h, 64 - s))
+    return rot.bitwiseXOR(F.lit(c))
+
+
 def _minhash_table(
     base: DataFrame, num_hashes: int
 ) -> DataFrame:
     """(__id, h0..h{n-1}) minhash table via explode + min-aggregate.
 
-    Shape chosen for scale: xxhash64 columns are plain codegen'd
-    expressions (no interpreted lambda per element), and groupBy(min)
-    partial-aggregates map-side, so the shuffle carries one row of
-    ``num_hashes`` longs per document — not the shingle sets.
+    Each shingle is string-hashed ONCE (xxhash64); the ``num_hashes``
+    families are derived as bijective rotate-XOR mixes of that 64-bit
+    value — a few integer ops per family instead of re-hashing the
+    string bytes per family (~num_hashes x cheaper on the scan).
+    All plain codegen'd expressions; groupBy(min) partial-aggregates
+    map-side, so the shuffle carries one row of ``num_hashes`` longs
+    per document — not the shingle sets.
     """
-    exploded = base.select("__id", F.explode("__sh").alias("__s"))
+    exploded = base.select("__id", F.explode("__sh").alias("__s")).select(
+        "__id", F.xxhash64("__s").alias("__h")
+    )
     hashed = exploded.select(
-        "__id", *[F.xxhash64("__s", F.lit(i)).alias(f"h{i}") for i in range(num_hashes)]
+        "__id", *[_perm(F.col("__h"), i).alias(f"h{i}") for i in range(num_hashes)]
     )
     return hashed.groupBy("__id").agg(
         *[F.min(f"h{i}").alias(f"h{i}") for i in range(num_hashes)]

@@ -103,3 +103,58 @@ def fingerprint(col: str | Column) -> Column:
     value; collision-safe enough for dedup bookkeeping at corpus scale.
     """
     return F.md5(normalize_text(col))
+
+
+def winnow_fingerprints(col: str | Column, k: int = 5, window: int = 4) -> Column:
+    """Winnowing fingerprints (Schleimer/Wilkerson/Aiken): hash every
+    character k-gram of the normalized text, then keep the minimum
+    hash of each sliding window of ``window`` consecutive k-gram
+    hashes (deduplicated). Guarantees any shared substring of length
+    >= k + window - 1 contributes at least one common fingerprint —
+    the local-similarity property whole-document md5 lacks.
+
+    Returns array<bigint>. Expression-only (no UDF); pass an
+    already-materialized column for corpus-scale use (the same
+    re-evaluation caveat as char_shingles).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    n_grams = F.greatest(F.length(c) - F.lit(k - 1), F.lit(1))
+    hashes = F.transform(
+        F.sequence(F.lit(1), n_grams), lambda i: F.xxhash64(F.substr(c, i, F.lit(k)))
+    )
+    n_windows = F.greatest(F.size(hashes) - F.lit(window - 1), F.lit(1))
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), n_windows),
+            lambda i: F.array_min(F.slice(hashes, i, window)),
+        )
+    )
+
+
+def winnow_table(df, id_col: str, text_col: str, k: int = 5, window: int = 4):
+    """(id, fingerprints) winnowing table for a corpus.
+
+    Materializes the k-gram hash array behind an exchange before the
+    window-minima pass — inlined, the hash array expression would be
+    re-evaluated once per window position (O(n^2) per document).
+    """
+    from .dedup import _norm_base
+
+    norm = _norm_base(df, id_col, text_col)
+    grams = norm.select(
+        "__id",
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length("__txt") - F.lit(k - 1), F.lit(1))),
+            lambda i: F.xxhash64(F.substr(F.col("__txt"), i, F.lit(k))),
+        ).alias("__hg"),
+    ).repartition("__id")
+    n_windows = F.greatest(F.size("__hg") - F.lit(window - 1), F.lit(1))
+    return grams.select(
+        F.col("__id").alias(id_col),
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), n_windows),
+                lambda i: F.array_min(F.slice(F.col("__hg"), i, window)),
+            )
+        ).alias("fingerprints"),
+    )

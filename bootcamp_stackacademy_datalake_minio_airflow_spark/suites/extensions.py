@@ -303,3 +303,15 @@ def q_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     assigned, centroids = ivf_build(emb, n_lists=8)
     return ivf_topk(assigned, centroids, QUERY_VEC, k=10, n_probe=3)
+
+
+# --- winnowing fingerprints (rolling hash; xxhash-based -> rows-only) --------
+
+
+@register("doc_winnow_fingerprints", None)
+def q_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import winnow_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = winnow_table(docs, "doc_id", "text")
+    return out.select("doc_id", F.size("fingerprints").alias("n_fingerprints"))

@@ -75,3 +75,22 @@ def test_ngram_jaccard_pairs(docs):
     assert pairs.get((1, 2)) == 1.0
     assert (1, 3) in pairs
     assert all(4 not in p and 5 not in p for p in pairs)
+
+
+def test_winnowing_local_similarity(spark, docs):
+    """Winnowing guarantee: docs sharing a long substring share
+    fingerprints; disjoint docs share ~none."""
+    from pyspark.sql import functions as F
+
+    from bootcamp_stackacademy_datalake_minio_airflow_spark.operators.text import (
+        winnow_table,
+    )
+
+    fp = {r.doc_id: set(r.fingerprints) for r in winnow_table(spark.createDataFrame(
+        [(1, BASE), (2, BASE), (3, NEAR), (4, OTHER)], "doc_id long, text string"
+    ), "doc_id", "text").collect()}
+    assert fp[1] == fp[2]  # identical text -> identical fingerprint set
+    overlap_near = len(fp[1] & fp[3]) / len(fp[1] | fp[3])
+    overlap_other = len(fp[1] & fp[4]) / len(fp[1] | fp[4])
+    assert overlap_near > 0.6  # one-word edit keeps most local windows
+    assert overlap_other < 0.1
