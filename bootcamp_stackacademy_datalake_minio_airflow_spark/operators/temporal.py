@@ -1,0 +1,102 @@
+"""Temporal join operators: as-of and range joins (extension).
+
+Spark has no built-in as-of join (pandas ``merge_asof`` is the
+single-node reference semantics). The distributed form here is the
+union-merge pattern: tag both sides, union, sort within key by time,
+carry the right side's values forward with a last-non-null window,
+keep the left rows. One shuffle on the key, one sort — the same cost
+as a sort-merge join, with no per-key loops or UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_time: str,
+    right_time: str,
+    value_cols: list[str],
+    direction: str = "backward",
+) -> DataFrame:
+    """For each left row, attach ``value_cols`` from the latest right
+    row with the same key whose time is <= the left time
+    (direction='backward'; 'forward' = earliest right row >=).
+
+    Ties (equal timestamps) resolve to the right row, matching pandas
+    ``merge_asof(allow_exact_matches=True)``.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+
+    l_tagged = left.select(
+        F.col(on).alias("__k"),
+        F.col(left_time).alias("__t"),
+        F.lit(1).alias("__is_left"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__v_{c}") for c in value_cols],
+        F.struct(*left.columns).alias("__row"),
+    )
+    r_tagged = right.select(
+        F.col(on).alias("__k"),
+        F.col(right_time).alias("__t"),
+        F.lit(0).alias("__is_left"),
+        *[F.col(c).alias(f"__v_{c}") for c in value_cols],
+        F.lit(None).cast(l_tagged.schema["__row"].dataType).alias("__row"),
+    )
+    merged = l_tagged.unionByName(r_tagged)
+
+    if direction == "backward":
+        # right rows sort before left rows at equal time -> exact match allowed
+        w = (
+            Window.partitionBy("__k")
+            .orderBy(F.asc("__t"), F.asc("__is_left"))
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        filled = merged.select(
+            "*",
+            *[
+                F.last(f"__v_{c}", ignorenulls=True).over(w).alias(f"__f_{c}")
+                for c in value_cols
+            ],
+        )
+    else:
+        w = (
+            Window.partitionBy("__k")
+            .orderBy(F.desc("__t"), F.asc("__is_left"))
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        filled = merged.select(
+            "*",
+            *[
+                F.last(f"__v_{c}", ignorenulls=True).over(w).alias(f"__f_{c}")
+                for c in value_cols
+            ],
+        )
+
+    out = filled.filter(F.col("__is_left") == 1).select(
+        "__row.*", *[F.col(f"__f_{c}").alias(c) for c in value_cols]
+    )
+    return out
+
+
+def range_join(
+    facts: DataFrame,
+    ranges: DataFrame,
+    value_col: str,
+    lo_col: str,
+    hi_col: str,
+    how: str = "inner",
+) -> DataFrame:
+    """Join each fact row to the range [lo, hi) containing its value.
+
+    Broadcast the ranges side (range tables are dimension-sized): the
+    join is then a broadcast nested loop with an interval predicate —
+    no shuffle of the fact table. For huge range tables, bucketize the
+    value first and equi-join on the bucket before the interval check.
+    """
+    cond = (facts[value_col] >= ranges[lo_col]) & (facts[value_col] < ranges[hi_col])
+    return facts.join(F.broadcast(ranges), cond, how)

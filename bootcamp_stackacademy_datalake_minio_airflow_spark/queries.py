@@ -48,6 +48,6 @@ def _ensure_loaded() -> None:
     global _LOADED
     if _LOADED:
         return
-    from .suites import breadth, breadth2, extensions, parity  # noqa: F401
+    from .suites import breadth, breadth2, breadth3, extensions, parity  # noqa: F401
 
     _LOADED = True

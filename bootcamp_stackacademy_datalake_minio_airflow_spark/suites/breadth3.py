@@ -1,0 +1,128 @@
+"""Third breadth wave: as-of join, range join, array aggregation —
+temporal and collection operators with full SQL oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..operators.temporal import asof_join, range_join
+from ..queries import register
+
+# --- as-of join: each event -> the user's latest order at/before it ----------
+
+
+@register(
+    "asof_join_events_orders",
+    """
+    SELECT e.event_id, e.user_id, e.ts,
+           o.o_orderkey AS last_order, o.o_totalprice AS last_order_total
+    FROM events e
+    LEFT JOIN LATERAL (
+      SELECT o_orderkey, o_totalprice FROM orders
+      WHERE o_custkey = e.user_id AND o_orderdate <= e.ts
+      ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 1
+    ) o ON TRUE
+    """,
+)
+def q_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of semantics vs the oracle's LATERAL top-1: ties on
+    o_orderdate resolve to the row that sorts last in the union-merge
+    (largest o_orderkey — matched by the oracle's ORDER BY)."""
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"),
+        "o_orderdate",
+        "o_orderkey",
+        "o_totalprice",
+    )
+    # secondary tie-break: order right side by (time, orderkey) so the
+    # last-non-null carries the max-orderkey row at equal timestamps
+    orders = orders.orderBy("o_orderdate", "o_orderkey")
+    out = asof_join(
+        ev,
+        orders,
+        on="user_id",
+        left_time="ts",
+        right_time="o_orderdate",
+        value_cols=["o_orderkey", "o_totalprice"],
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("o_orderkey").alias("last_order"),
+        F.col("o_totalprice").alias("last_order_total"),
+    )
+
+
+# --- range join: order totals -> price bands ---------------------------------
+
+
+@register(
+    "range_join_price_bands",
+    """
+    WITH bands(band, lo, hi) AS (
+      VALUES ('low', 0.0, 100000.0),
+             ('mid', 100000.0, 300000.0),
+             ('high', 300000.0, 1e18)
+    )
+    SELECT o.o_orderkey AS pedido, b.band,
+           o.o_totalprice AS total
+    FROM orders o JOIN bands b
+      ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi
+    """,
+)
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    bands = spark.createDataFrame(
+        [("low", 0.0, 100000.0), ("mid", 100000.0, 300000.0), ("high", 300000.0, 1e18)],
+        "band string, lo double, hi double",
+    )
+    out = range_join(orders, bands, "o_totalprice", "lo", "hi")
+    return out.select(
+        F.col("o_orderkey").alias("pedido"), "band", F.col("o_totalprice").alias("total")
+    )
+
+
+# --- array aggregation: sorted collect per group ------------------------------
+
+
+@register(
+    "array_collect_orders",
+    """
+    SELECT o_custkey AS cliente,
+           list_sort(array_agg(o_orderkey)) AS pedidos,
+           len(array_agg(o_orderkey)) AS n
+    FROM orders GROUP BY o_custkey
+    """,
+)
+def q_array_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy(F.col("o_custkey").alias("cliente")).agg(
+        F.sort_array(F.collect_list("o_orderkey")).alias("pedidos"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+# --- explode / unnest round-trip ---------------------------------------------
+
+
+@register(
+    "explode_unnest",
+    """
+    WITH per_cust AS (
+      SELECT o_custkey AS cliente, list_sort(array_agg(o_orderkey)) AS pedidos
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT cliente, unnest(pedidos) AS pedido FROM per_cust
+    """,
+)
+def q_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = orders.groupBy(F.col("o_custkey").alias("cliente")).agg(
+        F.sort_array(F.collect_list("o_orderkey")).alias("pedidos")
+    )
+    return per_cust.select("cliente", F.explode("pedidos").alias("pedido"))

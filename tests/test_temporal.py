@@ -1,0 +1,64 @@
+"""As-of and range join semantics on hand-built fixtures."""
+
+from __future__ import annotations
+
+import datetime
+
+from bootcamp_stackacademy_datalake_minio_airflow_spark.operators.temporal import (
+    asof_join,
+    range_join,
+)
+
+
+def _t(minute):
+    return datetime.datetime(2024, 1, 1, 10, minute)
+
+
+def test_asof_backward_basic(spark):
+    trades = spark.createDataFrame(
+        [(1, _t(5)), (1, _t(20)), (2, _t(7))], "k long, t timestamp"
+    )
+    quotes = spark.createDataFrame(
+        [(1, _t(0), 100.0), (1, _t(10), 110.0), (2, _t(9), 50.0)],
+        "k long, qt timestamp, px double",
+    )
+    out = {
+        (r.k, r.t.minute): r.px
+        for r in asof_join(trades, quotes, "k", "t", "qt", ["px"]).collect()
+    }
+    assert out[(1, 5)] == 100.0  # latest quote at/before 10:05
+    assert out[(1, 20)] == 110.0
+    assert out[(2, 7)] is None  # quote arrives later -> no match
+
+
+def test_asof_exact_match_allowed(spark):
+    left = spark.createDataFrame([(1, _t(10))], "k long, t timestamp")
+    right = spark.createDataFrame([(1, _t(10), 42.0)], "k long, qt timestamp, v double")
+    row = asof_join(left, right, "k", "t", "qt", ["v"]).first()
+    assert row.v == 42.0  # equal timestamps match (pandas allow_exact_matches)
+
+
+def test_asof_forward(spark):
+    left = spark.createDataFrame([(1, _t(5))], "k long, t timestamp")
+    right = spark.createDataFrame(
+        [(1, _t(0), 1.0), (1, _t(8), 2.0), (1, _t(30), 3.0)],
+        "k long, qt timestamp, v double",
+    )
+    row = asof_join(left, right, "k", "t", "qt", ["v"], direction="forward").first()
+    assert row.v == 2.0  # earliest right row at/after 10:05
+
+
+def test_range_join_boundaries(spark):
+    facts = spark.createDataFrame([(1, 0.0), (2, 99.9), (3, 100.0)], "id long, v double")
+    ranges = spark.createDataFrame(
+        [("a", 0.0, 100.0), ("b", 100.0, 200.0)], "band string, lo double, hi double"
+    )
+    out = {r.id: r.band for r in range_join(facts, ranges, "v", "lo", "hi").collect()}
+    assert out == {1: "a", 2: "a", 3: "b"}  # half-open [lo, hi)
+
+
+def test_range_join_broadcasts(spark):
+    facts = spark.createDataFrame([(1, 5.0)], "id long, v double")
+    ranges = spark.createDataFrame([("a", 0.0, 10.0)], "band string, lo double, hi double")
+    plan = range_join(facts, ranges, "v", "lo", "hi")._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan  # fact side never shuffles
