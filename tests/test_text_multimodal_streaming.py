@@ -158,3 +158,36 @@ def test_stateful_sessionization_stream(spark, tmp_path):
     assert (1, 0, 20, 3) in got
     assert (1, 0, 5, 2) in got  # 60->0, 65->5 (minute-of-hour)
     assert (2, 5, 15, 2) in got
+
+
+def test_streaming_bronze_to_silver_ingest(spark, tmp_path):
+    """File-source streaming ingest: bronze CSVs land in silver as
+    typed parquet; a second trigger picks up only NEW files
+    (checkpointed, exactly-once)."""
+    from bootcamp_stackacademy_datalake_minio_airflow_spark.streaming.ingest import (
+        stream_bronze_to_silver,
+    )
+
+    bronze = tmp_path / "bronze" / "olist" / "order_payments"
+    bronze.mkdir(parents=True)
+    silver = str(tmp_path / "silver")
+    ckpt = str(tmp_path / "ckpt")
+    header = "order_id,payment_sequential,payment_type,payment_installments,payment_value\n"
+    (bronze / "a.csv").write_text(header + "o1,1,credit_card,1,10.5\n")
+
+    q = stream_bronze_to_silver(
+        spark, "order_payments", ckpt, bronze_path=str(bronze), silver_path=silver
+    )
+    q.awaitTermination(120)
+    first = spark.read.parquet(silver)
+    assert first.count() == 1
+    assert dict(first.dtypes)["payment_value"] == "double"  # typed at ingest
+
+    # new file arrives; resumed stream ingests ONLY the delta
+    (bronze / "b.csv").write_text(header + "o2,1,boleto,1,20.0\n")
+    q2 = stream_bronze_to_silver(
+        spark, "order_payments", ckpt, bronze_path=str(bronze), silver_path=silver
+    )
+    q2.awaitTermination(120)
+    rows = {r.order_id: r.payment_value for r in spark.read.parquet(silver).collect()}
+    assert rows == {"o1": 10.5, "o2": 20.0}  # no duplicate of o1
