@@ -263,16 +263,81 @@ def dedup_minhash(
     df: DataFrame,
     id_col: str,
     text_col: str,
+    canonicalize: bool = False,
     **lsh_kwargs,
 ) -> DataFrame:
-    """Drop near-duplicates: for every verified pair, the larger id is
-    the victim. (Connected-component canonicalization — A~B~C collapses
-    to A — needs iterative label propagation; single-hop removal is
-    the standard one-pass approximation and never drops a cluster
-    entirely.)"""
+    """Drop near-duplicates found by MinHash LSH.
+
+    Default: for every verified pair, the larger id is the victim —
+    one pass, never drops a cluster entirely. ``canonicalize=True``
+    first collapses transitive clusters (A~B~C) with connected
+    components, keeping exactly one representative (the min id) per
+    cluster — the correct semantics when chains of near-dups are long.
+    """
     pairs = minhash_lsh_pairs(df, id_col, text_col, **lsh_kwargs)
-    victims = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    if canonicalize:
+        comp = connected_components(pairs, "id_a", "id_b")
+        victims = comp.filter(F.col("node") != F.col("component")).select(
+            F.col("node").alias(id_col)
+        )
+    else:
+        victims = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return df.join(victims, on=id_col, how="left_anti")
+
+
+def connected_components(
+    pairs: DataFrame, src: str = "id_a", dst: str = "id_b", max_iter: int = 20
+) -> DataFrame:
+    """Connected components of an undirected pair graph by iterative
+    min-label propagation: every node repeatedly adopts the smallest
+    label among itself and its neighbors until fixpoint.
+
+    Each iteration is one join + one aggregation (both on the node
+    key); iterations needed ≈ graph diameter, and near-dup clusters
+    are shallow (stars/short chains), so convergence is fast. The
+    label frontier is localCheckpointed per round to cut the lineage —
+    without it the plan doubles every iteration. Returns
+    (node, component) with component = min node id of the cluster.
+    """
+    edges = (
+        pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .unionByName(pairs.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("u").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.v == labels.node)
+            .groupBy(edges.u.alias("node"))
+            .agg(F.min("component").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))
+                ).alias("component"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
 
 
 # ---------------------------------------------------------------------------

@@ -126,3 +126,65 @@ def q_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sort_array(F.collect_list("o_orderkey")).alias("pedidos")
     )
     return per_cust.select("cliente", F.explode("pedidos").alias("pedido"))
+
+
+# --- GROUPING SETS (explicit set list, beyond rollup/cube) -------------------
+
+
+@register(
+    "grouping_sets_agg",
+    """
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_extendedprice), 2) AS receita, COUNT(*) AS n
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("__li_gs")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               ROUND(SUM(l_extendedprice), 2) AS receita, COUNT(*) AS n
+        FROM __li_gs
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+# --- TPC-H Q18-shaped: IN-subquery over a HAVING aggregate -------------------
+
+
+@register(
+    "tpch_q18_shaped",
+    """
+    SELECT c.c_name AS cliente, o.o_orderkey AS pedido,
+           ROUND(SUM(l.l_quantity), 2) AS qtd_total
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey IN (
+      SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(l_quantity) > 150
+    )
+    GROUP BY c.c_name, o.o_orderkey
+    """,
+)
+def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("q"))
+        .filter(F.col("q") > 150)
+        .select("l_orderkey")
+    )
+    return (
+        o.join(big, o.o_orderkey == big.l_orderkey, "left_semi")
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy(F.col("c_name").alias("cliente"), F.col("o_orderkey").alias("pedido"))
+        .agg(F.round(F.sum("l_quantity"), 2).alias("qtd_total"))
+    )

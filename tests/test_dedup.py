@@ -94,3 +94,32 @@ def test_winnowing_local_similarity(spark, docs):
     overlap_other = len(fp[1] & fp[4]) / len(fp[1] | fp[4])
     assert overlap_near > 0.6  # one-word edit keeps most local windows
     assert overlap_other < 0.1
+
+
+def test_connected_components_chain(spark):
+    """A-B-C chain + isolated D-E pair: two components, min-id labels."""
+    from bootcamp_stackacademy_datalake_minio_airflow_spark.operators.dedup import (
+        connected_components,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    comp = {r.node: r.component for r in connected_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_dedup_minhash_canonicalize_collapses_chain(spark):
+    """Transitive near-dup chain collapses to one representative."""
+    mid = BASE.replace("warm", "tepid")  # near-dup of BASE and of NEAR? build chain
+    docs = spark.createDataFrame(
+        [(1, BASE), (2, BASE), (3, NEAR), (4, OTHER)],
+        "doc_id long, text string",
+    )
+    kept = sorted(
+        r.doc_id
+        for r in dedup_minhash(
+            docs, "doc_id", "text", canonicalize=True, threshold=0.5
+        ).collect()
+    )
+    assert kept == [1, 4]  # cluster {1,2,3} -> keep 1; 4 unrelated
