@@ -1,0 +1,43 @@
+"""Data-quality checks as DataFrame operators (lake-engine hygiene;
+the reference has no validation of any kind).
+
+Each check returns a DataFrame (composable, lazily planned, runs
+distributed) rather than driver-side booleans, so a DQ suite over a
+100 TB table is one job, not N.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def null_profile(df: DataFrame) -> DataFrame:
+    """One row: null count per column (single pass, partial-agg)."""
+    return df.agg(
+        *[
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(c)
+            for c in df.columns
+        ]
+    )
+
+
+def orphans(child: DataFrame, parent: DataFrame, fk: str, pk: str) -> DataFrame:
+    """Child rows whose foreign key has no parent (referential
+    integrity violations) — an anti-join, so the parent side can
+    broadcast when dimension-sized."""
+    return child.join(parent, child[fk] == parent[pk], "left_anti")
+
+
+def duplicate_keys(df: DataFrame, key_cols: list[str]) -> DataFrame:
+    """Key values appearing more than once (uniqueness violations)."""
+    return (
+        df.groupBy(*key_cols)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
+    )
+
+
+def out_of_range(df: DataFrame, col: str, lo: float, hi: float) -> DataFrame:
+    """Rows whose value falls outside [lo, hi] (NULLs not flagged)."""
+    return df.filter(F.col(col).isNotNull() & ~F.col(col).between(lo, hi))

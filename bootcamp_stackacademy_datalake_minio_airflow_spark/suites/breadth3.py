@@ -188,3 +188,45 @@ def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("c_name").alias("cliente"), F.col("o_orderkey").alias("pedido"))
         .agg(F.round(F.sum("l_quantity"), 2).alias("qtd_total"))
     )
+
+
+# --- data quality: referential integrity + null profile ----------------------
+
+
+@register(
+    "dq_orphan_lineitems",
+    """
+    SELECT l.l_orderkey AS pedido, COUNT(*) AS n_orfas
+    FROM lineitem l
+    WHERE l.l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+    GROUP BY l.l_orderkey
+    """,
+)
+def q_dq_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.quality import orphans
+
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        orphans(li, o, "l_orderkey", "o_orderkey")
+        .groupBy(F.col("l_orderkey").alias("pedido"))
+        .agg(F.count(F.lit(1)).alias("n_orfas"))
+    )
+
+
+@register(
+    "dq_null_profile_orders",
+    """
+    SELECT SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS o_orderkey,
+           SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS o_custkey,
+           SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS o_orderstatus,
+           SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS o_totalprice,
+           SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS o_orderdate,
+           SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS o_orderpriority
+    FROM orders
+    """,
+)
+def q_dq_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.quality import null_profile
+
+    return null_profile(load_table(spark, sf_dir, "orders"))

@@ -1,0 +1,60 @@
+"""MERGE/upsert emulation + data-quality checks."""
+
+from __future__ import annotations
+
+from bootcamp_stackacademy_datalake_minio_airflow_spark.functions.quality import (
+    duplicate_keys,
+    null_profile,
+    out_of_range,
+)
+from bootcamp_stackacademy_datalake_minio_airflow_spark.jobs.upsert import (
+    merge_upsert,
+    upsert_parquet,
+)
+
+
+def test_merge_upsert_semantics(spark):
+    target = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], "k long, s string, v double"
+    )
+    updates = spark.createDataFrame(
+        [(2, "B", 99.0), (4, "d", 40.0)], "k long, s string, v double"
+    )
+    out = {r.k: (r.s, r.v) for r in merge_upsert(target, updates, "k").collect()}
+    assert out == {1: ("a", 10.0), 2: ("B", 99.0), 3: ("c", 30.0), 4: ("d", 40.0)}
+
+
+def test_merge_upsert_tombstones(spark):
+    target = spark.createDataFrame([(1, "a"), (2, "b")], "k long, s string")
+    updates = spark.createDataFrame(
+        [(1, "A", False), (2, None, True)], "k long, s string, deleted boolean"
+    )
+    out = {r.k: r.s for r in merge_upsert(target, updates, "k", "deleted").collect()}
+    assert out == {1: "A"}  # 2 tombstoned
+
+
+def test_upsert_parquet_partition_pruned(spark, tmp_path):
+    path = str(tmp_path / "t")
+    spark.createDataFrame(
+        [(1, "2024-01", 1.0), (2, "2024-01", 2.0), (3, "2024-02", 3.0)],
+        "k long, mes string, v double",
+    ).write.partitionBy("mes").parquet(path)
+
+    updates = spark.createDataFrame([(2, "2024-01", 99.0)], "k long, mes string, v double")
+    upsert_parquet(spark, path, updates, "k", partition_col="mes")
+    out = {r.k: r.v for r in spark.read.parquet(path).collect()}
+    assert out == {1: 1.0, 2: 99.0, 3: 3.0}  # 2024-02 partition untouched
+
+
+def test_null_profile_and_range(spark):
+    df = spark.createDataFrame([(1, None), (2, 5.0), (None, 200.0)], "k long, v double")
+    prof = null_profile(df).first()
+    assert prof.k == 1 and prof.v == 1
+    bad = out_of_range(df, "v", 0.0, 100.0).collect()
+    assert len(bad) == 1 and bad[0].v == 200.0
+
+
+def test_duplicate_keys(spark):
+    df = spark.createDataFrame([(1, "x"), (1, "y"), (2, "z")], "k long, s string")
+    dups = duplicate_keys(df, ["k"]).collect()
+    assert len(dups) == 1 and dups[0].k == 1 and dups[0].n == 2
