@@ -38,6 +38,15 @@ c1,u1,01409,sao paulo,SP
 c2,u2,09790,sao bernardo do campo,SP
 """
 
+SELLERS_CSV = """seller_id,seller_zip_code_prefix,seller_city,seller_state
+s1,13023,campinas,SP
+s2,87900,loanda,PR
+"""
+
+GEOLOCATION_CSV = """geolocation_zip_code_prefix,geolocation_lat,geolocation_lng,geolocation_city,geolocation_state
+01409,-23.5505,-46.6333,sao paulo,SP
+"""
+
 # quoted free text with embedded newline + comma (SURVEY §7.3 risk)
 REVIEWS_CSV = '''review_id,order_id,review_score,review_comment_title,review_comment_message,review_creation_date,review_answer_timestamp
 r1,o1,5,"otimo","chegou antes do prazo,
@@ -56,6 +65,8 @@ def lake(tmp_path_factory):
         "products": PRODUCTS_CSV,
         "customers": CUSTOMERS_CSV,
         "order_reviews": REVIEWS_CSV,
+        "sellers": SELLERS_CSV,
+        "geolocation": GEOLOCATION_CSV,
     }
     for t, body in csvs.items():
         d = base / "bronze" / "olist" / t
@@ -106,3 +117,18 @@ def test_vendas_gold_end_to_end(spark, lake):
     assert r.MES_VENDA == "2017-10"
     part_dirs = os.listdir(f"{lake}/gold/olist/vendas/")
     assert any(p.startswith("MES_VENDA=") for p in part_dirs)
+
+
+def test_all_eight_tables_ingest(spark, lake):
+    """Every Olist table the reference ingests (8 scripts) goes
+    through the ONE parameterized job with its pinned schema."""
+    from bootcamp_stackacademy_datalake_minio_airflow_spark.schemas import OLIST_SCHEMAS
+
+    for t in OLIST_SCHEMAS:
+        df = bronze_to_silver(spark, t, base=lake)
+        silver = read_parquet(spark, f"{lake}/silver/olist/{t}/")
+        assert silver.count() > 0, t
+        assert df.schema == OLIST_SCHEMAS[t], t
+    # geolocation types survived: lat/lng are doubles
+    geo = read_parquet(spark, f"{lake}/silver/olist/geolocation/")
+    assert dict(geo.dtypes)["geolocation_lat"] == "double"
