@@ -141,8 +141,123 @@ def cosine_all_pairs_matmul(
             )
 
     left = df.select(id_col, vec_col)
-    n_parts = max(left.rdd.getNumPartitions(), spark.sparkContext.defaultParallelism)
+    n_parts = spark.sparkContext.defaultParallelism
     return left.repartition(n_parts).mapInPandas(_pairs, out_schema)
+
+
+def cosine_all_pairs_blocked(
+    df: DataFrame,
+    threshold: float,
+    n_blocks: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 4,
+) -> DataFrame:
+    """Exact all-pairs cosine >= threshold as a distributed blocked
+    matrix multiply — the 100 TB path: nothing is collected to the
+    driver and no single task ever holds the whole corpus.
+
+    Ids hash into ``n_blocks`` blocks; the pair space is the upper
+    triangle of the block grid (B*(B+1)/2 cells). Each row is exploded
+    to the <=B cells its block participates in, the grid cell is the
+    shuffle key, and one Arrow batch per cell runs a numpy matmul over
+    its two blocks. Traffic is O(n*B) rows; per-task memory is
+    O((n/B)*dim) — pick B ~ sqrt(corpus/target_block) so a cell's two
+    blocks fit an executor. Emits (id_a, id_b, cos_sim), id_a < id_b,
+    bit-identical to ``cosine_all_pairs_matmul`` (same round-then-
+    filter order).
+    """
+    import numpy as np
+    import pandas as pd
+
+    spark = df.sparkSession
+    if n_blocks is None:
+        n_blocks = max(4, math.isqrt(spark.sparkContext.defaultParallelism * 2))
+
+    base = df.select(
+        F.col(id_col).cast("long").alias("__id"),
+        F.col(vec_col).cast("array<double>").alias("__vec"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).alias("__blk"),
+    )
+    # block b participates in cells {(min(b,o), max(b,o)) : o in 0..B-1}
+    cells = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(n_blocks - 1)),
+            lambda o: F.struct(
+                F.least(F.col("__blk"), o.cast("long")).alias("ca"),
+                F.greatest(F.col("__blk"), o.cast("long")).alias("cb"),
+            ),
+        )
+    )
+    exploded = base.select(
+        "__id",
+        "__vec",
+        "__blk",
+        F.explode(cells).alias("__cell"),
+    ).select(
+        "__id",
+        "__vec",
+        "__blk",
+        F.col("__cell.ca").alias("__ca"),
+        F.col("__cell.cb").alias("__cb"),
+    )
+
+    def _cell_pairs(key, pdf):
+        ca, cb = int(key[0]), int(key[1])
+        a = pdf[pdf["__blk"] == ca]
+        b = pdf[pdf["__blk"] == cb] if cb != ca else a
+        if a.empty or b.empty:
+            return pd.DataFrame(
+                {
+                    "id_a": pd.Series(dtype="int64"),
+                    "id_b": pd.Series(dtype="int64"),
+                    "cos_sim": pd.Series(dtype="float64"),
+                }
+            )
+        a_ids = a["__id"].to_numpy(dtype=np.int64)
+        b_ids = b["__id"].to_numpy(dtype=np.int64)
+        a_mat = np.array(list(a["__vec"]), dtype=np.float64)
+        b_mat = np.array(list(b["__vec"]), dtype=np.float64)
+        a_mat /= np.linalg.norm(a_mat, axis=1, keepdims=True)
+        b_mat /= np.linalg.norm(b_mat, axis=1, keepdims=True)
+        sims = np.round(a_mat @ b_mat.T, round_to)
+        ai, bi = np.nonzero(sims >= threshold)
+        ia, ib = a_ids[ai], b_ids[bi]
+        if ca == cb:
+            keep = ia < ib  # dedup the symmetric upper/lower duplicates
+        else:
+            keep = np.ones(len(ia), dtype=bool)  # disjoint blocks: every pair once
+        lo = np.minimum(ia[keep], ib[keep])
+        hi = np.maximum(ia[keep], ib[keep])
+        return pd.DataFrame(
+            {"id_a": lo, "id_b": hi, "cos_sim": sims[ai[keep], bi[keep]]}
+        )
+
+    return exploded.groupBy("__ca", "__cb").applyInPandas(
+        _cell_pairs, "id_a long, id_b long, cos_sim double"
+    )
+
+
+def cosine_all_pairs(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 4,
+    broadcast_budget_rows: int = 0,
+) -> DataFrame:
+    """All-pairs cosine router: the blocked distributed matmul by
+    default; the broadcast matmul only when the caller attests the
+    corpus fits the driver (``broadcast_budget_rows`` > 0 and the
+    corpus counts under it). The default never collects.
+    """
+    if broadcast_budget_rows > 0 and df.count() <= broadcast_budget_rows:
+        return cosine_all_pairs_matmul(
+            df, threshold, id_col=id_col, vec_col=vec_col, round_to=round_to
+        )
+    return cosine_all_pairs_blocked(
+        df, threshold, id_col=id_col, vec_col=vec_col, round_to=round_to
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -48,6 +48,15 @@ def _ensure_loaded() -> None:
     global _LOADED
     if _LOADED:
         return
-    from .suites import breadth, breadth2, breadth3, extensions, parity  # noqa: F401
+    # Parity (the reference's own pipeline, incl. the flagship) registers
+    # FIRST so it always falls inside the driver's correctness window;
+    # extension/no-oracle queries register last.
+    from .suites import parity, breadth, breadth2, breadth3, extensions  # noqa: F401
 
+    # Stable-partition: oracle-bearing queries before rows-only ones, so a
+    # driver that checks a bounded prefix of the registry always sees every
+    # hash-verifiable query first (rows-only checks are weaker anyway).
+    ordered = sorted(REGISTRY.items(), key=lambda kv: kv[1][1] is None)
+    REGISTRY.clear()
+    REGISTRY.update(ordered)
     _LOADED = True

@@ -11,7 +11,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..operators.dedup import dedup_minhash
-from ..operators.similarity import cosine_all_pairs_matmul
+from ..operators.similarity import cosine_all_pairs_blocked
 from ..queries import register
 
 # --- JSON extraction (events.props) ----------------------------------------
@@ -130,8 +130,9 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the blocked distributed matmul — no driver collect at any scale
     emb = load_table(spark, sf_dir, "embeddings")
-    return cosine_all_pairs_matmul(emb, threshold=0.35)
+    return cosine_all_pairs_blocked(emb, threshold=0.35)
 
 
 # --- end-to-end minhash dedup (documents after victim removal) ---------------
@@ -152,7 +153,7 @@ SESSION_GAP_MIN = 30
     "user_sessionization",
     f"""
     WITH marked AS (
-      SELECT user_id, ts,
+      SELECT user_id, ts, event_id,
              CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                        > INTERVAL {SESSION_GAP_MIN} MINUTE
                   OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
@@ -160,8 +161,8 @@ SESSION_GAP_MIN = 30
       FROM events
     ), numbered AS (
       SELECT user_id, ts,
-             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
-                                    ROWS UNBOUNDED PRECEDING) AS session_id
+             CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
       FROM marked
     )
     SELECT user_id, session_id, COUNT(*) AS n_events,

@@ -94,15 +94,17 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "array_collect_orders",
     """
     SELECT o_custkey AS cliente,
-           list_sort(array_agg(o_orderkey)) AS pedidos,
+           array_to_string(list_sort(array_agg(o_orderkey)), ',') AS pedidos,
            len(array_agg(o_orderkey)) AS n
     FROM orders GROUP BY o_custkey
     """,
 )
 def q_array_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the sorted array is projected to a CSV string: the driver's value-hash
+    # canonicalizer sorts rows and cannot hash a raw list column
     orders = load_table(spark, sf_dir, "orders")
     return orders.groupBy(F.col("o_custkey").alias("cliente")).agg(
-        F.sort_array(F.collect_list("o_orderkey")).alias("pedidos"),
+        F.concat_ws(",", F.sort_array(F.collect_list("o_orderkey"))).alias("pedidos"),
         F.count(F.lit(1)).alias("n"),
     )
 
@@ -217,12 +219,12 @@ def q_dq_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dq_null_profile_orders",
     """
-    SELECT SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS o_orderkey,
-           SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS o_custkey,
-           SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS o_orderstatus,
-           SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS o_totalprice,
-           SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS o_orderdate,
-           SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS o_orderpriority
+    SELECT CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS o_orderkey,
+           CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS o_custkey,
+           CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS o_orderstatus,
+           CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS o_totalprice,
+           CAST(SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS o_orderdate,
+           CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS o_orderpriority
     FROM orders
     """,
 )

@@ -9,6 +9,9 @@ import pytest
 from bootcamp_stackacademy_datalake_minio_airflow_spark.catalog import load_table
 from bootcamp_stackacademy_datalake_minio_airflow_spark.operators.similarity import (
     ann_topk_lsh,
+    cosine_all_pairs,
+    cosine_all_pairs_blocked,
+    cosine_all_pairs_matmul,
     cosine_similarity_join,
     cosine_topk,
 )
@@ -51,6 +54,42 @@ def test_cosine_similarity_join_threshold(vecs):
     }
     assert (1, 2) in pairs  # cos ~0.9939
     assert (1, 4) not in pairs  # opposite vectors
+
+
+def test_all_pairs_blocked_equals_matmul(spark, sf_dir):
+    """The distributed blocked matmul (no driver collect) must emit the
+    exact same pair set and scores as the broadcast matmul baseline,
+    for several block counts including B > distinct-blocks-with-data."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    want = {
+        (r.id_a, r.id_b): r.cos_sim
+        for r in cosine_all_pairs_matmul(emb, threshold=0.35).collect()
+    }
+    assert want, "baseline produced no pairs — threshold too high for fixture"
+    for n_blocks in (1, 3, 8):
+        got = {
+            (r.id_a, r.id_b): r.cos_sim
+            for r in cosine_all_pairs_blocked(
+                emb, threshold=0.35, n_blocks=n_blocks
+            ).collect()
+        }
+        assert got == want, f"n_blocks={n_blocks}: {len(got)} vs {len(want)} pairs"
+
+
+def test_all_pairs_router_paths(spark, sf_dir):
+    """Router: default never collects (blocked path); explicit budget
+    large enough routes to the broadcast matmul. Both agree."""
+    emb = load_table(spark, sf_dir, "embeddings").limit(200)
+    via_blocked = sorted(
+        (r.id_a, r.id_b) for r in cosine_all_pairs(emb, threshold=0.35).collect()
+    )
+    via_matmul = sorted(
+        (r.id_a, r.id_b)
+        for r in cosine_all_pairs(
+            emb, threshold=0.35, broadcast_budget_rows=1_000_000
+        ).collect()
+    )
+    assert via_blocked == via_matmul
 
 
 def test_ann_lsh_recall_on_planted_neighbors(spark, sf_dir):

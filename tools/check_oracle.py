@@ -93,6 +93,26 @@ def main() -> int:
             print(f"FAIL  {name}: rows spark={len(s_rows)} duck={len(d_rows)}")
             ok = False
         if ok:
+            # Type-fidelity audit via pandas (mimics the driver's canon):
+            # DuckDB HUGEINT/int128 lands as float64 or object in pandas
+            # while Spark emits int64 — the driver's value hash can never
+            # match then, even when str() of the values agrees.
+            try:
+                s_pdf = sdf.toPandas()
+                d_pdf = con.execute(sql).fetch_df()
+                for c in sorted(s_cols):
+                    sk = s_pdf[c].dtype.kind
+                    dk = d_pdf[c].dtype.kind
+                    if {sk, dk} == {"i", "f"} or {sk, dk} == {"i", "O"}:
+                        print(
+                            f"FAIL  {name}: dtype fidelity col={c} "
+                            f"spark={s_pdf[c].dtype} duck={d_pdf[c].dtype} "
+                            "(driver hash would mismatch; CAST the oracle)"
+                        )
+                        ok = False
+            except Exception as e:  # noqa: BLE001
+                print(f"WARN  {name}: dtype audit skipped: {e}")
+        if ok:
             s_order = [s_cols.index(c) for c in sorted(s_cols)]
             d_order = [d_cols.index(c) for c in sorted(d_cols)]
             sh, dh = value_hash(s_rows, s_order), value_hash(d_rows, d_order)
