@@ -1,0 +1,65 @@
+"""Stage-then-swap publish primitives over the Hadoop FileSystem API.
+
+Plain-parquet maintenance ops (compaction, MERGE rewrite) must never
+overwrite a live prefix in the same job that reads it: a mid-write
+failure would leave the table half-rewritten. The safe lifecycle is
+
+    write to a __staging sibling -> validate -> rename over the target
+
+Rename is atomic on HDFS and posix filesystems; on S3A it degrades to
+copy+delete, where this pattern still minimizes the exposure window to
+the two renames (and the staging write itself uses the committer
+configured in session.py). The previous generation of the data is kept
+as ``<path>__replaced`` until the swap completes, so a failure between
+the renames is recoverable by hand (and rolled back automatically when
+the second rename fails).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+
+def _fs_for(spark: SparkSession, path: str):
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    return jpath.getFileSystem(spark._jsc.hadoopConfiguration()), jvm
+
+
+def _jp(jvm, path: str):
+    return jvm.org.apache.hadoop.fs.Path(path)
+
+
+def publish_swap(spark: SparkSession, staging_path: str, final_path: str) -> None:
+    """Publish ``staging_path`` over ``final_path`` via two renames,
+    rolling back to the previous generation if the second fails."""
+    fs, jvm = _fs_for(spark, final_path)
+    final, staging = _jp(jvm, final_path), _jp(jvm, staging_path)
+    old = _jp(jvm, final_path.rstrip("/") + "__replaced")
+    if fs.exists(old):
+        fs.delete(old, True)
+    had_previous = fs.exists(final)
+    if had_previous and not fs.rename(final, old):
+        raise IOError(f"publish_swap: cannot move {final_path} aside")
+    if not fs.rename(staging, final):
+        if had_previous:
+            fs.rename(old, final)  # roll back
+        raise IOError(f"publish_swap: cannot publish {staging_path}")
+    if had_previous:
+        fs.delete(old, True)
+
+
+def list_subdirs(spark: SparkSession, path: str) -> list[str]:
+    """Names of immediate subdirectories (e.g. partition dirs like
+    ``dt=2024-01-01``) of a path."""
+    fs, jvm = _fs_for(spark, path)
+    return [
+        st.getPath().getName()
+        for st in fs.listStatus(_jp(jvm, path))
+        if st.isDirectory()
+    ]
+
+
+def delete_path(spark: SparkSession, path: str) -> None:
+    fs, jvm = _fs_for(spark, path)
+    fs.delete(_jp(jvm, path), True)

@@ -57,27 +57,39 @@ def upsert_parquet(
     partition_col: str | None = None,
     tombstone_col: str | None = None,
 ) -> None:
-    """Apply ``merge_upsert`` against a parquet path in place.
+    """Apply ``merge_upsert`` against a parquet path.
+
+    Both branches stage the merged output to a ``__staging`` sibling
+    and publish via rename swap (fsutil.publish_swap) — never an
+    in-place overwrite of a path the same job reads, and never a
+    driver-side materialization.
 
     With ``partition_col``: reads ONLY the partitions the updates
-    touch, merges, and overwrites just those partition directories
-    (dynamic partition overwrite) — the rest of the table's files are
-    untouched.
+    touch, merges, and swaps just those partition directories — the
+    rest of the table's files are untouched.
     """
+    from ..fsutil import delete_path, list_subdirs, publish_swap
+
+    staging = f"{path.rstrip('/')}__staging"
     if partition_col:
         parts = [r[0] for r in updates.select(partition_col).distinct().collect()]
         target = spark.read.parquet(path).filter(F.col(partition_col).isin(parts))
         merged = merge_upsert(target, updates, key, tombstone_col)
         (
             merged.write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
             .partitionBy(partition_col)
-            .parquet(path)
+            .parquet(staging)
         )
+        # swap only the touched partition dirs (e.g. "dt=2024-01-01")
+        for part_dir in list_subdirs(spark, staging):
+            publish_swap(
+                spark,
+                f"{staging}/{part_dir}",
+                f"{path.rstrip('/')}/{part_dir}",
+            )
+        delete_path(spark, staging)
     else:
         target = spark.read.parquet(path)
         merged = merge_upsert(target, updates, key, tombstone_col)
-        # full rewrite: stage then swap would be used on object stores;
-        # local overwrite reads lazily so materialize first
-        merged_rows = merged.collect()
-        spark.createDataFrame(merged_rows, merged.schema).write.mode("overwrite").parquet(path)
+        merged.write.mode("overwrite").parquet(staging)
+        publish_swap(spark, staging, path)

@@ -139,6 +139,24 @@ def _minhash_table(
     )
 
 
+def _materialize_release(result: DataFrame, *caches: DataFrame) -> DataFrame:
+    """Eagerly materialize a (candidate-pair-sized) result via
+    localCheckpoint, then unpersist the corpus-sized cached
+    intermediates it consumed.
+
+    The pair operators persist per-document tables that several later
+    joins re-reference; without an explicit release those caches
+    accumulate executor memory across invocations in a long-lived
+    session (a pipeline, the bench loop). The result is orders of
+    magnitude smaller than the inputs, so eager materialization is the
+    cheap side of the trade.
+    """
+    out = result.localCheckpoint(eager=True)
+    for c in caches:
+        c.unpersist(blocking=False)
+    return out
+
+
 def jaccard(a: Column, b: Column) -> Column:
     """Exact Jaccard similarity of two array columns (set semantics)."""
     inter = F.size(F.array_intersect(a, b))
@@ -256,7 +274,7 @@ def minhash_lsh_pairs(
         )
         .filter(F.col("jaccard_sim") >= threshold)
     )
-    return verified
+    return _materialize_release(verified, base, sig)
 
 
 def dedup_minhash(
@@ -337,6 +355,7 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    edges.unpersist(blocking=False)
     return labels
 
 
@@ -445,7 +464,7 @@ def simhash_pairs(
     ).select("__id", "__sim", "__b.blk", "__b.bval")
 
     l, r = blocked.alias("l"), blocked.alias("r")
-    return (
+    pairs = (
         l.join(
             r,
             (F.col("l.blk") == F.col("r.blk"))
@@ -460,6 +479,7 @@ def simhash_pairs(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+    return _materialize_release(pairs, sh)
 
 
 # ---------------------------------------------------------------------------
@@ -517,9 +537,10 @@ def ngram_jaccard_pairs(
         .select(F.col("l.__id").alias("id_a"), F.col("r.__id").alias("id_b"))
         .distinct()
     )
-    return (
+    verified = (
         cand.join(base.withColumnRenamed("__id", "id_a").withColumnRenamed("__g", "g_a"), "id_a")
         .join(base.withColumnRenamed("__id", "id_b").withColumnRenamed("__g", "g_b"), "id_b")
         .select("id_a", "id_b", F.round(jaccard(F.col("g_a"), F.col("g_b")), 4).alias("jaccard_sim"))
         .filter(F.col("jaccard_sim") >= threshold)
     )
+    return _materialize_release(verified, base)

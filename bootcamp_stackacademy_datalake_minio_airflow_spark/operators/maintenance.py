@@ -54,7 +54,9 @@ def compact(
     target_partitions: int | None = None,
     target_file_rows: int | None = None,
 ) -> int:
-    """Rewrite a parquet prefix into fewer, scan-sized files.
+    """Rewrite a parquet prefix into fewer, scan-sized files, validate
+    the row count, and atomically publish the result back AT ``path``
+    (stage -> count-check -> rename swap; see fsutil.publish_swap).
 
     Returns the number of output partitions. Uses coalesce (no
     shuffle) when shrinking; repartition when the target is larger
@@ -62,14 +64,25 @@ def compact(
     partitions only (e.g. yesterday's) — rewriting hot prefixes races
     with writers.
     """
+    from ..fsutil import delete_path, publish_swap
+
     df = spark.read.parquet(path)
-    current = df.rdd.getNumPartitions()
-    target = target_partitions or max(1, current // 8)
-    out = df.coalesce(target) if target < current else df.repartition(target)
+    n_files = len(df.inputFiles())
+    n_rows = df.count()
+    target = target_partitions or max(1, n_files // 8)
+    out = df.coalesce(target) if target < n_files else df.repartition(target)
+    staging = f"{path.rstrip('/')}__compacting"
     writer = out.write.mode("overwrite")
     if target_file_rows:
         writer = writer.option("maxRecordsPerFile", str(target_file_rows))
-    writer.parquet(f"{path.rstrip('/')}__compacted")
+    writer.parquet(staging)
+    staged_rows = spark.read.parquet(staging).count()
+    if staged_rows != n_rows:
+        delete_path(spark, staging)
+        raise ValueError(
+            f"compact validation failed: {staged_rows} staged vs {n_rows} source rows"
+        )
+    publish_swap(spark, staging, path)
     return target
 
 

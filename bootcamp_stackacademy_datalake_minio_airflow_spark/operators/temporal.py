@@ -90,13 +90,63 @@ def range_join(
     lo_col: str,
     hi_col: str,
     how: str = "inner",
+    strategy: str = "auto",
+    bucket_width: float | None = None,
+    broadcast_max_rows: int = 8192,
 ) -> DataFrame:
     """Join each fact row to the range [lo, hi) containing its value.
 
-    Broadcast the ranges side (range tables are dimension-sized): the
-    join is then a broadcast nested loop with an interval predicate —
-    no shuffle of the fact table. For huge range tables, bucketize the
-    value first and equi-join on the bucket before the interval check.
+    strategy='broadcast': broadcast the ranges side — a broadcast
+    nested loop with an interval predicate, no shuffle of the fact
+    table. Right for dimension-sized range tables, O(n*m) if the
+    ranges side grows.
+
+    strategy='bucketed': the scale path for large range tables —
+    bucketize the value domain, explode each range to the buckets it
+    overlaps, and equi-join fact.bucket == range.bucket before the
+    interval check. The join shuffles hash-partitioned on the bucket
+    key (no nested loop, no broadcast); replication is span/width + 1
+    rows per range.
+
+    strategy='auto': count the ranges side and pick (<=
+    ``broadcast_max_rows`` -> broadcast).
     """
-    cond = (facts[value_col] >= ranges[lo_col]) & (facts[value_col] < ranges[hi_col])
-    return facts.join(F.broadcast(ranges), cond, how)
+    if strategy == "auto":
+        strategy = (
+            "broadcast" if ranges.count() <= broadcast_max_rows else "bucketed"
+        )
+    if strategy == "broadcast":
+        cond = (facts[value_col] >= ranges[lo_col]) & (
+            facts[value_col] < ranges[hi_col]
+        )
+        return facts.join(F.broadcast(ranges), cond, how)
+    if strategy != "bucketed":
+        raise ValueError(f"strategy must be auto|broadcast|bucketed, got {strategy!r}")
+
+    if bucket_width is None:
+        # one cheap distributed agg: average span keeps replication ~2x
+        bucket_width = float(
+            ranges.agg(
+                F.avg(F.col(hi_col) - F.col(lo_col)).alias("w")
+            ).first()["w"]
+            or 1.0
+        )
+    w = float(bucket_width)
+    f = facts.withColumn("__bkt", F.floor(F.col(value_col) / w))
+    # a range overlaps buckets floor(lo/w)..floor(hi/w); the possible
+    # extra trailing bucket (hi on a boundary) only adds candidates the
+    # interval predicate rejects
+    r = ranges.withColumn(
+        "__bkt",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(lo_col) / w), F.floor(F.col(hi_col) / w)
+            )
+        ),
+    )
+    cond = (
+        (f["__bkt"] == r["__bkt"])
+        & (f[value_col] >= r[lo_col])
+        & (f[value_col] < r[hi_col])
+    )
+    return f.join(r, cond, how).drop(f["__bkt"]).drop(r["__bkt"])

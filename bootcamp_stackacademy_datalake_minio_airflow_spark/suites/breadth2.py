@@ -138,7 +138,31 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- end-to-end minhash dedup (documents after victim removal) ---------------
 
 
-@register("dedup_minhash_documents", None)  # xxhash-based: rows-only
+@register(
+    "dedup_minhash_documents",
+    # LSH banding + exact-Jaccard verification has no false positives and
+    # ~1 recall at J>=0.8 (testdata pairs sit at J>=0.92), so the exact
+    # brute-force shingle-Jaccard graph IS the oracle: victims are the
+    # larger id of every verified pair, same as dedup_minhash's default.
+    """
+    WITH norm AS (
+      SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
+      FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, greatest(length(t)-4, 1)+1),
+                                          i -> substr(t, i, 5))) AS s
+      FROM norm
+    ), victims AS (
+      SELECT DISTINCT b.doc_id AS victim
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE ROUND(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                  / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 4) >= 0.8
+    )
+    SELECT d.* FROM documents d
+    WHERE d.doc_id NOT IN (SELECT victim FROM victims)
+    """,
+)
 def q_dedup_minhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return dedup_minhash(docs, "doc_id", "text", threshold=0.8)

@@ -39,14 +39,16 @@ def test_salted_join_left_outer(spark):
 
 
 def test_compact_reduces_files(spark, tmp_path):
+    """Same rows, fewer files, published back AT the original path."""
     src = str(tmp_path / "frag")
     spark.range(10_000).repartition(32).write.parquet(src)
     n_before = len([f for f in os.listdir(src) if f.endswith(".parquet")])
     n_target = compact(spark, src, target_partitions=2)
-    out = src + "__compacted"
-    n_after = len([f for f in os.listdir(out) if f.endswith(".parquet")])
+    n_after = len([f for f in os.listdir(src) if f.endswith(".parquet")])
     assert n_before == 32 and n_target == 2 and n_after == 2
-    assert spark.read.parquet(out).count() == 10_000
+    assert spark.read.parquet(src).count() == 10_000
+    assert not os.path.exists(src + "__compacting")
+    assert not os.path.exists(src + "__replaced")
 
 
 def test_bucketed_join_has_no_exchange(spark):
@@ -74,3 +76,38 @@ def test_orc_roundtrip(spark, tmp_path):
     df = spark.createDataFrame([(1, 2.5)], "id long, x double")
     write_orc(df, path)
     assert read_orc(spark, path).collect()[0].x == 2.5
+
+
+def test_jdbc_roundtrip_derby(spark, tmp_path):
+    """S9 round-trip against Derby embedded (ships with Spark): write
+    with overwrite = drop-and-recreate (the reference's
+    to_sql(if_exists='replace') contract), read back in parallel, then
+    overwrite again and assert the table was replaced, not appended."""
+    from bootcamp_stackacademy_datalake_minio_airflow_spark.sources.jdbc import write_jdbc
+    from bootcamp_stackacademy_datalake_minio_airflow_spark.sources.other import read_jdbc
+
+    url = f"jdbc:derby:{tmp_path}/golddb;create=true"
+    driver = "org.apache.derby.iapi.jdbc.AutoloadedDriver"
+
+    df1 = spark.range(100).select(
+        F.col("id").alias("pedido"), (F.col("id") * 2.5).alias("valor")
+    )
+    write_jdbc(df1, url, "gold_vendas", driver=driver, num_partitions=4)
+    back = read_jdbc(
+        spark,
+        url,
+        "gold_vendas",
+        partition_column="pedido",
+        lower_bound=0,
+        upper_bound=100,
+        num_partitions=4,
+        driver=driver,
+    )
+    assert back.count() == 100
+    assert back.agg(F.sum("valor")).first()[0] == sum(i * 2.5 for i in range(100))
+
+    df2 = spark.range(7).select(
+        F.col("id").alias("pedido"), F.lit(1.0).alias("valor")
+    )
+    write_jdbc(df2, url, "gold_vendas", driver=driver, num_partitions=2)
+    assert read_jdbc(spark, url, "gold_vendas", driver=driver).count() == 7

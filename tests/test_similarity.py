@@ -92,6 +92,43 @@ def test_all_pairs_router_paths(spark, sf_dir):
     assert via_blocked == via_matmul
 
 
+def test_ivf_recall_on_planted_neighbors(spark, sf_dir):
+    """IVF probe must recall planted near-duplicates of the query: the
+    plants cluster with the query vector, so the nearest lists contain
+    them even with n_probe << n_lists."""
+    from bootcamp_stackacademy_datalake_minio_airflow_spark.operators.similarity import ivf_build, ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = [float(v) for v in emb.filter("vec_id = 0").first().embedding]
+    planted = [
+        (20_000 + i, [v * (1.0 + 0.01 * ((i + j) % 3)) for j, v in enumerate(q)])
+        for i in range(5)
+    ]
+    corpus = emb.select("vec_id", "embedding").unionByName(
+        spark.createDataFrame(planted, "vec_id long, embedding array<float>")
+    )
+    exact = {r.vec_id for r in cosine_topk(corpus, q, k=6).collect()}
+    assigned, centroids = ivf_build(corpus, n_lists=8)
+    approx = {
+        r.vec_id for r in ivf_topk(assigned, centroids, q, k=6, n_probe=3).collect()
+    }
+    recall = len(exact & approx) / 6
+    assert recall >= 0.8, f"IVF recall {recall}; exact={exact} approx={approx}"
+
+
+def test_ivf_index_build_once(spark, sf_dir):
+    """Second ivf_index call with the same key returns the cached
+    index (no retrain) and the probe still answers."""
+    from bootcamp_stackacademy_datalake_minio_airflow_spark.operators.similarity import ivf_index, ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    a1, c1 = ivf_index(emb, cache_key=("test", sf_dir), n_lists=8)
+    a2, c2 = ivf_index(emb, cache_key=("test", sf_dir), n_lists=8)
+    assert a1 is a2 and c1 is c2
+    got = ivf_topk(a2, c2, QUERY_VEC, k=5, n_probe=3).collect()
+    assert len(got) == 5
+
+
 def test_ann_lsh_recall_on_planted_neighbors(spark, sf_dir):
     """The testdata embeddings are ~random (best non-self cosine ≈0.33),
     where no ANN scheme can beat chance — LSH's guarantee is for

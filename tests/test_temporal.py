@@ -62,3 +62,51 @@ def test_range_join_broadcasts(spark):
     ranges = spark.createDataFrame([("a", 0.0, 10.0)], "band string, lo double, hi double")
     plan = range_join(facts, ranges, "v", "lo", "hi")._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" in plan  # fact side never shuffles
+
+
+def test_range_join_bucketed_equals_broadcast(spark):
+    """The bucketed equi-join fallback must match the BNLJ path exactly,
+    including boundary semantics, for widths that do and don't divide
+    the range spans."""
+    import random
+
+    rng = random.Random(7)
+    facts = spark.createDataFrame(
+        [(i, rng.uniform(-50.0, 450.0)) for i in range(500)], "id long, v double"
+    )
+    ranges = spark.createDataFrame(
+        [(f"b{i}", i * 40.0, i * 40.0 + 40.0) for i in range(10)],
+        "band string, lo double, hi double",
+    )
+    want = sorted(
+        (r.id, r.band)
+        for r in range_join(facts, ranges, "v", "lo", "hi", strategy="broadcast").collect()
+    )
+    for width in (40.0, 25.0, 7.3):
+        got = sorted(
+            (r.id, r.band)
+            for r in range_join(
+                facts, ranges, "v", "lo", "hi", strategy="bucketed", bucket_width=width
+            ).collect()
+        )
+        assert got == want, f"width={width}"
+    # auto-derived width too
+    got_auto = sorted(
+        (r.id, r.band)
+        for r in range_join(facts, ranges, "v", "lo", "hi", strategy="bucketed").collect()
+    )
+    assert got_auto == want
+
+
+def test_range_join_bucketed_plan_no_bnlj(spark):
+    facts = spark.createDataFrame([(1, 5.0)], "id long, v double")
+    ranges = spark.createDataFrame(
+        [("a", 0.0, 10.0)], "band string, lo double, hi double"
+    )
+    plan = (
+        range_join(facts, ranges, "v", "lo", "hi", strategy="bucketed", bucket_width=10.0)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
