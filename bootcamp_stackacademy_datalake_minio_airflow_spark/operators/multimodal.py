@@ -110,11 +110,14 @@ def extract_features(
                 }
             )
 
+    # always repartition to the decode parallelism target: checking the
+    # current partition count via df.rdd would force a DataFrame->RDD
+    # conversion plan, and one exchange is cheap next to the Python
+    # decode stage it feeds (media scans are few-large-files, so the
+    # rebalance is usually required anyway)
     narrow = df.select("asset_id", "data")
     target = min_parallelism or narrow.sparkSession.sparkContext.defaultParallelism
-    if narrow.rdd.getNumPartitions() < target:
-        narrow = narrow.repartition(target)
-    return narrow.mapInPandas(_extract, FEATURES_SCHEMA)
+    return narrow.repartition(target).mapInPandas(_extract, FEATURES_SCHEMA)
 
 
 def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:

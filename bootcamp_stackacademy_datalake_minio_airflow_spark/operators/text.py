@@ -131,21 +131,35 @@ def winnow_fingerprints(col: str | Column, k: int = 5, window: int = 4) -> Colum
     )
 
 
-def winnow_table(df, id_col: str, text_col: str, k: int = 5, window: int = 4):
+def winnow_table(
+    df, id_col: str, text_col: str, k: int = 5, window: int = 4, hash_fn: str = "xxhash64"
+):
     """(id, fingerprints) winnowing table for a corpus.
 
     Materializes the k-gram hash array behind an exchange before the
     window-minima pass — inlined, the hash array expression would be
     re-evaluated once per window position (O(n^2) per document).
+
+    Winnowing needs only an ORDERED hash family; ``hash_fn`` picks it:
+    'xxhash64' (bigint, fastest — default) or 'md5' (hex string; ~3x
+    slower and wider, but byte-identical in any engine with md5, which
+    makes the operator's output externally verifiable).
     """
     from .dedup import _norm_base
+
+    if hash_fn == "xxhash64":
+        gram_hash = lambda g: F.xxhash64(g)  # noqa: E731
+    elif hash_fn == "md5":
+        gram_hash = lambda g: F.md5(g)  # noqa: E731
+    else:
+        raise ValueError(f"hash_fn must be xxhash64|md5, got {hash_fn!r}")
 
     norm = _norm_base(df, id_col, text_col)
     grams = norm.select(
         "__id",
         F.transform(
             F.sequence(F.lit(1), F.greatest(F.length("__txt") - F.lit(k - 1), F.lit(1))),
-            lambda i: F.xxhash64(F.substr(F.col("__txt"), i, F.lit(k))),
+            lambda i: gram_hash(F.substr(F.col("__txt"), i, F.lit(k))),
         ).alias("__hg"),
     ).repartition("__id")
     n_windows = F.greatest(F.size("__hg") - F.lit(window - 1), F.lit(1))

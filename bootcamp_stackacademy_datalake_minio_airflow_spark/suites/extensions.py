@@ -431,10 +431,31 @@ def q_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- winnowing fingerprints (rolling hash; xxhash-based -> rows-only) --------
 
 
-@register("doc_winnow_fingerprints", None)
+@register(
+    "doc_winnow_fingerprints",
+    # winnowing with the md5 hash family: the window-minima selection is
+    # order-based, and lowercase-hex md5 strings compare identically in
+    # Spark and DuckDB, so the full fingerprint structure is verifiable
+    """
+    WITH norm AS (
+      SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
+      FROM documents
+    ), grams AS (
+      SELECT doc_id,
+             list_transform(range(1, greatest(length(t)-4, 1)+1),
+                            i -> md5(substr(t, i, 5))) AS hg
+      FROM norm
+    )
+    SELECT doc_id,
+           len(list_distinct(list_transform(
+                 range(1, greatest(len(hg)-3, 1)+1),
+                 i -> list_aggregate(hg[i:i+3], 'min')))) AS n_fingerprints
+    FROM grams
+    """,
+)
 def q_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.text import winnow_table
 
     docs = load_table(spark, sf_dir, "documents")
-    out = winnow_table(docs, "doc_id", "text")
+    out = winnow_table(docs, "doc_id", "text", hash_fn="md5")
     return out.select("doc_id", F.size("fingerprints").alias("n_fingerprints"))
