@@ -506,8 +506,13 @@ def ngram_jaccard_pairs(
     near-linear at corpus scale. Verification computes exact Jaccard
     on the full gram sets.
     """
-    norm = _norm_base(df, id_col, text_col).select(
-        "__id", F.split("__txt", " ").alias("__toks")
+    # ONE materialization exchange, after the split: normalize+split are
+    # per-row expressions (safe to inline — no per-element re-eval risk
+    # until the transform below references the token array), so routing
+    # through _norm_base here would shuffle the corpus twice for nothing.
+    norm = df.select(
+        F.col(id_col).alias("__id"),
+        F.split(normalize_text(text_col), " ").alias("__toks"),
     ).repartition("__id")
     toks = F.col("__toks")
     grams = F.array_distinct(
@@ -529,11 +534,25 @@ def ngram_jaccard_pairs(
             F.col("__rk")
             <= F.floor((1.0 - threshold) * F.col("__sz")).cast("int") + F.lit(1)
         )
-        .select("__id", "gram")
+        .select("__id", "gram", "__sz")
     )
     l, r = prefix.alias("l"), prefix.alias("r")
+    # size-ratio filter inside the candidate join: J(A,B) <= min/max of
+    # the set sizes, so J >= t requires min >= t*max. The sizes ride
+    # along the prefix rows (no extra join), and the lossless cut lands
+    # BEFORE the distinct + gram-array verification join — at corpus
+    # scale that join's shuffle carries the full gram sets, so halving
+    # candidates halves the operator's dominant traffic.
     cand = (
-        l.join(r, (F.col("l.gram") == F.col("r.gram")) & (F.col("l.__id") < F.col("r.__id")))
+        l.join(
+            r,
+            (F.col("l.gram") == F.col("r.gram"))
+            & (F.col("l.__id") < F.col("r.__id"))
+            & (
+                F.least(F.col("l.__sz"), F.col("r.__sz"))
+                >= threshold * F.greatest(F.col("l.__sz"), F.col("r.__sz"))
+            ),
+        )
         .select(F.col("l.__id").alias("id_a"), F.col("r.__id").alias("id_b"))
         .distinct()
     )

@@ -400,3 +400,176 @@ def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
         )
     )
+
+
+# --- end-to-end curation pipeline (quality -> dedup -> quota -> split) -------
+
+#: quality_score as SQL (shared with text_quality_score's oracle — the
+#: formula is the spec, COVERAGE.md §2.5)
+_QUALITY_EXPR = r"""
+round(0.4 * (CASE WHEN length(text) BETWEEN 50 AND 10000 THEN 1.0 ELSE 0.0 END)
+    + 0.3 * least(CASE WHEN tok > 0 THEN stops * 1.0 / tok ELSE 0.0 END, 0.3) / 0.3
+    + 0.3 * (CASE WHEN pr <= 0.2 THEN 1.0 ELSE 0.0 END), 4)
+"""
+
+
+@register(
+    "curation_pipeline",
+    rf"""
+    WITH base AS (
+      SELECT *,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(string_split(
+                         regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '))
+             END AS tok,
+             len(list_filter(
+                   string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '),
+                   x -> x IN ('the','and','of','to','in','is','a'))) AS stops,
+             CASE WHEN length(text) > 0
+                  THEN round(length(regexp_replace(text, '[^.,;:!?''"()\[\]{{}}-]', '', 'g'))
+                             * 1.0 / length(text), 4)
+                  ELSE 0.0 END AS pr
+      FROM documents
+    ), scored AS (
+      SELECT doc_id, text, source, {_QUALITY_EXPR} AS quality FROM base
+    ), kept AS (
+      SELECT * FROM scored WHERE quality >= 0.5
+    ), deduped AS (
+      SELECT doc_id, source, quality FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) AS rn FROM kept
+      ) WHERE rn = 1
+    ), quota AS (
+      SELECT doc_id, source, quality FROM deduped
+      QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY source
+        ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 8), doc_id
+      ) <= 40
+    )
+    SELECT doc_id, source, quality,
+           CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '{_T80}' THEN 'train'
+                WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '{_T90}' THEN 'val'
+                ELSE 'test' END AS split
+    FROM quota
+    """,
+)
+def q_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical pretraining-data flow as ONE deterministic,
+    externally-auditable job: quality filter -> exact dedup ->
+    per-source quota -> split labels (jobs/curate.py)."""
+    from ..jobs.curate import curate
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = curate(
+        docs,
+        min_quality=0.5,
+        quota_per_source=40,
+        split_weights={"train": 0.8, "val": 0.1, "test": 0.1},
+    )
+    return out.select("doc_id", "source", "quality", "split")
+
+
+# --- event analytics shapes ---------------------------------------------------
+
+
+@register(
+    "latest_event_per_user",
+    """
+    SELECT user_id, ts, event_type
+    FROM events
+    QUALIFY ROW_NUMBER() OVER (
+      PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+    ) = 1
+    """,
+)
+def q_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-style latest-record-per-key dedup: one shuffle on the key,
+    rank by (event time, id) — the upsert-compaction read path."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        ev.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("user_id", "ts", "event_type")
+    )
+
+
+@register(
+    "funnel_conversion",
+    """
+    WITH firsts AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+             MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+             MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+      FROM events
+      GROUP BY user_id
+    )
+    SELECT CAST(COUNT(t_view) AS BIGINT) AS n_view,
+           CAST(COUNT(CASE WHEN t_click > t_view THEN 1 END) AS BIGINT) AS n_click_after_view,
+           CAST(COUNT(CASE WHEN t_purchase > t_click AND t_click > t_view THEN 1 END) AS BIGINT)
+             AS n_full_funnel
+    FROM firsts
+    """,
+)
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """view -> click -> purchase funnel: conditional-min pivot per user
+    (single shuffle), then one global conditional count — no joins, no
+    window; the standard scalable funnel formulation."""
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("t_purchase"),
+    )
+    return firsts.agg(
+        F.count("t_view").alias("n_view"),
+        F.count(F.when(F.col("t_click") > F.col("t_view"), 1)).alias("n_click_after_view"),
+        F.count(
+            F.when(
+                (F.col("t_purchase") > F.col("t_click"))
+                & (F.col("t_click") > F.col("t_view")),
+                1,
+            )
+        ).alias("n_full_funnel"),
+    )
+
+
+@register(
+    "retention_cohorts",
+    """
+    WITH first_seen AS (
+      SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_week
+      FROM events
+      GROUP BY user_id
+    )
+    SELECT f.cohort_week,
+           CAST(floor(date_diff('day', f.cohort_week,
+                                CAST(date_trunc('week', e.ts) AS DATE)) / 7)
+             AS BIGINT) AS week_offset,
+           CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS active_users
+    FROM events e JOIN first_seen f ON e.user_id = f.user_id
+    GROUP BY 1, 2
+    """,
+)
+def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention cohorts: first-seen week per user (one shuffle),
+    re-join to events (user_id-keyed — AQE picks broadcast when the
+    user dim is small), distinct actives per (cohort, offset)."""
+    ev = load_table(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.to_date(F.date_trunc("week", F.min("ts"))).alias("cohort_week")
+    )
+    return (
+        ev.join(first_seen, "user_id")
+        .select(
+            "cohort_week",
+            F.floor(
+                F.datediff(F.date_trunc("week", F.col("ts")), F.col("cohort_week")) / 7
+            )
+            .cast("long")
+            .alias("week_offset"),
+            "user_id",
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count_distinct("user_id").alias("active_users"))
+    )
