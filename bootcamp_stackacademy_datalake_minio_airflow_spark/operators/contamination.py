@@ -1,0 +1,89 @@
+"""Benchmark-contamination detection (extension; absent in reference).
+
+The standard eval-decontamination check for pretraining corpora:
+a training document is contaminated if it shares at least one word
+n-gram with a benchmark/eval document. Implemented as a distributed
+hash join on the gram fingerprint:
+
+  1. tokenize (normalized, whitespace) — map-only
+  2. per-doc DISTINCT word n-grams, fingerprinted with md5 — map-only;
+     the join key is the 32-hex digest, so shuffle rows carry a fixed
+     16-byte-ish key instead of the raw n-gram text (the scale knob;
+     md5 rather than xxhash64 so the DuckDB oracle can reproduce it)
+  3. corpus-grams JOIN benchmark-grams on the fingerprint — benchmark
+     sets are eval-suite-sized (thousands of docs), so AQE broadcasts
+     the benchmark side and the corpus never shuffles
+  4. groupBy(doc) count — partial-aggregated map-side
+
+Never materializes doc x doc pairs; cost is O(corpus tokens) + one
+broadcast join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import normalize_text
+
+
+def word_ngrams(toks: Column, n: int) -> Column:
+    """Array of space-joined word n-grams of a MATERIALIZED token
+    array column. Documents shorter than ``n`` tokens contribute one
+    whole-document gram so they still participate.
+    """
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1)))
+    return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+
+
+def _gram_table(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """(__id, __g): one row per DISTINCT md5-fingerprinted word n-gram
+    per document. Tokenization is materialized behind an exchange so
+    the per-element gram expressions read a concrete column."""
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        F.split(normalize_text(text_col), " ").alias("__toks"),
+    ).repartition("__id")
+    return base.select(
+        "__id",
+        F.explode(F.array_distinct(word_ngrams(F.col("__toks"), n))).alias("__gram"),
+    ).select("__id", F.md5("__gram").alias("__g"))
+
+
+def ngram_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+) -> DataFrame:
+    """Per-document contamination counts: (id_col, n_shared_grams)
+    for every corpus document sharing >= 1 word ``n``-gram with any
+    benchmark document. Docs with zero overlap are absent (filter
+    semantics — the decontaminate step is an anti-join on this).
+    """
+    bench = _gram_table(benchmark, id_col, text_col, n).select("__g").distinct()
+    corp = _gram_table(corpus, id_col, text_col, n)
+    return (
+        corp.join(bench, "__g")
+        .groupBy("__id")
+        .agg(F.count("*").alias("n_shared_grams"))
+        .select(F.col("__id").alias(id_col), "n_shared_grams")
+    )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    max_shared: int = 0,
+) -> DataFrame:
+    """Drop corpus documents sharing more than ``max_shared`` word
+    n-grams with the benchmark set (left_anti on the contamination
+    table — no row of the corpus is widened or shuffled)."""
+    hits = ngram_contamination(corpus, benchmark, id_col, text_col, n).filter(
+        F.col("n_shared_grams") > max_shared
+    )
+    return corpus.join(hits.select(id_col), id_col, "left_anti")

@@ -242,3 +242,56 @@ def length_histogram(df, text_col: str, bucket_width: int = 100):
         .groupBy("len_bucket")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
+
+
+def repetition_signals(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style repetition/diversity signals per document:
+
+      distinct_token_ratio  |types| / |tokens|
+      mean_token_len        mean characters per token
+      top_bigram_frac       occurrences of the most frequent word
+                            bigram / total bigrams
+
+    The bigram mode is computed by explode -> two-level aggregation
+    (doc+bigram counts, then per-doc max/sum) — one shuffle on the doc
+    id, partial-aggregated map-side, never a per-row O(n^2) in an
+    interpreted HOF. Scalar signals ride the same materialized token
+    array. All ratios ROUND(4) so the SQL oracle hashes identically.
+    """
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        F.split(normalize_text(text_col), " ").alias("__toks"),
+    ).repartition("__id")
+
+    toks = F.col("__toks")
+    scalars = base.select(
+        "__id",
+        F.round(F.size(F.array_distinct(toks)) / F.size(toks), 4).alias(
+            "distinct_token_ratio"
+        ),
+        F.round(
+            F.aggregate(toks, F.lit(0.0), lambda acc, t: acc + F.length(t))
+            / F.size(toks),
+            4,
+        ).alias("mean_token_len"),
+    )
+
+    from .contamination import word_ngrams
+
+    bigrams = base.select(
+        "__id", F.explode(word_ngrams(toks, 2)).alias("__bg")
+    )
+    top = (
+        bigrams.groupBy("__id", "__bg")
+        .agg(F.count("*").alias("__c"))
+        .groupBy("__id")
+        .agg(
+            F.round(F.max("__c") / F.sum("__c"), 4).alias("top_bigram_frac"),
+        )
+    )
+    return (
+        scalars.join(top, "__id")
+        .select(F.col("__id").alias(id_col), "distinct_token_ratio", "mean_token_len", "top_bigram_frac")
+    )

@@ -51,7 +51,7 @@ def _ensure_loaded() -> None:
     # Parity (the reference's own pipeline, incl. the flagship) registers
     # FIRST so it always falls inside the driver's correctness window;
     # extension/no-oracle queries register last.
-    from .suites import parity, breadth, breadth2, breadth3, breadth4, extensions  # noqa: F401
+    from .suites import parity, breadth, breadth2, breadth3, breadth4, breadth5, extensions  # noqa: F401
 
     # Stable-partition into three tiers so a driver that checks a bounded
     # prefix of the registry always sees the highest-information queries
