@@ -260,6 +260,39 @@ def cosine_all_pairs(
     )
 
 
+def semantic_clusters(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 4,
+) -> DataFrame:
+    """Semantic-dedup cluster labels: connected components over the
+    cosine >= threshold pair graph, one (id, cluster_id) row per input
+    vector. cluster_id = min id of the component; vectors with no
+    near-neighbor are their own singleton cluster.
+
+    Composition is fully distributed end to end: blocked all-pairs
+    matmul (never collects), then min-label propagation (join+agg per
+    round). Dedup-by-cluster is ``filter(id == cluster_id)`` or a
+    groupBy(cluster_id) pick — both one shuffle on the label.
+    """
+    from .dedup import connected_components
+
+    pairs = cosine_all_pairs_blocked(
+        df, threshold, id_col=id_col, vec_col=vec_col, round_to=round_to
+    )
+    cc = connected_components(pairs, "id_a", "id_b")
+    return (
+        df.select(F.col(id_col).cast("long").alias(id_col))
+        .join(cc, F.col(id_col) == F.col("node"), "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("component"), F.col(id_col)).alias("cluster_id"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # LSH (random hyperplanes) — the scale path
 # ---------------------------------------------------------------------------

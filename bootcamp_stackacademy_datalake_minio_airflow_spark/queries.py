@@ -51,7 +51,16 @@ def _ensure_loaded() -> None:
     # Parity (the reference's own pipeline, incl. the flagship) registers
     # FIRST so it always falls inside the driver's correctness window;
     # extension/no-oracle queries register last.
-    from .suites import parity, breadth, breadth2, breadth3, breadth4, breadth5, extensions  # noqa: F401
+    from .suites import (  # noqa: F401
+        parity,
+        breadth,
+        breadth2,
+        breadth3,
+        breadth4,
+        breadth5,
+        breadth6,
+        extensions,
+    )
 
     # A driver that checks a bounded prefix of the registry (round 1's
     # artifact covered exactly 50 rows) must see the highest-information
@@ -83,7 +92,7 @@ def _ensure_loaded() -> None:
         "embedding_cosine_topk",
         "embedding_ann_lsh_topk",
         "embedding_ivf_topk",
-        "ann_batch_topk",
+        "semantic_dedup_clusters",
         "text_language_id",
         "text_quality_score",
         "text_token_count",
@@ -96,6 +105,7 @@ def _ensure_loaded() -> None:
         "contamination_ngram",
         "source_term_lift",
         "curation_pipeline",
+        "sequence_packing",
         "sample_hash_documents",
         # -- core relational / temporal / quality families --
         "filter_predicates",
@@ -104,7 +114,6 @@ def _ensure_loaded() -> None:
         "sort_limit_topk",
         "join_inner_agg",
         "join_semi_anti",
-        "join_full_outer",
         "grouping_sets_agg",
         "asof_join_events_orders",
         "range_join_price_bands",

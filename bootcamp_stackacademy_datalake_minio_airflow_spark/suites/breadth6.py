@@ -1,0 +1,178 @@
+r"""Round-2 breadth: semantic (embedding-space) dedup clustering with a
+fully SQL-checkable connected-components oracle, training-sequence
+packing, and bigram PMI collocations.
+
+Oracle notes:
+- ``semantic_dedup_clusters`` pins the *labels* of the min-label
+  connected components, not just the surviving set — DuckDB replays the
+  component computation as a recursive transitive-closure CTE, so the
+  iterative Spark algorithm is verified against a declarative ground
+  truth (previously CC was only pytest-covered).
+- ``sequence_packing``'s greedy resetting running sum is replayed in
+  DuckDB with a recursive CTE over the same per-bucket id order.
+- Integer outputs CAST to BIGINT on the DuckDB side (bare SUM/len
+  would come back HUGEINT -> float64 and break the driver's hash).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..operators.dedup import normalize_text
+from ..operators.packing import pack_sequences
+from ..operators.similarity import semantic_clusters
+from ..queries import register
+
+_NORM_SQL = r"regexp_replace(lower(trim(text)), '\s+', ' ', 'g')"
+
+
+@register(
+    "semantic_dedup_clusters",
+    """
+    WITH RECURSIVE pairs AS (
+      SELECT a.vec_id AS u, b.vec_id AS v
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      WHERE ROUND(list_cosine_similarity(a.embedding::DOUBLE[],
+                                         b.embedding::DOUBLE[]), 4) >= 0.35
+    ), edges AS (
+      SELECT u, v FROM pairs UNION SELECT v AS u, u AS v FROM pairs
+    ), walk(node, reach) AS (
+      SELECT u, u FROM edges
+      UNION
+      SELECT w.node, e.v FROM walk w JOIN edges e ON w.reach = e.u
+    ), cc AS (
+      SELECT node, MIN(reach) AS comp FROM walk GROUP BY node
+    )
+    SELECT e.vec_id, COALESCE(c.comp, e.vec_id) AS cluster_id
+    FROM embeddings e LEFT JOIN cc c ON e.vec_id = c.node
+    """,
+)
+def q_semantic_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space near-dup clustering (operators/similarity.py:
+    semantic_clusters): blocked all-pairs cosine -> connected
+    components -> one (vec_id, cluster_id) row per vector. The oracle
+    recomputes the components declaratively (transitive closure), so
+    both the pair graph and the label propagation are hash-checked."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semantic_clusters(emb, threshold=0.35)
+
+
+@register(
+    "sequence_packing",
+    """
+    WITH RECURSIVE docs AS (
+      SELECT doc_id, doc_id % 8 AS bucket,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+             ROW_NUMBER() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id) AS rn
+      FROM documents
+    ), pack(bucket, rn, doc_id, n_tok, pack_id, acc) AS (
+      SELECT bucket, rn, doc_id, n_tok, CAST(0 AS BIGINT), n_tok
+      FROM docs WHERE rn = 1
+      UNION ALL
+      SELECT d.bucket, d.rn, d.doc_id, d.n_tok,
+             CASE WHEN p.acc + d.n_tok <= 256 THEN p.pack_id ELSE p.pack_id + 1 END,
+             CASE WHEN p.acc + d.n_tok <= 256 THEN p.acc + d.n_tok ELSE d.n_tok END
+      FROM pack p JOIN docs d ON d.bucket = p.bucket AND d.rn = p.rn + 1
+    )
+    SELECT bucket, pack_id, doc_id, n_tok FROM pack
+    """,
+)
+def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy first-fit training-window packing (operators/packing.py):
+    budget 256 whitespace tokens, 8 deterministic id-hash buckets. The
+    sequential recurrence runs per bucket in one Arrow batch; the
+    oracle replays it with a recursive CTE in the same order."""
+    docs = load_table(spark, sf_dir, "documents")
+    return pack_sequences(
+        docs,
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")),
+        budget=256,
+        n_buckets=8,
+    )
+
+
+@register(
+    "bigram_pmi",
+    rf"""
+    WITH base AS (
+      SELECT doc_id, string_split({_NORM_SQL}, ' ') AS toks FROM documents
+    ), uni AS (
+      SELECT unnest(toks) AS w FROM base
+    ), ucnt AS (
+      SELECT w, count(*) AS c FROM uni GROUP BY w
+    ), un AS (
+      SELECT sum(c) AS n FROM ucnt
+    ), bg AS (
+      SELECT unnest(list_transform(range(1, greatest(len(toks) - 1, 1) + 1),
+                                   i -> array_to_string(toks[i:i+1], ' '))) AS b
+      FROM base WHERE len(toks) >= 2
+    ), bcnt AS (
+      SELECT b, count(*) AS c FROM bg GROUP BY b
+    ), bn AS (
+      SELECT sum(c) AS m FROM bcnt
+    )
+    SELECT b AS bigram, CAST(x.c AS BIGINT) AS n_pair,
+           ROUND(log2((x.c * 1.0 / m) /
+                      ((ca.c * 1.0 / n) * (cb.c * 1.0 / n))), 4) + 0.0 AS pmi
+    FROM (
+      SELECT b, c, string_split(b, ' ')[1] AS wa, string_split(b, ' ')[2] AS wb
+      FROM bcnt WHERE c >= 5
+    ) x
+    JOIN ucnt ca ON x.wa = ca.w
+    JOIN ucnt cb ON x.wb = cb.w
+    CROSS JOIN un CROSS JOIN bn
+    """,
+)
+def q_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus collocations by pointwise mutual information: bigram
+    share over the product of unigram shares, min support 5. Two hash
+    aggregations over exploded tokens; the unigram count table is tiny
+    and broadcasts back onto the bigram counts (collocation mining /
+    tokenizer-merge diagnostics)."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(F.split(normalize_text("text"), " ").alias("toks"))
+    uni = base.select(F.explode("toks").alias("w"))
+    ucnt = uni.groupBy("w").agg(F.count("*").alias("c"))
+    n_tok = ucnt.agg(F.sum("c").alias("n"))
+    bigrams = base.filter(F.size("toks") >= 2).select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - 1),
+                lambda i: F.concat_ws(" ", F.slice(F.col("toks"), i, 2)),
+            )
+        ).alias("b")
+    )
+    bcnt = bigrams.groupBy("b").agg(F.count("*").alias("c"))
+    m_tok = bcnt.agg(F.sum("c").alias("m"))
+    x = (
+        bcnt.filter(F.col("c") >= 5)
+        .withColumn("wa", F.split("b", " ").getItem(0))
+        .withColumn("wb", F.split("b", " ").getItem(1))
+    )
+    ca = ucnt.select(F.col("w").alias("wa"), F.col("c").alias("ca"))
+    cb = ucnt.select(F.col("w").alias("wb"), F.col("c").alias("cb"))
+    return (
+        x.join(F.broadcast(ca), "wa")
+        .join(F.broadcast(cb), "wb")
+        .crossJoin(F.broadcast(n_tok))
+        .crossJoin(F.broadcast(m_tok))
+        .select(
+            F.col("b").alias("bigram"),
+            F.col("c").cast("long").alias("n_pair"),
+            # + 0.0 collapses IEEE negative zero after rounding — the
+            # value hash renders -0.0 and 0.0 differently
+            (
+                F.round(
+                    F.log2(
+                        (F.col("c") / F.col("m"))
+                        / ((F.col("ca") / F.col("n")) * (F.col("cb") / F.col("n")))
+                    ),
+                    4,
+                )
+                + F.lit(0.0)
+            ).alias("pmi"),
+        )
+    )
