@@ -115,10 +115,35 @@ def _perm(h: Column, i: int) -> Column:
     return rot.bitwiseXOR(F.lit(c))
 
 
-def _minhash_table(
-    base: DataFrame, num_hashes: int
-) -> DataFrame:
-    """(__id, h0..h{n-1}) minhash table via explode + min-aggregate.
+def _shingle_hashes(norm: DataFrame, n: int) -> DataFrame:
+    """(__id, __h) — one row per character n-gram position of the
+    normalized text, hashed to 64 bits.
+
+    Pure codegen: explode a position sequence, substr, xxhash64 — no
+    array materialization, no higher-order functions (which Spark
+    interprets). Duplicate shingles are NOT removed: the downstream
+    min-aggregate is idempotent to duplicates, so set semantics come
+    for free without an array_distinct pass. Documents shorter than
+    ``n`` produce one whole-text shingle (same bounds as
+    ``_shingles_of``).
+    """
+    exploded = norm.select(
+        "__id",
+        "__txt",
+        F.explode(
+            F.sequence(
+                F.lit(1), F.greatest(F.length("__txt") - F.lit(n - 1), F.lit(1))
+            )
+        ).alias("__i"),
+    )
+    return exploded.select(
+        "__id", F.xxhash64(F.substr(F.col("__txt"), F.col("__i"), F.lit(n))).alias("__h")
+    )
+
+
+def _minhash_table(hashes: DataFrame, num_hashes: int) -> DataFrame:
+    """(__id, h0..h{n-1}) minhash table via min-aggregate over
+    ``_shingle_hashes`` rows.
 
     Each shingle is string-hashed ONCE (xxhash64); the ``num_hashes``
     families are derived as bijective rotate-XOR mixes of that 64-bit
@@ -128,10 +153,7 @@ def _minhash_table(
     map-side, so the shuffle carries one row of ``num_hashes`` longs
     per document — not the shingle sets.
     """
-    exploded = base.select("__id", F.explode("__sh").alias("__s")).select(
-        "__id", F.xxhash64("__s").alias("__h")
-    )
-    hashed = exploded.select(
+    hashed = hashes.select(
         "__id", *[_perm(F.col("__h"), i).alias(f"h{i}") for i in range(num_hashes)]
     )
     return hashed.groupBy("__id").agg(
@@ -196,16 +218,14 @@ def minhash_lsh_pairs(
 
     # persist the two tables every later stage re-references: the
     # self-join and the verification join would otherwise recompute
-    # the full scan->shingle->hash pipeline once per reference (2x for
-    # banded, 2x for shingles). Both are one row per document —
-    # signature: num_hashes longs; shingles: the set — so the cache is
-    # ~corpus-metadata-sized, not corpus-sized.
-    base = (
-        _norm_base(df, id_col, text_col)
-        .select("__id", _shingles_of(F.col("__txt"), shingle_n).alias("__sh"))
-        .persist()
-    )
-    sig = _minhash_table(base, num_hashes).persist()
+    # the full scan->normalize->hash pipeline once per reference.
+    # Both are one row per document — normalized text and a
+    # num_hashes-long signature — so the cache is
+    # ~corpus-metadata-sized. Shingle SETS are never materialized for
+    # the whole corpus: signatures use the duplicate-tolerant explode
+    # path, and exact sets are built only for verification survivors.
+    norm = _norm_base(df, id_col, text_col).persist()
+    sig = _minhash_table(_shingle_hashes(norm, shingle_n), num_hashes).persist()
 
     banded = sig.select(
         "__id",
@@ -263,18 +283,30 @@ def minhash_lsh_pairs(
     )
 
     # Stage 4b: exact verification on the (now small) survivor set.
-    sh = base
+    # Shingle sets are computed HERE, after the candidate joins, so the
+    # interpreted transform() runs over candidate rows only — never the
+    # corpus. __txt is a concrete shuffled column (norm is behind an
+    # exchange), so the HOF reads it without re-evaluating upstream
+    # expressions per element.
     verified = (
         prefiltered.join(
-            sh.withColumnRenamed("__id", "id_a").withColumnRenamed("__sh", "sh_a"), "id_a"
+            norm.select(F.col("__id").alias("id_a"), F.col("__txt").alias("__ta")), "id_a"
         )
-        .join(sh.withColumnRenamed("__id", "id_b").withColumnRenamed("__sh", "sh_b"), "id_b")
+        .join(norm.select(F.col("__id").alias("id_b"), F.col("__txt").alias("__tb")), "id_b")
         .select(
-            "id_a", "id_b", F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 4).alias("jaccard_sim")
+            "id_a",
+            "id_b",
+            F.round(
+                jaccard(
+                    _shingles_of(F.col("__ta"), shingle_n),
+                    _shingles_of(F.col("__tb"), shingle_n),
+                ),
+                4,
+            ).alias("jaccard_sim"),
         )
         .filter(F.col("jaccard_sim") >= threshold)
     )
-    return _materialize_release(verified, base, sig)
+    return _materialize_release(verified, norm, sig)
 
 
 def dedup_minhash(
@@ -304,18 +336,33 @@ def dedup_minhash(
 
 
 def connected_components(
-    pairs: DataFrame, src: str = "id_a", dst: str = "id_b", max_iter: int = 20
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 20,
+    driver_budget_edges: int = 2_000_000,
 ) -> DataFrame:
-    """Connected components of an undirected pair graph by iterative
-    min-label propagation: every node repeatedly adopts the smallest
-    label among itself and its neighbors until fixpoint.
+    """Connected components of an undirected pair graph.
 
-    Each iteration is one join + one aggregation (both on the node
-    key); iterations needed ≈ graph diameter, and near-dup clusters
-    are shallow (stars/short chains), so convergence is fast. The
-    label frontier is localCheckpointed per round to cut the lineage —
-    without it the plan doubles every iteration. Returns
-    (node, component) with component = min node id of the cluster.
+    Near-dup pair graphs are orders of magnitude smaller than the
+    corpus that produced them (pairs ~ duplicates, not documents), so
+    two paths, gated by measured edge count:
+
+    - **small graph** (<= ``driver_budget_edges`` distinct edges, i.e.
+      tens of MB): union-find with path compression on the driver —
+      one pass, no iteration, exact same labels. The budget is a hard
+      attestation like a broadcast threshold: 2M edges ≈ 32 MB.
+    - **large graph**: iterative min-label propagation — every node
+      repeatedly adopts the smallest label among itself and its
+      neighbors until fixpoint. Each iteration is one join + one
+      aggregation (both on the node key); iterations needed ≈ graph
+      diameter. The label frontier is localCheckpointed per round to
+      cut the lineage — without it the plan doubles every iteration.
+      Fully distributed: the driver only coordinates the loop.
+
+    Returns (node, component) with component = min node id of the
+    cluster. Pass ``driver_budget_edges=0`` to force the distributed
+    path (the property tests assert both paths agree).
     """
     edges = (
         pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
@@ -323,6 +370,31 @@ def connected_components(
         .distinct()
         .persist()
     )
+    if driver_budget_edges > 0 and edges.count() <= driver_budget_edges:
+        rows = edges.filter(F.col("u") < F.col("v")).collect()
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent.get(root, root) != root:
+                root = parent[root]
+            while parent.get(x, x) != x:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        for u, v in rows:
+            ru, rv = find(u), find(v)
+            if ru != rv:
+                # union by smaller id so the root IS the min label
+                lo, hi = (ru, rv) if ru < rv else (rv, ru)
+                parent[hi] = lo
+        nodes = {x for uv in rows for x in uv}
+        labels = [(int(n), int(find(n))) for n in sorted(nodes)]
+        edges.unpersist(blocking=False)
+        spark = pairs.sparkSession
+        if not labels:
+            return spark.createDataFrame([], "node long, component long")
+        return spark.createDataFrame(labels, "node long, component long")
     labels = (
         edges.select(F.col("u").alias("node"))
         .distinct()

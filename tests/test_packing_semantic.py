@@ -37,6 +37,26 @@ def test_pack_respects_budget_and_buckets(spark, sf_dir):
     out.unpersist()
 
 
+def test_cc_driver_and_distributed_paths_agree(spark):
+    from bootcamp_stackacademy_datalake_minio_airflow_spark.operators.dedup import (
+        connected_components,
+    )
+
+    # chain 1-2-3-4, star 10-(11,12), singleton edge 20-21
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (10, 12), (20, 21)],
+        "id_a long, id_b long",
+    )
+    fast = {(r.node, r.component) for r in connected_components(pairs).collect()}
+    dist = {
+        (r.node, r.component)
+        for r in connected_components(pairs, driver_budget_edges=0).collect()
+    }
+    expect = {(1, 1), (2, 1), (3, 1), (4, 1), (10, 10), (11, 10), (12, 10), (20, 20), (21, 20)}
+    assert fast == expect
+    assert dist == expect
+
+
 def test_semantic_clusters_labels(spark):
     # two tight clusters (0,1,2) and (10,11) plus an isolated vector 20
     rows = [
