@@ -377,8 +377,8 @@ def ivf_build(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
-    train_sample_rows: int = 20_000,
-    max_iter: int = 8,
+    train_sample_rows: int = 4096,
+    max_iter: int = 4,
 ):
     """Train a KMeans coarse quantizer and assign every vector to its
     nearest centroid ("inverted list").
