@@ -191,3 +191,67 @@ def test_streaming_bronze_to_silver_ingest(spark, tmp_path):
     q2.awaitTermination(120)
     rows = {r.order_id: r.payment_value for r in spark.read.parquet(silver).collect()}
     assert rows == {"o1": 10.5, "o2": 20.0}  # no duplicate of o1
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    """dropDuplicatesWithinWatermark keeps one row per doc_id arriving
+    inside the horizon; state is watermark-bounded."""
+    import datetime
+
+    from bootcamp_stackacademy_datalake_minio_airflow_spark.streaming.dedup import stream_dedup_exact
+
+    t0 = datetime.datetime(2024, 1, 1, 0, 0, 0)
+
+    def ts(minutes):
+        return t0 + datetime.timedelta(minutes=minutes)
+
+    rows = [
+        (100, ts(0), "a"),
+        (100, ts(1), "a-dup"),      # duplicate within horizon -> dropped
+        (200, ts(2), "b"),
+        (100, ts(3), "a-dup2"),     # still within horizon -> dropped
+        (300, ts(60 * 24), "c"),    # far future: advances watermark
+    ]
+    src = str(tmp_path / "dedup_src")
+    spark.createDataFrame(rows, "doc_id long, ts timestamp, payload string").write.parquet(src)
+
+    stream = spark.readStream.schema("doc_id long, ts timestamp, payload string").parquet(src)
+    q = (
+        stream_dedup_exact(stream, ["doc_id"], "ts", watermark="10 minutes")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_stream_dedup")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.table("t_stream_dedup").collect()
+    # exactly one survivor per key (which duplicate wins within a
+    # micro-batch is not ordered — only the cardinality is contracted)
+    assert sorted(r.doc_id for r in out) == [100, 200, 300]
+
+
+def test_stream_enrich_static_broadcast(spark, tmp_path):
+    """Stream-static broadcast join enriches each micro-batch without
+    shuffling the stream side."""
+    from bootcamp_stackacademy_datalake_minio_airflow_spark.streaming.dedup import stream_enrich_static
+
+    src = str(tmp_path / "enrich_src")
+    spark.createDataFrame(
+        [(1, "src0"), (2, "src1"), (3, "srcX")], "doc_id long, source string"
+    ).write.parquet(src)
+    dim = spark.createDataFrame(
+        [("src0", 0.9), ("src1", 0.2)], "source string, quality double"
+    )
+    stream = spark.readStream.schema("doc_id long, source string").parquet(src)
+    q = (
+        stream_enrich_static(stream, dim, on="source")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_stream_enrich")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {(r.doc_id, r.quality) for r in spark.table("t_stream_enrich").collect()}
+    assert got == {(1, 0.9), (2, 0.2), (3, None)}
