@@ -462,19 +462,33 @@ def simhash64(col: str | Column) -> Column:
     return out
 
 
-def _simhash_table(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def _simhash_table(
+    df: DataFrame, id_col: str, text_col: str, hash_fn: str = "xxhash64"
+) -> DataFrame:
     """(__id, __sim) simhash table via explode + bit-sum aggregation.
 
     Same scale shape as ``_minhash_table``: token hashes are plain
     codegen'd columns; the 64 per-bit +1/-1 sums partial-aggregate
     map-side, so the shuffle carries 64 ints per document; the final
     projection folds the sums into one 64-bit signature.
+
+    ``hash_fn``: 'xxhash64' (fastest, full 64 active bits — default)
+    or 'md5' (the first 15 hex chars parsed as a 60-bit integer; bits
+    60-63 are always 0, which only shrinks the signature — any engine
+    with md5 reproduces it bit-for-bit, so the DuckDB oracle can
+    verify the pairs).
     """
     toks = df.select(
         F.col(id_col).alias("__id"),
         F.explode(F.split(normalize_text(text_col), " ")).alias("__t"),
     )
-    hashed = toks.select("__id", F.xxhash64("__t").alias("__h"))
+    if hash_fn == "xxhash64":
+        token_hash = F.xxhash64("__t")
+    elif hash_fn == "md5":
+        token_hash = F.conv(F.substring(F.md5("__t"), 1, 15), 16, 10).cast("long")
+    else:
+        raise ValueError(f"hash_fn must be xxhash64|md5, got {hash_fn!r}")
+    hashed = toks.select("__id", token_hash.alias("__h"))
     sums = hashed.groupBy("__id").agg(
         *[
             F.sum(
@@ -504,6 +518,7 @@ def simhash_pairs(
     text_col: str,
     max_hamming: int = 3,
     blocks: int = 4,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Near-duplicate pairs by SimHash: candidates share at least one
     of ``blocks`` 16-bit blocks (pigeonhole: any pair within
@@ -515,7 +530,7 @@ def simhash_pairs(
     """
     width = 64 // blocks
     # persisted: the block self-join references this table twice
-    sh = _simhash_table(df, id_col, text_col).persist()
+    sh = _simhash_table(df, id_col, text_col, hash_fn=hash_fn).persist()
     mask = (1 << width) - 1
     blocked = sh.select(
         "__id",

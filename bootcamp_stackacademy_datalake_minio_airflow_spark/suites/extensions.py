@@ -269,10 +269,43 @@ def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.7)
 
 
-@register("dedup_simhash_pairs", None)  # xxhash64-based: rows-only
+# SimHash with the md5 hash family (operators/dedup.py:_simhash_table):
+# each token's 60-bit hash is the first 15 hex chars of its md5, so
+# DuckDB rebuilds the exact per-bit +/-1 sums, folds the signature,
+# and brute-forces all pairs at hamming <= 3 — the banded Spark
+# candidates are pigeonhole-lossless, so the sets must match exactly.
+_SIMHASH_BITS = ",\n             ".join(
+    f"SUM(CASE WHEN ((strpos('0123456789abcdef', substr(m, {15 - b // 4}, 1)) - 1)"
+    f" // {1 << (b % 4)}) % 2 = 1 THEN 1 ELSE -1 END) AS b{b}"
+    for b in range(60)
+)
+_SIMHASH_SIG = " + ".join(
+    f"(CASE WHEN b{b} > 0 THEN (1::BIGINT << {b}) ELSE 0::BIGINT END)" for b in range(60)
+)
+_SIMHASH_ORACLE = f"""
+    WITH norm AS (
+      SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
+      FROM documents
+    ), tok AS (
+      SELECT doc_id, md5(unnest(string_split(t, ' '))) AS m FROM norm
+    ), bs AS (
+      SELECT doc_id, {_SIMHASH_BITS}
+      FROM tok GROUP BY doc_id
+    ), sig AS (
+      SELECT doc_id, {_SIMHASH_SIG} AS s FROM bs
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.s, b.s)) AS BIGINT) AS hamming
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.s, b.s)) <= 3
+"""
+
+
+@register("dedup_simhash_pairs", _SIMHASH_ORACLE)
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return simhash_pairs(docs, "doc_id", "text", max_hamming=3)
+    out = simhash_pairs(docs, "doc_id", "text", max_hamming=3, hash_fn="md5")
+    return out.withColumn("hamming", F.col("hamming").cast("long"))
 
 
 _NGRAM_ORACLE = """
