@@ -213,11 +213,15 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     # microsecond precision: casting ts to long would truncate to
     # seconds and disagree with the oracle's interval comparison on
-    # gaps within 1s of the boundary
+    # gaps within 1s of the boundary. unix_micros only accepts
+    # TIMESTAMP (not TIMESTAMP_NTZ, which parquet readers may infer);
+    # the cast is a no-op for TIMESTAMP and value-preserving for NTZ
+    # because the session timezone is pinned to UTC.
+    micros = F.unix_micros(F.col("ts").cast("timestamp"))
     marked = ev.withColumn(
         "new_session",
         F.when(
-            F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+            micros - F.lag(micros).over(w)
             > SESSION_GAP_MIN * 60 * 1_000_000,
             1,
         )
