@@ -152,12 +152,22 @@ def _minhash_table(hashes: DataFrame, num_hashes: int) -> DataFrame:
     All plain codegen'd expressions; groupBy(min) partial-aggregates
     map-side, so the shuffle carries one row of ``num_hashes`` longs
     per document — not the shingle sets.
+
+    The wide column lists are built as SQL strings (one selectExpr
+    parse) rather than nested Column operators: composing
+    num_hashes x ~6 py4j calls per run costs whole seconds of
+    driver time before any task starts.
     """
-    hashed = hashes.select(
-        "__id", *[_perm(F.col("__h"), i).alias(f"h{i}") for i in range(num_hashes)]
-    )
+    perms = []
+    for i in range(num_hashes):
+        s = (i * 29 + 17) % 63 + 1
+        c = _signed64(0x9E3779B97F4A7C15 * (i + 1) ^ 0xBF58476D1CE4E5B9)
+        perms.append(
+            f"(shiftleft(__h, {s}) | shiftrightunsigned(__h, {64 - s})) ^ {c}L AS h{i}"
+        )
+    hashed = hashes.selectExpr("__id", *perms)
     return hashed.groupBy("__id").agg(
-        *[F.min(f"h{i}").alias(f"h{i}") for i in range(num_hashes)]
+        *[F.expr(f"min(h{i}) AS h{i}") for i in range(num_hashes)]
     )
 
 
@@ -180,9 +190,15 @@ def _materialize_release(result: DataFrame, *caches: DataFrame) -> DataFrame:
 
 
 def jaccard(a: Column, b: Column) -> Column:
-    """Exact Jaccard similarity of two array columns (set semantics)."""
+    """Exact Jaccard similarity of two array columns (set semantics).
+
+    |A∪B| is derived as |A|+|B|-|A∩B| instead of materializing the
+    union array — halves the per-pair array allocation in the
+    verification hot loop. Inputs must already be distinct arrays
+    (both call sites build them with array_distinct semantics).
+    """
     inter = F.size(F.array_intersect(a, b))
-    union = F.size(F.array_union(a, b))
+    union = F.size(a) + F.size(b) - inter
     return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
 
 
@@ -227,59 +243,76 @@ def minhash_lsh_pairs(
     norm = _norm_base(df, id_col, text_col).persist()
     sig = _minhash_table(_shingle_hashes(norm, shingle_n), num_hashes).persist()
 
-    banded = sig.select(
-        "__id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.hash(
-                            F.lit(b),
-                            *[f"h{i}" for i in range(b * rows_per_band, (b + 1) * rows_per_band)],
-                        ).alias("bhash"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("__b"),
-    ).select("__id", "__b.band", "__b.bhash")
+    # Stage 3+4a fused: band-collision candidate generation with the
+    # estimated-Jaccard prefilter evaluated INSIDE the join condition.
+    #
+    # The estimator is the fraction of agreeing minhashes, compared
+    # BYTE-wise on a packed form (8 hashes -> one long, low byte of
+    # each) that rides along in the banded rows. Why this shape:
+    #   - Evaluating est in the join condition kills false candidates
+    #     (bucket collisions at sim << threshold — millions on a
+    #     shared-vocabulary corpus) BEFORE the distinct shuffle, so
+    #     the wide exchange carries survivors only.
+    #   - Packing keeps the join's field count small; joining the full
+    #     64-long signatures would exceed spark.sql.codegen.maxFields
+    #     (100) and silently drop the pipeline out of whole-stage
+    #     codegen (~3x slower end to end, measured).
+    #   - Byte equality is an upward-biased proxy for hash equality
+    #     (unequal hashes collide per byte w.p. 1/256, adding <= ~0.004
+    #     to the estimate), so it can only ADMIT extra survivors —
+    #     recall of the exact verification stage is unaffected.
+    # Margin covers estimator variance (std ~= sqrt(s(1-s)/num_hashes)
+    # ~= 0.06 at s=0.7, so ~2 sigma) plus that bias. The wide column
+    # lists are SQL strings (one parse) — nested Column operators cost
+    # seconds of py4j round-trips at this width.
+    margin = 0.12
+    n_packs = (num_hashes + 7) // 8
 
+    def _pack_sql(k: int) -> str:
+        lanes = " | ".join(
+            f"shiftleft(h{8 * k + j} & 255, {8 * j})"
+            for j in range(min(8, num_hashes - 8 * k))
+        )
+        return f"({lanes})"
+
+    band_structs = ", ".join(
+        "named_struct('band', {b}, 'bhash', hash({b}, {cols}))".format(
+            b=b,
+            cols=", ".join(
+                f"h{i}" for i in range(b * rows_per_band, (b + 1) * rows_per_band)
+            ),
+        )
+        for b in range(bands)
+    )
+    banded = sig.selectExpr(
+        "__id",
+        *[f"{_pack_sql(k)} AS p{k}" for k in range(n_packs)],
+        f"explode(array({band_structs})) AS __b",
+    ).selectExpr(
+        "__id",
+        *[f"p{k}" for k in range(n_packs)],
+        "__b.band AS band",
+        "__b.bhash AS bhash",
+    )
+
+    est_sql = " + ".join(
+        f"CASE WHEN shiftrightunsigned(l.p{k} ^ r.p{k}, {8 * j}) & 255 = 0"
+        " THEN 1 ELSE 0 END"
+        for k in range(n_packs)
+        for j in range(min(8, num_hashes - 8 * k))
+    )
     left = banded.alias("l")
     right = banded.alias("r")
-    cand = (
+    prefiltered = (
         left.join(
             right,
             (F.col("l.band") == F.col("r.band"))
             & (F.col("l.bhash") == F.col("r.bhash"))
-            & (F.col("l.__id") < F.col("r.__id")),
+            & (F.col("l.__id") < F.col("r.__id"))
+            & (F.expr(f"({est_sql}) / {num_hashes}") >= threshold - margin),
         )
         .select(F.col("l.__id").alias("id_a"), F.col("r.__id").alias("id_b"))
         .distinct()
-    )
-
-    # Stage 4a: cheap prefilter — estimated Jaccard = fraction of
-    # agreeing minhashes. 64 integer equality checks per candidate
-    # (codegen, no arrays); kills the false candidates banding lets
-    # through when the corpus shares vocabulary (bucket collisions at
-    # sim << threshold). Margin covers estimator variance
-    # (std ≈ sqrt(s(1-s)/num_hashes) ≈ 0.06 at s=0.7, so ~2σ).
-    margin = 0.12
-    sig_a = sig.select(
-        F.col("__id").alias("id_a"), *[F.col(f"h{i}").alias(f"a{i}") for i in range(num_hashes)]
-    )
-    sig_b = sig.select(
-        F.col("__id").alias("id_b"), *[F.col(f"h{i}").alias(f"b{i}") for i in range(num_hashes)]
-    )
-    est = sum(
-        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0) for i in range(num_hashes)
-    ) / F.lit(num_hashes)
-    prefiltered = (
-        cand.join(sig_a, "id_a")
-        .join(sig_b, "id_b")
-        .withColumn("__est", est)
-        .filter(F.col("__est") >= threshold - margin)
-        .select("id_a", "id_b")
     )
 
     # Stage 4b: exact verification on the (now small) survivor set.
@@ -489,22 +522,21 @@ def _simhash_table(
     else:
         raise ValueError(f"hash_fn must be xxhash64|md5, got {hash_fn!r}")
     hashed = toks.select("__id", token_hash.alias("__h"))
+    # wide column lists as SQL strings (one parse each) — 64 nested
+    # Column builds cost seconds of py4j round-trips per invocation
     sums = hashed.groupBy("__id").agg(
         *[
-            F.sum(
-                F.when(F.shiftright("__h", b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-            ).alias(f"b{b}")
+            F.expr(
+                f"sum(CASE WHEN shiftright(__h, {b}) & 1 = 1 THEN 1 ELSE -1 END)"
+                f" AS b{b}"
+            )
             for b in range(64)
         ]
     )
-    sim = F.lit(0).cast("long")
-    for b in range(64):
-        sim = sim.bitwiseOR(
-            F.when(F.col(f"b{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(
-                F.lit(0).cast("long")
-            )
-        )
-    return sums.select("__id", sim.alias("__sim"))
+    fold = " | ".join(
+        f"(CASE WHEN b{b} > 0 THEN shiftleft(1L, {b}) ELSE 0L END)" for b in range(64)
+    )
+    return sums.selectExpr("__id", f"({fold}) AS __sim")
 
 
 def hamming64(a: Column, b: Column) -> Column:
@@ -551,12 +583,16 @@ def simhash_pairs(
     ).select("__id", "__sim", "__b.blk", "__b.bval")
 
     l, r = blocked.alias("l"), blocked.alias("r")
+    # exact-hamming check INSIDE the join condition: false block
+    # collisions die before the distinct shuffle, which then carries
+    # true near-dup pairs only
     pairs = (
         l.join(
             r,
             (F.col("l.blk") == F.col("r.blk"))
             & (F.col("l.bval") == F.col("r.bval"))
-            & (F.col("l.__id") < F.col("r.__id")),
+            & (F.col("l.__id") < F.col("r.__id"))
+            & (hamming64(F.col("l.__sim"), F.col("r.__sim")) <= max_hamming),
         )
         .select(
             F.col("l.__id").alias("id_a"),
@@ -564,7 +600,6 @@ def simhash_pairs(
             hamming64(F.col("l.__sim"), F.col("r.__sim")).alias("hamming"),
         )
         .distinct()
-        .filter(F.col("hamming") <= max_hamming)
     )
     return _materialize_release(pairs, sh)
 
@@ -621,15 +656,28 @@ def ngram_jaccard_pairs(
             F.col("__rk")
             <= F.floor((1.0 - threshold) * F.col("__sz")).cast("int") + F.lit(1)
         )
-        .select("__id", "gram", "__sz")
+        .select("__id", "gram", "__sz", "__rk")
     )
     l, r = prefix.alias("l"), prefix.alias("r")
-    # size-ratio filter inside the candidate join: J(A,B) <= min/max of
-    # the set sizes, so J >= t requires min >= t*max. The sizes ride
-    # along the prefix rows (no extra join), and the lossless cut lands
-    # BEFORE the distinct + gram-array verification join — at corpus
-    # scale that join's shuffle carries the full gram sets, so halving
-    # candidates halves the operator's dominant traffic.
+    # Two lossless cuts inside the candidate join, BEFORE the distinct
+    # + gram-array verification join (at corpus scale that join's
+    # shuffle carries the full gram sets, so every candidate killed
+    # here halves the operator's dominant traffic):
+    #   - size-ratio: J <= min(|A|,|B|)/max(|A|,|B|), so J >= t
+    #     requires min >= t*max. Sizes ride along the prefix rows.
+    #   - positional (PPJoin): on a match at prefix positions
+    #     (rka, rkb), the overlap is bounded by
+    #     1 + min(|A|-rka, |B|-rkb) (everything shared beyond this
+    #     gram sits after it in both df-sorted prefixes), while
+    #     J >= t forces overlap >= ceil(t/(1+t) * (|A|+|B|)). Any
+    #     J >= t pair still survives via its FIRST shared prefix
+    #     gram, where the bound is tightest-but-sufficient.
+    overlap_ub = 1 + F.least(
+        F.col("l.__sz") - F.col("l.__rk"), F.col("r.__sz") - F.col("r.__rk")
+    )
+    overlap_req = F.ceil(
+        F.lit(threshold / (1.0 + threshold)) * (F.col("l.__sz") + F.col("r.__sz"))
+    )
     cand = (
         l.join(
             r,
@@ -638,7 +686,8 @@ def ngram_jaccard_pairs(
             & (
                 F.least(F.col("l.__sz"), F.col("r.__sz"))
                 >= threshold * F.greatest(F.col("l.__sz"), F.col("r.__sz"))
-            ),
+            )
+            & (overlap_ub >= overlap_req),
         )
         .select(F.col("l.__id").alias("id_a"), F.col("r.__id").alias("id_b"))
         .distinct()
