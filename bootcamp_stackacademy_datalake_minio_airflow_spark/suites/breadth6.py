@@ -176,3 +176,58 @@ def q_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pmi"),
         )
     )
+
+
+# --- z-order layout: engine-portable Morton codes ---------------------------
+
+_Z_BITS = 8
+
+
+def _zorder_oracle() -> str:
+    """DuckDB twin of operators/zorder.py: same min/max bounds, same
+    bucketize arithmetic shape (mult-then-divide double math, FLOOR,
+    clamp), same bit interleave. Buckets are non-negative, so plain
+    >> / << / & / | match Spark's shiftleft/shiftrightunsigned."""
+    n = (1 << _Z_BITS) - 1
+
+    def bucket(col: str, lo: str, hi: str) -> str:
+        return (
+            f"CAST(LEAST({n}, GREATEST(0, "
+            f"CAST(FLOOR((CAST({col} AS DOUBLE) - {lo}) * {n}"
+            f" / ({hi} - {lo})) AS BIGINT))) AS BIGINT)"
+        )
+
+    terms = " | ".join(
+        f"(((b{i} >> {j}) & 1) << {j * 2 + i})"
+        for i in range(2)
+        for j in range(_Z_BITS)
+    )
+    return f"""
+    WITH bounds AS (
+      SELECT MIN(CAST(o_custkey AS DOUBLE)) AS lo0,
+             MAX(CAST(o_custkey AS DOUBLE)) AS hi0,
+             MIN(CAST(o_totalprice AS DOUBLE)) AS lo1,
+             MAX(CAST(o_totalprice AS DOUBLE)) AS hi1
+      FROM orders
+    ), b AS (
+      SELECT o_orderkey,
+             {bucket('o_custkey', 'lo0', 'hi0')} AS b0,
+             {bucket('o_totalprice', 'lo1', 'hi1')} AS b1
+      FROM orders, bounds
+    )
+    SELECT o_orderkey, ({terms}) AS zval FROM b
+    """
+
+
+@register("zorder_orders", _zorder_oracle())
+def q_zorder_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton z-value computation (operators/zorder.py) — the layout
+    key behind zorder_write's multi-dimensional data skipping. The
+    oracle recomputes the bounds and the bit interleave in DuckDB, so
+    the curve itself (not just the write) is hash-verified."""
+    from ..operators.zorder import zorder_value
+
+    o = load_table(spark, sf_dir, "orders")
+    return zorder_value(
+        o, ["o_custkey", "o_totalprice"], bits=_Z_BITS, out_col="zval"
+    ).select("o_orderkey", F.col("zval").cast("long").alias("zval"))

@@ -111,3 +111,46 @@ def test_jdbc_roundtrip_derby(spark, tmp_path):
     )
     write_jdbc(df2, url, "gold_vendas", driver=driver, num_partitions=2)
     assert read_jdbc(spark, url, "gold_vendas", driver=driver).count() == 7
+
+
+def test_zorder_write_clusters_both_dimensions(spark, tmp_path):
+    """After zorder_write on (x, y), per-file min/max spans of BOTH
+    columns must be far tighter than a layout ordered by x alone
+    (where y's per-file span stays ~global) — that tightness is what
+    parquet footer pruning consumes."""
+    import random
+
+    from bootcamp_stackacademy_datalake_minio_airflow_spark.operators.zorder import (
+        zorder_value,
+        zorder_write,
+    )
+
+    rng = random.Random(7)
+    rows = [(i, rng.randrange(10_000), rng.randrange(10_000)) for i in range(20_000)]
+    df = spark.createDataFrame(rows, "id long, x long, y long")
+
+    zpath = str(tmp_path / "z")
+    xpath = str(tmp_path / "x")
+    zorder_write(df, zpath, ["x", "y"], n_files=16)
+    df.repartitionByRange(16, "x").sortWithinPartitions("x").write.parquet(xpath)
+
+    def mean_span(path, col):
+        spans = []
+        for f in spark.read.parquet(path).inputFiles():
+            r = spark.read.parquet(f).agg(
+                (F.max(col) - F.min(col)).alias("s")
+            ).collect()[0]
+            spans.append(r["s"])
+        return sum(spans) / len(spans)
+
+    # same rows, nothing lost
+    assert spark.read.parquet(zpath).count() == 20_000
+    # x-sorted layout: y is unclustered (span ~ full 10k range)
+    assert mean_span(xpath, "y") > 8_000
+    # z-order: BOTH dimensions' per-file spans shrink well below global
+    assert mean_span(zpath, "x") < 6_000
+    assert mean_span(zpath, "y") < 6_000
+    # and the curve value is deterministic across invocations
+    a = zorder_value(df, ["x", "y"], bits=8, out_col="z").select("id", "z")
+    b = zorder_value(df, ["x", "y"], bits=8, out_col="z").select("id", "z")
+    assert a.exceptAll(b).count() == 0
