@@ -59,6 +59,7 @@ def _ensure_loaded() -> None:
         breadth4,
         breadth5,
         breadth6,
+        breadth7,
         extensions,
     )
 
