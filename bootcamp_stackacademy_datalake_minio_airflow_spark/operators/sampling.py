@@ -40,10 +40,20 @@ def _draw(key: Column, salt: str) -> Column:
 
 
 def _hex_threshold(fraction: float) -> str:
-    """Largest prefix value strictly below the acceptance bound."""
+    """Largest prefix value strictly below the acceptance bound.
+
+    fraction == 1.0 must keep EVERY row: its numeric bound (16^W)
+    doesn't fit in W hex digits, and formatting it produces a
+    9-character string that lexicographically keeps only '0'-prefixed
+    draws (~1/16). 'g' sorts after every hex digit, so 'g' * W is an
+    upper bound no 8-hex-char draw reaches.
+    """
     if not 0.0 <= fraction <= 1.0:
         raise ValueError(f"fraction must be in [0,1], got {fraction}")
-    return format(int(fraction * _PREFIX_SPACE), f"0{_PREFIX_W}x")
+    bound = int(fraction * _PREFIX_SPACE)
+    if bound >= _PREFIX_SPACE:
+        return "g" * _PREFIX_W
+    return format(bound, f"0{_PREFIX_W}x")
 
 
 def hash_sample(
@@ -109,3 +119,36 @@ def stratified_quota(
         .filter(F.col("__rk") <= n_per_group)
         .drop("__rk")
     )
+
+
+def mixture_sample(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic per-group Bernoulli sampling — the mixture-
+    weighting move of training-data curation (e.g. upsample wiki,
+    downsample crawl). Each row keeps iff its md5-draw falls under
+    its group's rate; groups absent from ``rates`` use
+    ``default_rate``.
+
+    Pure map-side projection (one CASE over the group column, one md5
+    per row): no shuffle, no group-size precomputation, and verdicts
+    are per-key stable, so re-running on a grown corpus never flips a
+    previously-kept row. Rates > 1 are capped at 1 (this operator
+    thins; use explode-based repetition for true upsampling).
+    """
+    expr = None
+    for g, rate in rates.items():
+        thr = F.lit(_hex_threshold(min(1.0, rate)))
+        expr = (
+            F.when(F.col(group_col) == g, thr)
+            if expr is None
+            else expr.when(F.col(group_col) == g, thr)
+        )
+    default_thr = F.lit(_hex_threshold(min(1.0, default_rate)))
+    expr = default_thr if expr is None else expr.otherwise(default_thr)
+    return df.filter(_draw(F.col(key_col), salt) < expr)

@@ -475,3 +475,56 @@ def ivf_topk(
     probe = ranked[:n_probe]
     cands = assigned.filter(F.col("__list").isin(probe))
     return cosine_topk(cands, query, k=k, id_col=id_col, vec_col=vec_col, round_to=round_to)
+
+
+def centroid_classify(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    round_to: int = 6,
+) -> DataFrame:
+    """Nearest-centroid (Rocchio) classification of an embedding
+    column: per-label mean vectors, then each vector is assigned the
+    label of the closest centroid (squared euclidean; ties break to
+    the smaller label). Returns (id, label, predicted).
+
+    Fully distributed, pure codegen — no driver-held vectors, no
+    UDFs, no HOFs in the hot path:
+      1. posexplode the vectors — (id, label, dim, x) rows;
+      2. centroids = groupBy(label, dim).avg — partial-aggregated
+         map-side, k x dim rows total;
+      3. distances = the exploded rows joined to centroids on dim
+         (broadcast: k x dim is tiny), then sum((x - m)^2) grouped by
+         (id, candidate label) — shuffle keyed on the id;
+      4. argmin via min_by over each id's k candidate rows.
+
+    Centroid means and distances are rounded so any engine replaying
+    the same arithmetic (e.g. the DuckDB oracle) lands on identical
+    comparisons despite float summation-order differences.
+    """
+    base = df.select(
+        F.col(id_col).cast("long").alias("__id"),
+        F.col(label_col).cast("long").alias("__lbl"),
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("__dim", "__x"),
+    )
+    cents = base.groupBy(
+        F.col("__lbl").alias("__clbl"), F.col("__dim").alias("__cdim")
+    ).agg(F.round(F.avg("__x"), round_to).alias("__m"))
+    dists = (
+        base.join(F.broadcast(cents), F.col("__dim") == F.col("__cdim"))
+        .groupBy("__id", "__lbl", "__clbl")
+        # distances round coarser (4) than the means (6): the sum's
+        # last-ulp order sensitivity must stay far inside the rounding
+        # step or the argmin could disagree across engines
+        .agg(F.round(F.sum((F.col("__x") - F.col("__m")) ** 2), 4).alias("__d"))
+    )
+    return dists.groupBy("__id", "__lbl").agg(
+        F.min_by(
+            F.col("__clbl"), F.struct(F.col("__d"), F.col("__clbl"))
+        ).alias("predicted")
+    ).select(
+        F.col("__id").alias(id_col),
+        F.col("__lbl").alias(label_col),
+        "predicted",
+    )

@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..operators.sampling import (
+    mixture_sample,
     _hex_threshold,
     hash_sample,
     hash_split,
@@ -86,6 +87,36 @@ def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_stratified_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return stratified_quota(docs, "source", "doc_id", 40).select("doc_id", "source")
+
+
+_TMIX_FULL = _hex_threshold(1.0)
+_TMIX_HALF = _hex_threshold(0.5)
+_TMIX_TENTH = _hex_threshold(0.1)
+_TMIX_DEF = _hex_threshold(0.3)
+
+
+@register(
+    "sample_source_mixture",
+    f"""
+    SELECT doc_id, source
+    FROM documents
+    WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
+          CASE source WHEN 'src0' THEN '{_TMIX_FULL}'
+                      WHEN 'src1' THEN '{_TMIX_HALF}'
+                      WHEN 'src2' THEN '{_TMIX_TENTH}'
+                      ELSE '{_TMIX_DEF}' END
+    """,
+)
+def q_source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture weighting (operators/sampling.py:mixture_sample): keep
+    all of src0, half of src1, a tenth of src2, 30% of everything
+    else — one map-side CASE + md5 draw, per-key stable."""
+    docs = load_table(spark, sf_dir, "documents")
+    return mixture_sample(
+        docs, "source", "doc_id",
+        rates={"src0": 1.0, "src1": 0.5, "src2": 0.1},
+        default_rate=0.3,
+    ).select("doc_id", "source")
 
 
 # --- web-corpus cleaning (HTML/URL strip, PII redaction) ---------------------

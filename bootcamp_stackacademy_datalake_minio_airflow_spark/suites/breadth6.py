@@ -231,3 +231,45 @@ def q_zorder_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return zorder_value(
         o, ["o_custkey", "o_totalprice"], bits=_Z_BITS, out_col="zval"
     ).select("o_orderkey", F.col("zval").cast("long").alias("zval"))
+
+
+# --- nearest-centroid (Rocchio) classification ------------------------------
+
+
+@register(
+    "embedding_centroid_confusion",
+    """
+    WITH ex AS (
+      SELECT vec_id, CAST(label AS BIGINT) AS label,
+             generate_subscripts(embedding, 1) - 1 AS dim,
+             CAST(unnest(embedding) AS DOUBLE) AS x
+      FROM embeddings
+    ), cents AS (
+      SELECT label AS clbl, dim AS cdim, ROUND(AVG(x), 6) AS m
+      FROM ex GROUP BY label, dim
+    ), dists AS (
+      SELECT e.vec_id, e.label, c.clbl,
+             ROUND(SUM((e.x - c.m) * (e.x - c.m)), 4) AS d
+      FROM ex e JOIN cents c ON e.dim = c.cdim
+      GROUP BY e.vec_id, e.label, c.clbl
+    ), pred AS (
+      SELECT vec_id, label, clbl AS predicted,
+             ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, clbl) AS rk
+      FROM dists
+    )
+    SELECT label, predicted, COUNT(*) AS n
+    FROM pred WHERE rk = 1
+    GROUP BY label, predicted
+    """,
+)
+def q_centroid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid classification confusion matrix
+    (operators/similarity.py:centroid_classify). The oracle replays
+    centroid means, squared-euclidean sums, and the argmin tie-break
+    with the same rounding, so the whole classifier — not just its
+    output shape — is hash-verified."""
+    from ..operators.similarity import centroid_classify
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = centroid_classify(emb)
+    return out.groupBy("label", "predicted").agg(F.count(F.lit(1)).alias("n"))

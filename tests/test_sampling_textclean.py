@@ -90,3 +90,30 @@ def test_clean_text_strips_html_urls_and_redacts_email(spark):
     assert out[1] == ("Hi there see now", 1, 0)
     assert out[2] == ("mail me: <EMAIL> today", 0, 1)
     assert out[3] == ("plain text with whitespace", 0, 0)
+
+
+def test_mixture_sample_rates_and_stability(spark):
+    from bootcamp_stackacademy_datalake_minio_airflow_spark.operators.sampling import mixture_sample
+
+    rows = [(i, f"g{i % 4}") for i in range(8000)]
+    df = spark.createDataFrame(rows, "k long, g string")
+    rates = {"g0": 1.0, "g1": 0.5, "g2": 0.0}
+    out = mixture_sample(df, "g", "k", rates, default_rate=0.25)
+    counts = {r.g: r.n for r in out.groupBy("g").agg(F.count("*").alias("n")).collect()}
+    assert counts["g0"] == 2000          # rate 1.0 keeps everything
+    assert "g2" not in counts            # rate 0.0 keeps nothing
+    assert abs(counts["g1"] - 1000) < 120   # ~0.5 of 2000
+    assert abs(counts.get("g3", 0) - 500) < 90  # default 0.25 of 2000
+    # per-key stability: same verdict set on a re-run over a superset
+    bigger = spark.createDataFrame(
+        rows + [(i, f"g{i % 4}") for i in range(8000, 9000)], "k long, g string"
+    )
+    kept_small = {r.k for r in out.select("k").collect()}
+    kept_big = {
+        r.k
+        for r in mixture_sample(bigger, "g", "k", rates, default_rate=0.25)
+        .select("k")
+        .collect()
+        if r.k < 8000
+    }
+    assert kept_small == kept_big

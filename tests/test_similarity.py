@@ -152,3 +152,26 @@ def test_ann_lsh_recall_on_planted_neighbors(spark, sf_dir):
     ]
     recall = len(set(exact) & set(approx)) / 6
     assert recall >= 0.8, f"LSH recall {recall}; exact={exact} approx={approx}"
+
+
+def test_centroid_classify_separable_clusters(spark):
+    from bootcamp_stackacademy_datalake_minio_airflow_spark.operators.similarity import centroid_classify
+
+    # three tight, well-separated clusters -> classifier must recover
+    # every label from the vectors alone
+    import random
+
+    rng = random.Random(3)
+    centers = {0: [0.0, 0.0, 10.0], 1: [10.0, 0.0, 0.0], 2: [0.0, 10.0, 0.0]}
+    rows = []
+    for i in range(300):
+        lbl = i % 3
+        rows.append(
+            (i, [c + rng.uniform(-0.5, 0.5) for c in centers[lbl]], lbl)
+        )
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    out = centroid_classify(df)
+    assert out.filter(F.col("predicted") != F.col("label")).count() == 0
+    assert out.count() == 300
