@@ -175,3 +175,31 @@ def test_centroid_classify_separable_clusters(spark):
     out = centroid_classify(df)
     assert out.filter(F.col("predicted") != F.col("label")).count() == 0
     assert out.count() == 300
+
+
+def test_embedding_classifier_train_and_score(spark):
+    """LR must perfectly separate tight clusters and agree with the
+    labels it trained on; scoring emits one row per input with a
+    confident winning class."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from bootcamp_stackacademy_datalake_minio_airflow_spark.operators.classifier import (
+        score_embeddings,
+        train_embedding_classifier,
+    )
+
+    rng = random.Random(11)
+    centers = {0: [0.0, 0.0, 8.0], 1: [8.0, 0.0, 0.0], 2: [0.0, 8.0, 0.0]}
+    rows = [
+        (i, [c + rng.uniform(-0.5, 0.5) for c in centers[i % 3]], i % 3)
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    model = train_embedding_classifier(df)
+    out = score_embeddings(model, df)
+    assert out.count() == 300
+    joined = out.join(df.select("vec_id", "label"), "vec_id")
+    assert joined.filter(F.col("predicted") != F.col("label")).count() == 0
+    assert out.agg(F.min("confidence")).collect()[0][0] > 0.9
