@@ -108,6 +108,9 @@ def _ensure_loaded() -> None:
         "curation_pipeline",
         "sequence_packing",
         "sample_hash_documents",
+        "sample_source_mixture",
+        "embedding_centroid_confusion",
+        "zorder_orders",
         # -- core relational / temporal / quality families --
         "filter_predicates",
         "groupby_aggregates",
@@ -123,11 +126,8 @@ def _ensure_loaded() -> None:
         "explode_unnest",
         "json_extract_events",
         "stats_aggregates",
-        "percentile_agg",
         "dq_orphan_lineitems",
-        "dq_null_profile_orders",
         "events_tumbling_window",
-        "latest_event_per_user",
     ]
     rank = {name: i for i, name in enumerate(priority)}
     ordered = sorted(
