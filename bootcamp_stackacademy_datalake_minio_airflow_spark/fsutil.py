@@ -30,12 +30,29 @@ def _jp(jvm, path: str):
     return jvm.org.apache.hadoop.fs.Path(path)
 
 
-def publish_swap(spark: SparkSession, staging_path: str, final_path: str) -> None:
+def publish_swap(
+    spark: SparkSession,
+    staging_path: str,
+    final_path: str,
+    backup_path: str | None = None,
+) -> None:
     """Publish ``staging_path`` over ``final_path`` via two renames,
-    rolling back to the previous generation if the second fails."""
+    rolling back to the previous generation if the second fails.
+
+    ``backup_path`` overrides where the previous generation is parked
+    during the swap. REQUIRED when ``final_path`` is a partition
+    directory inside a live table root: the default
+    ``<final>__replaced`` sibling would sit inside the table, where
+    partition discovery reads it as a bogus partition value (e.g.
+    ``dt=2024-01-01__replaced``) during the swap — and permanently if
+    the job dies between the renames. Point it outside the root
+    instead.
+    """
     fs, jvm = _fs_for(spark, final_path)
     final, staging = _jp(jvm, final_path), _jp(jvm, staging_path)
-    old = _jp(jvm, final_path.rstrip("/") + "__replaced")
+    old = _jp(jvm, (backup_path or final_path.rstrip("/") + "__replaced"))
+    if backup_path is not None:
+        fs.mkdirs(old.getParent())
     if fs.exists(old):
         fs.delete(old, True)
     had_previous = fs.exists(final)

@@ -80,14 +80,21 @@ def upsert_parquet(
             .partitionBy(partition_col)
             .parquet(staging)
         )
-        # swap only the touched partition dirs (e.g. "dt=2024-01-01")
+        # swap only the touched partition dirs (e.g. "dt=2024-01-01").
+        # Previous generations park OUTSIDE the table root — a
+        # "<part>__replaced" sibling inside it would read as a bogus
+        # partition value during (or, after a crash, forever after)
+        # the swap.
+        backup_root = f"{path.rstrip('/')}__backup"
         for part_dir in list_subdirs(spark, staging):
             publish_swap(
                 spark,
                 f"{staging}/{part_dir}",
                 f"{path.rstrip('/')}/{part_dir}",
+                backup_path=f"{backup_root}/{part_dir}",
             )
         delete_path(spark, staging)
+        delete_path(spark, backup_root)
     else:
         target = spark.read.parquet(path)
         merged = merge_upsert(target, updates, key, tombstone_col)

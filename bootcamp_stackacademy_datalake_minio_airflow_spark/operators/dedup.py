@@ -104,15 +104,16 @@ def _signed64(x: int) -> int:
     return x - (1 << 64) if x >= 1 << 63 else x
 
 
-def _perm(h: Column, i: int) -> Column:
-    """Bijective 64-bit mixing for hash family i: rotate + XOR a
-    splitmix-style constant. Rotations/XOR never overflow (ANSI mode
-    forbids wrapping long multiplication), and bijectivity preserves
-    the min-wise property given a well-mixed base hash."""
+def _perm_sql(base: str, i: int) -> str:
+    """SQL expression for hash family i of ``base``: bijective 64-bit
+    rotate + XOR of a splitmix-style constant. Rotations/XOR never
+    overflow (ANSI mode forbids wrapping long multiplication), and
+    bijectivity preserves the min-wise property given a well-mixed
+    base hash. Emitted as a SQL string (single parse) — the sole
+    definition of the family, consumed by ``_minhash_table``."""
     s = (i * 29 + 17) % 63 + 1
     c = _signed64(0x9E3779B97F4A7C15 * (i + 1) ^ 0xBF58476D1CE4E5B9)
-    rot = F.shiftleft(h, s).bitwiseOR(F.shiftrightunsigned(h, 64 - s))
-    return rot.bitwiseXOR(F.lit(c))
+    return f"(shiftleft({base}, {s}) | shiftrightunsigned({base}, {64 - s})) ^ {c}L"
 
 
 def _shingle_hashes(norm: DataFrame, n: int) -> DataFrame:
@@ -158,14 +159,9 @@ def _minhash_table(hashes: DataFrame, num_hashes: int) -> DataFrame:
     num_hashes x ~6 py4j calls per run costs whole seconds of
     driver time before any task starts.
     """
-    perms = []
-    for i in range(num_hashes):
-        s = (i * 29 + 17) % 63 + 1
-        c = _signed64(0x9E3779B97F4A7C15 * (i + 1) ^ 0xBF58476D1CE4E5B9)
-        perms.append(
-            f"(shiftleft(__h, {s}) | shiftrightunsigned(__h, {64 - s})) ^ {c}L AS h{i}"
-        )
-    hashed = hashes.selectExpr("__id", *perms)
+    hashed = hashes.selectExpr(
+        "__id", *[f"{_perm_sql('__h', i)} AS h{i}" for i in range(num_hashes)]
+    )
     return hashed.groupBy("__id").agg(
         *[F.expr(f"min(h{i}) AS h{i}") for i in range(num_hashes)]
     )
@@ -182,6 +178,13 @@ def _materialize_release(result: DataFrame, *caches: DataFrame) -> DataFrame:
     session (a pipeline, the bench loop). The result is orders of
     magnitude smaller than the inputs, so eager materialization is the
     cheap side of the trade.
+
+    Trade-off, stated honestly: localCheckpoint truncates lineage into
+    executor-local storage, which is NOT fault tolerant — lose an
+    executor afterwards and the blocks can't recompute. For pair
+    results (tiny, cheap to re-derive by re-running the operator)
+    that's the right trade; for anything expensive to rebuild on an
+    unreliable cluster, write a parquet checkpoint instead.
     """
     out = result.localCheckpoint(eager=True)
     for c in caches:
@@ -404,7 +407,12 @@ def connected_components(
         .persist()
     )
     if driver_budget_edges > 0 and edges.count() <= driver_budget_edges:
-        rows = edges.filter(F.col("u") < F.col("v")).collect()
+        # collect ALL rows (self-loops included, so an isolated (x, x)
+        # pair still yields node x — matching the distributed path),
+        # and preserve the caller's id type: node ids may be strings,
+        # and Python's min/< agree with Spark's ordering for both
+        # numeric and string types.
+        rows = edges.collect()
         parent: dict = {}
 
         def find(x):
@@ -416,18 +424,20 @@ def connected_components(
             return root
 
         for u, v in rows:
+            if u == v:
+                continue
             ru, rv = find(u), find(v)
             if ru != rv:
                 # union by smaller id so the root IS the min label
                 lo, hi = (ru, rv) if ru < rv else (rv, ru)
                 parent[hi] = lo
         nodes = {x for uv in rows for x in uv}
-        labels = [(int(n), int(find(n))) for n in sorted(nodes)]
-        edges.unpersist(blocking=False)
+        labels = [(n, find(n)) for n in sorted(nodes)]
         spark = pairs.sparkSession
-        if not labels:
-            return spark.createDataFrame([], "node long, component long")
-        return spark.createDataFrame(labels, "node long, component long")
+        id_type = dict(pairs.dtypes)[src]
+        schema = f"node {id_type}, component {id_type}"
+        edges.unpersist(blocking=False)
+        return spark.createDataFrame(labels, schema)
     labels = (
         edges.select(F.col("u").alias("node"))
         .distinct()

@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 #: hostnames, if a hostname rule is ever added). Patterns are the spec
 #: — the SQL oracle must use byte-identical strings.
 PII_PATTERNS: dict[str, tuple[str, str]] = {
-    "email": (r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}", "<EMAIL>"),
+    "email": (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
     "phone": (r"\b555-[0-9]{4}\b", "<PHONE>"),
     "ipv4": (r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
 }

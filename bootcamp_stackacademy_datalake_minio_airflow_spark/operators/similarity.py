@@ -399,7 +399,18 @@ def ivf_build(
     featurized = df.withColumn(
         "__features", array_to_vector(F.col(vec_col).cast("array<double>"))
     )
-    train = featurized.select("__features").limit(train_sample_rows)
+    # Sample by smallest id-hash, NOT limit(): limit takes whatever
+    # partitions answer first — on a corpus written clustered by
+    # source/topic that trains every centroid on one region of the
+    # space (and is nondeterministic run to run). Hash-order top-k
+    # compiles to TakeOrderedAndProject: one pass, no global sort,
+    # deterministic, uniformly spread.
+    train = (
+        featurized.select(F.xxhash64(F.col(id_col)).alias("__r"), "__features")
+        .orderBy("__r")
+        .limit(train_sample_rows)
+        .select("__features")
+    )
     km = KMeans(
         k=n_lists,
         seed=seed,
@@ -434,7 +445,9 @@ def ivf_index(
     then centroid ranking (driver, n_lists floats) + a pruned scan."""
     from pyspark import StorageLevel
 
-    key = (id(df.sparkSession), cache_key, n_lists)
+    # every build input participates in the key — a same-named index
+    # over a different column must miss, never alias
+    key = (id(df.sparkSession), cache_key, n_lists, id_col, vec_col, seed)
     hit = _IVF_INDEX_CACHE.get(key)
     if hit is not None:
         return hit
@@ -442,6 +455,13 @@ def ivf_index(
         df, n_lists=n_lists, id_col=id_col, vec_col=vec_col, seed=seed
     )
     assigned = assigned.persist(StorageLevel.MEMORY_AND_DISK)
+    # bounded cache: evict (and unpersist) the oldest entry so a
+    # long-lived session sweeping many corpora can't pin unbounded
+    # executor storage (dicts iterate in insertion order)
+    while len(_IVF_INDEX_CACHE) >= 8:
+        oldest_key = next(iter(_IVF_INDEX_CACHE))
+        old_df, _ = _IVF_INDEX_CACHE.pop(oldest_key)
+        old_df.unpersist(blocking=False)
     _IVF_INDEX_CACHE[key] = (assigned, centroids)
     return assigned, centroids
 

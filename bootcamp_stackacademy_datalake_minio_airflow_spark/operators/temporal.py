@@ -109,11 +109,29 @@ def range_join(
     rows per range.
 
     strategy='auto': count the ranges side and pick (<=
-    ``broadcast_max_rows`` -> broadcast).
+    ``broadcast_max_rows`` -> broadcast). Joins that null-extend the
+    RANGES side (right/full outer) always use broadcast: the bucketed
+    path explodes each range to one row per overlapped bucket, so an
+    unmatched range would surface once per bucket instead of once.
     """
+    ranges_outer = how.lower().replace("_", "") in (
+        "right",
+        "rightouter",
+        "full",
+        "fullouter",
+        "outer",
+    )
     if strategy == "auto":
         strategy = (
-            "broadcast" if ranges.count() <= broadcast_max_rows else "bucketed"
+            "broadcast"
+            if ranges_outer or ranges.count() <= broadcast_max_rows
+            else "bucketed"
+        )
+    if strategy == "bucketed" and ranges_outer:
+        raise ValueError(
+            f"how={how!r} null-extends the exploded ranges side under the "
+            "bucketed strategy (unmatched ranges would duplicate per bucket); "
+            "use strategy='broadcast'"
         )
     if strategy == "broadcast":
         cond = (facts[value_col] >= ranges[lo_col]) & (

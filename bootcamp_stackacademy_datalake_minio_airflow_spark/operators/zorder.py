@@ -58,8 +58,20 @@ def bucketize_sql(col: str, lo: float, hi: float, bits: int) -> str:
 def interleave_sql(bucket_exprs: list[str], bits: int) -> str:
     """SQL expression interleaving the low ``bits`` bits of each
     bucket expression into one Morton code (column i contributes bit
-    j to output position j*len(cols)+i)."""
+    j to output position j*len(cols)+i).
+
+    The code must fit the 63 value bits of a signed BIGINT: Spark
+    masks shift amounts mod 64 (positions >= 64 would silently
+    collide lanes) and bit 63 is the sign (negative z-values would
+    sort before everything in repartitionByRange) — so over-wide
+    requests are an error, not a corruption.
+    """
     k = len(bucket_exprs)
+    if k * bits > 63:
+        raise ValueError(
+            f"{k} columns x {bits} bits = {k * bits} code bits; max 63. "
+            f"Use bits <= {63 // k} for {k} columns."
+        )
     terms = []
     for i, be in enumerate(bucket_exprs):
         for j in range(bits):
@@ -89,8 +101,11 @@ def zorder_value(
 
     ``bounds`` may be passed explicitly (e.g. from a previous day's
     profile) to keep z-values stable across incremental writes;
-    otherwise they are computed with one aggregate.
+    otherwise they are computed with one aggregate. ``bits`` is
+    auto-reduced so the code fits a BIGINT's 63 value bits — per-axis
+    resolution, not correctness, is what shrinks with more columns.
     """
+    bits = min(bits, 63 // len(cols))
     bounds = bounds or column_bounds(df, cols)
     buckets = [bucketize_sql(c, *bounds[c], bits) for c in cols]
     return df.withColumn(out_col, F.expr(interleave_sql(buckets, bits)))

@@ -19,6 +19,7 @@ def test_redact_all_kinds(spark):
             (1, "write to alice.smith+x@corp.example.com or call 555-0199 now"),
             (2, "server at 192.168.0.17 responded"),
             (3, "nothing sensitive here"),
+            (4, "Contact John.Doe@Example.COM about it"),  # mixed case
         ],
         ["id", "text"],
     )
@@ -36,6 +37,8 @@ def test_redact_all_kinds(spark):
     assert by_id[2]["ni"] == 1
     assert by_id[3]["red"] == "nothing sensitive here"
     assert (by_id[3]["ne"], by_id[3]["np"], by_id[3]["ni"]) == (0, 0, 0)
+    assert by_id[4]["red"] == "Contact <EMAIL> about it"
+    assert by_id[4]["ne"] == 1
 
 
 def test_contamination_and_decontaminate(spark):

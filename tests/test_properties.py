@@ -11,7 +11,7 @@ from hypothesis import given, settings, strategies as st
 from pyspark.sql import functions as F
 
 _EDGES = st.lists(
-    st.tuples(st.integers(0, 25), st.integers(0, 25)).filter(lambda e: e[0] != e[1]),
+    st.tuples(st.integers(0, 25), st.integers(0, 25)),  # self-loops allowed
     min_size=0,
     max_size=40,
 )
@@ -93,3 +93,30 @@ def test_hash_split_partition_and_stability(spark, w_train, w_val, w_test):
     bigger = hash_split(spark.range(800).withColumnRenamed("id", "k"), "k", weights)
     big = {(r.k, r.split) for r in bigger.collect() if r.k < 500}
     assert small == big
+
+
+def test_connected_components_string_ids(spark):
+    """Node ids need not be numeric: the driver fast path must
+    preserve the caller's id type (min-label = lexicographic min for
+    strings, same as the distributed path's F.min)."""
+    from bootcamp_stackacademy_datalake_minio_airflow_spark.operators.dedup import (
+        connected_components,
+    )
+
+    pairs = spark.createDataFrame(
+        [("doc_b", "doc_a"), ("doc_b", "doc_c"), ("x9", "x2")],
+        "id_a string, id_b string",
+    )
+    got = {r.node: r.component for r in connected_components(pairs).collect()}
+    assert got == {
+        "doc_a": "doc_a",
+        "doc_b": "doc_a",
+        "doc_c": "doc_a",
+        "x2": "x2",
+        "x9": "x2",
+    }
+    dist = {
+        r.node: r.component
+        for r in connected_components(pairs, driver_budget_edges=0).collect()
+    }
+    assert dist == got
