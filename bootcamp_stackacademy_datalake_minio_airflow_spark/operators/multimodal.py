@@ -146,3 +146,95 @@ def repartition_for_media(
     """Partition a media table by its payload volume, not row count."""
     n = max(1, total_bytes // target_partition_bytes)
     return df.repartition(int(n))
+
+
+DECODED_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType(), False),
+        StructField("width", IntegerType(), False),
+        StructField("height", IntegerType(), False),
+        StructField("channels", IntegerType(), False),
+        StructField("pixels", BinaryType(), True),  # row-major HxWxC uint8
+    ]
+)
+
+
+def decode_media(
+    df: DataFrame, strict: bool = False, channels: int = 3
+) -> DataFrame:
+    """Decode assets to raw pixel buffers (HxWxC uint8, row-major).
+
+    The codec step is STUBBED (no image libraries in this container):
+    strict mode raises at executor time; otherwise the pixel buffer is
+    a deterministic fake — the encoded bytes tiled to fill the
+    metadata-declared dimensions (fallback 8x8) — so every downstream
+    transform (resize, feature extraction) exercises real buffers of
+    the real shape through the real Arrow plumbing.
+    """
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            if strict:
+                raise NotImplementedError(
+                    "media decoding requires a codec library not present in "
+                    "this environment; wire a real decoder here"
+                )
+            out = {"asset_id": [], "width": [], "height": [], "channels": [], "pixels": []}
+            for _, row in pdf.iterrows():
+                w = int(row["width"]) if pd.notna(row["width"]) else 8
+                h = int(row["height"]) if pd.notna(row["height"]) else 8
+                data = row["data"] if row["data"] is not None else b"\x00"
+                need = w * h * channels
+                buf = np.frombuffer(data, dtype=np.uint8)
+                reps = -(-need // max(1, len(buf)))
+                pixels = np.tile(buf, reps)[:need].tobytes()
+                out["asset_id"].append(row["asset_id"])
+                out["width"].append(w)
+                out["height"].append(h)
+                out["channels"].append(channels)
+                out["pixels"].append(pixels)
+            yield pd.DataFrame(out)
+
+    narrow = df.select(
+        "asset_id",
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+        "data",
+    )
+    target = narrow.sparkSession.sparkContext.defaultParallelism
+    return narrow.repartition(target).mapInPandas(_decode, DECODED_SCHEMA)
+
+
+def resize_nearest(
+    decoded: DataFrame, target_w: int, target_h: int
+) -> DataFrame:
+    """Nearest-neighbor resize of decoded pixel buffers — REAL image
+    math (pure numpy index sampling), not a stub: it operates on any
+    HxWxC uint8 buffer regardless of where the pixels came from.
+
+    Same Arrow-batched shape as the decode: one mapInPandas, no
+    driver involvement, output rows are (asset_id, target dims,
+    resampled buffer).
+    """
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = {"asset_id": [], "width": [], "height": [], "channels": [], "pixels": []}
+            for _, row in pdf.iterrows():
+                w, h, c = int(row["width"]), int(row["height"]), int(row["channels"])
+                img = np.frombuffer(row["pixels"], dtype=np.uint8).reshape(h, w, c)
+                ys = (np.arange(target_h) * h) // target_h
+                xs = (np.arange(target_w) * w) // target_w
+                resized = img[ys][:, xs]
+                out["asset_id"].append(row["asset_id"])
+                out["width"].append(target_w)
+                out["height"].append(target_h)
+                out["channels"].append(c)
+                out["pixels"].append(resized.tobytes())
+            yield pd.DataFrame(out)
+
+    return decoded.mapInPandas(_resize, DECODED_SCHEMA)

@@ -255,3 +255,50 @@ def test_stream_enrich_static_broadcast(spark, tmp_path):
     q.awaitTermination(120)
     got = {(r.doc_id, r.quality) for r in spark.table("t_stream_enrich").collect()}
     assert got == {(1, 0.9), (2, 0.2), (3, None)}
+
+
+def test_decode_resize_pipeline(spark):
+    """decode (stubbed pixels, real plumbing) -> nearest resize (real
+    math): shapes, byte sizes, and hand-checked resampling."""
+    import numpy as np
+
+    from bootcamp_stackacademy_datalake_minio_airflow_spark.operators.multimodal import (
+        DECODED_SCHEMA,
+        decode_media,
+        resize_nearest,
+    )
+
+    rows = [
+        (1, "image", bytes(range(12)), ("image/png", 2, 2, None)),
+        (2, "image", b"\xff", ("image/png", None, None, None)),  # meta-less: 8x8
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "asset_id long, kind string, data binary, "
+        "meta struct<mime:string,width:int,height:int,duration_ms:int>",
+    )
+    dec = {r.asset_id: r for r in decode_media(df).collect()}
+    assert (dec[1].width, dec[1].height, dec[1].channels) == (2, 2, 3)
+    assert len(dec[1].pixels) == 2 * 2 * 3
+    assert dec[1].pixels == bytes(range(12))  # tiling of 12 bytes into 12 slots
+    assert (dec[2].width, dec[2].height) == (8, 8)
+    assert len(dec[2].pixels) == 8 * 8 * 3
+    assert set(dec[2].pixels) == {0xFF}  # single byte tiled everywhere
+
+    up = {r.asset_id: r for r in resize_nearest(decode_media(df), 4, 4).collect()}
+    assert (up[1].width, up[1].height) == (4, 4)
+    assert len(up[1].pixels) == 4 * 4 * 3
+    # nearest-neighbor 2x upscale duplicates each source pixel 2x2:
+    src = np.frombuffer(dec[1].pixels, np.uint8).reshape(2, 2, 3)
+    got = np.frombuffer(up[1].pixels, np.uint8).reshape(4, 4, 3)
+    assert (got[0, 0] == src[0, 0]).all() and (got[1, 1] == src[0, 0]).all()
+    assert (got[3, 3] == src[1, 1]).all() and (got[0, 3] == src[0, 1]).all()
+
+    # strict mode marks the decode as honestly unimplemented
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="NotImplementedError|codec"):
+        decode_media(df, strict=True).collect()
+    assert [f.name for f in DECODED_SCHEMA.fields] == [
+        "asset_id", "width", "height", "channels", "pixels",
+    ]
