@@ -11,7 +11,7 @@ an inference pass is a full extra read of the data).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql.types import StructType
+from pyspark.sql.types import StringType, StructField, StructType
 
 
 def read_csv(
@@ -21,6 +21,7 @@ def read_csv(
     header: bool = True,
     multi_line: bool = False,
     timestamp_format: str = "yyyy-MM-dd HH:mm:ss",
+    corrupt_col: str | None = None,
 ) -> DataFrame:
     """Typed CSV scan over a file/directory/prefix.
 
@@ -30,9 +31,22 @@ def read_csv(
     option explicitly, SURVEY §7.3). multiLine disables input-split
     parallelism per file, so keep review-like tables in many smaller
     files at scale.
+
+    ``corrupt_col`` enables quarantine ingestion: rows the parser
+    cannot fit to the schema land with their raw line in that column
+    (and nulls elsewhere) instead of being silently nulled — filter
+    ``col(corrupt_col).isNotNull()`` to a reject table and assert the
+    clean side. The eager pandas reference aborts the whole file on a
+    bad row; at lake scale a single undecodable line must not sink a
+    multi-TB ingest.
     """
+    read_schema = schema
+    if corrupt_col is not None:
+        read_schema = StructType(
+            list(schema.fields) + [StructField(corrupt_col, StringType(), True)]
+        )
     reader = (
-        spark.read.schema(schema)
+        spark.read.schema(read_schema)
         .option("header", str(header).lower())
         .option("timestampFormat", timestamp_format)
         .option("recursiveFileLookup", "true")
@@ -40,6 +54,8 @@ def read_csv(
         .option("escape", '"')
         .option("mode", "PERMISSIVE")
     )
+    if corrupt_col is not None:
+        reader = reader.option("columnNameOfCorruptRecord", corrupt_col)
     if multi_line:
         reader = reader.option("multiLine", "true")
     return reader.csv(path)

@@ -154,3 +154,30 @@ def test_zorder_write_clusters_both_dimensions(spark, tmp_path):
     a = zorder_value(df, ["x", "y"], bits=8, out_col="z").select("id", "z")
     b = zorder_value(df, ["x", "y"], bits=8, out_col="z").select("id", "z")
     assert a.exceptAll(b).count() == 0
+
+
+def test_read_csv_quarantines_corrupt_rows(spark, tmp_path):
+    """PERMISSIVE + corrupt_col: malformed lines surface with their raw
+    text for quarantine instead of silently nulling or killing the
+    ingest."""
+    from pyspark.sql.types import IntegerType, StringType, StructField, StructType
+
+    from bootcamp_stackacademy_datalake_minio_airflow_spark.sources.csv import read_csv
+
+    p = tmp_path / "in.csv"
+    p.write_text("id,qty,name\n1,10,ok\nnot_an_int,zz,bad\n3,30,fine\n")
+    schema = StructType(
+        [
+            StructField("id", IntegerType(), True),
+            StructField("qty", IntegerType(), True),
+            StructField("name", StringType(), True),
+        ]
+    )
+    df = read_csv(spark, str(p), schema, corrupt_col="_bad").cache()
+    good = df.filter("_bad IS NULL")
+    bad = df.filter("_bad IS NOT NULL")
+    assert {r.id for r in good.collect()} == {1, 3}
+    assert bad.count() == 1
+    assert "not_an_int" in bad.first()["_bad"]
+    # without corrupt_col the scan shape is unchanged (no extra column)
+    assert read_csv(spark, str(p), schema).columns == ["id", "qty", "name"]
