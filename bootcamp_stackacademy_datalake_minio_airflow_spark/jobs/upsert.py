@@ -30,8 +30,12 @@ def merge_upsert(
     append, and rows whose update has ``tombstone_col = true`` drop."""
     cols = target.columns
     if tombstone_col and tombstone_col in updates.columns:
-        deletes = updates.filter(F.col(tombstone_col)).select(key)
-        updates = updates.filter(~F.col(tombstone_col)).drop(tombstone_col)
+        # NULL tombstone = plain upsert. Without the coalesce, a NULL
+        # row fails BOTH filters (NOT NULL is NULL) and the update
+        # silently vanishes — neither deleted nor applied.
+        is_delete = F.coalesce(F.col(tombstone_col), F.lit(False))
+        deletes = updates.filter(is_delete).select(key)
+        updates = updates.filter(~is_delete).drop(tombstone_col)
         target = target.join(deletes, key, "left_anti")
     t = target.alias("t")
     u = updates.alias("u")
@@ -84,15 +88,23 @@ def upsert_parquet(
         # Previous generations park OUTSIDE the table root — a
         # "<part>__replaced" sibling inside it would read as a bogus
         # partition value during (or, after a crash, forever after)
-        # the swap.
+        # the swap. A touched partition with NO staged output means
+        # every row in it was tombstoned: the live directory must be
+        # deleted, not skipped, or the deletes silently resurface.
         backup_root = f"{path.rstrip('/')}__backup"
-        for part_dir in list_subdirs(spark, staging):
+        staged = set(list_subdirs(spark, staging))
+        for part_dir in staged:
             publish_swap(
                 spark,
                 f"{staging}/{part_dir}",
                 f"{path.rstrip('/')}/{part_dir}",
                 backup_path=f"{backup_root}/{part_dir}",
             )
+        for part_dir in set(list_subdirs(spark, path)) - staged:
+            if part_dir.split("=", 1)[0] == partition_col and part_dir.split(
+                "=", 1
+            )[-1] in {str(p) for p in parts}:
+                delete_path(spark, f"{path.rstrip('/')}/{part_dir}")
         delete_path(spark, staging)
         delete_path(spark, backup_root)
     else:

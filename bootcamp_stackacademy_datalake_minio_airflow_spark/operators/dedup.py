@@ -278,8 +278,12 @@ def minhash_lsh_pairs(
         )
         return f"({lanes})"
 
+    # xxhash64, not hash(): the 32-bit murmur key would collide
+    # bucket-randomly at ~100M docs x bands scale (birthday on 2^32),
+    # inflating the compared-pair count; 64 bits keeps random
+    # collisions negligible as documented above
     band_structs = ", ".join(
-        "named_struct('band', {b}, 'bhash', hash({b}, {cols}))".format(
+        "named_struct('band', {b}, 'bhash', xxhash64({b}, {cols}))".format(
             b=b,
             cols=", ".join(
                 f"h{i}" for i in range(b * rows_per_band, (b + 1) * rows_per_band)
@@ -444,6 +448,7 @@ def connected_components(
         .withColumn("component", F.col("node"))
         .localCheckpoint()
     )
+    converged = False
     for _ in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges.v == labels.node)
@@ -469,8 +474,17 @@ def connected_components(
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
     edges.unpersist(blocking=False)
+    if not converged:
+        # min-label propagation moves a label one hop per round, so a
+        # chain longer than max_iter would exit with one real cluster
+        # split into several — silently wrong dedup. Fail loudly.
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} iterations "
+            "(graph diameter exceeds max_iter); raise max_iter"
+        )
     return labels
 
 

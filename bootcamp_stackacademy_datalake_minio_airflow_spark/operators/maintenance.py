@@ -38,6 +38,13 @@ def salted_join(
     the right side by ``salt_buckets`` — keep it for dimension-sized
     right sides.
     """
+    if how.lower().replace("_", "") in ("right", "rightouter", "full", "fullouter", "outer"):
+        raise ValueError(
+            f"how={how!r}: salting replicates every right row into all "
+            "buckets, so right/full outer joins would null-extend the "
+            f"{salt_buckets - 1} unmatched replicas into spurious rows; "
+            "swap the sides or use a plain join"
+        )
     salted_l = left.withColumn(
         "__salt", (F.rand(seed=42) * salt_buckets).cast("int")
     )

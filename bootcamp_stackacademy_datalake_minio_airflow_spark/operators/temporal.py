@@ -29,9 +29,16 @@ def asof_join(
 
     Ties (equal timestamps) resolve to the right row, matching pandas
     ``merge_asof(allow_exact_matches=True)``.
+
+    A value column whose name already exists on the left lands as
+    ``<name>_asof`` (pandas' suffix behavior) — emitting two columns
+    with one name would make the result unselectable.
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    out_names = {
+        c: (f"{c}_asof" if c in left.columns else c) for c in value_cols
+    }
 
     l_tagged = left.select(
         F.col(on).alias("__k"),
@@ -78,7 +85,7 @@ def asof_join(
         )
 
     out = filled.filter(F.col("__is_left") == 1).select(
-        "__row.*", *[F.col(f"__f_{c}").alias(c) for c in value_cols]
+        "__row.*", *[F.col(f"__f_{c}").alias(out_names[c]) for c in value_cols]
     )
     return out
 

@@ -48,7 +48,13 @@ def stream_enrich_static(
     """Enrich a stream with a static dimension via broadcast join.
 
     Stream-static joins are stateless (no watermark bookkeeping): each
-    micro-batch plans a fresh broadcast of the dimension, so dimension
-    updates between batches are picked up automatically.
+    micro-batch re-executes the dimension scan. Caveat that matters in
+    production: a file-based ``dim`` (``spark.read.parquet(...)``)
+    snapshots its FILE LISTING at DataFrame creation — re-execution
+    re-reads the same files, so dimension files added later are never
+    seen and replaced files can fail mid-stream. For a dimension that
+    changes while the stream runs, re-create the DataFrame per batch
+    inside ``foreachBatch`` (or use a table format whose snapshot the
+    scan re-resolves).
     """
     return stream.join(F.broadcast(dim), on=on, how=how)

@@ -66,10 +66,16 @@ def _sessionize(
             )
         return
 
+    # null timestamps (pd.NaT) would otherwise fold in as int64-min
+    # and fabricate a year-1677 session — drop them up front
     ts_ms: list[int] = []
     for pdf in pdfs:
-        ts_ms.extend(int(t.value // 1_000_000) for t in pdf["ts"])
+        ts_ms.extend(
+            int(t.value // 1_000_000) for t in pdf["ts"] if not pd.isna(t)
+        )
     ts_ms.sort()
+    if not ts_ms:
+        return
 
     if state.exists:
         start_ms, last_ms, n = state.get
@@ -81,8 +87,14 @@ def _sessionize(
     for t in ts_ms:
         if t - last_ms > _GAP_MS:
             closed.append((start_ms, last_ms, n))
-            start_ms, n = t, 0
-        last_ms = t
+            start_ms, last_ms, n = t, t, 0
+        else:
+            # a late (within-watermark) event may precede the open
+            # session's bounds: widen, never regress — last_ms must
+            # stay the session's true end or the next gap check and
+            # the emitted session_end are wrong
+            start_ms = min(start_ms, t)
+            last_ms = max(last_ms, t)
         n += 1
 
     state.update((start_ms, last_ms, n))

@@ -76,10 +76,19 @@ def events_stream_tumbling(
     watermark: str = "2 hours",
     checkpoint_dir: str | None = None,
     output_table: str = "events_windowed",
+    max_files_per_trigger: int = 8,
 ) -> StreamingQuery:
     """File-source streaming ingest of events with tumbling-window
     aggregation and late-data watermark; writes to an in-memory sink
     (swap for a parquet/kafka sink in production).
+
+    Output mode is APPEND: a window row is emitted exactly once, when
+    the watermark passes its end — so the sink table never holds two
+    conflicting rows for one window. (update mode with this sink
+    appends every per-trigger revision: a window spanning two
+    micro-batches would surface twice with different counts.) The
+    cost of exactly-once-on-close semantics: windows the watermark
+    has not passed when the source drains stay open and unemitted.
 
     The watermark bounds state: windows older than max(event time) -
     watermark are finalized and evicted, so state size is O(active
@@ -88,13 +97,13 @@ def events_stream_tumbling(
     """
     stream = (
         spark.readStream.schema(EVENTS_SCHEMA)
-        .option("maxFilesPerTrigger", 8)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(source_dir)
         .withWatermark("ts", watermark)
     )
     agg = tumbling_counts(stream, window)
     writer = (
-        agg.writeStream.outputMode("update")
+        agg.writeStream.outputMode("append")
         .format("memory")
         .queryName(output_table)
         .trigger(availableNow=True)

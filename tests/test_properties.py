@@ -63,7 +63,11 @@ def test_connected_components_paths_agree(spark, edges):
     }
     via_distributed = {
         r.node: r.component
-        for r in connected_components(pairs, driver_budget_edges=0).collect()
+        # max_iter must cover the worst-case diameter (a 26-node path);
+        # the loop exits early at the fixpoint anyway
+        for r in connected_components(
+            pairs, driver_budget_edges=0, max_iter=30
+        ).collect()
     }
     assert via_driver == via_distributed == _reference_components(edges)
 

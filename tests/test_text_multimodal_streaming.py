@@ -95,20 +95,32 @@ def test_streaming_tumbling_matches_batch(spark, sf_dir, tmp_path):
 
     # stream the same data from a parquet dir (micro-batched file source)
     src = str(tmp_path / "events_src")
-    events.write.parquet(src)
+    # time-ranged files: the file source reads them in path order, so
+    # triggers see time-ordered data (like a real log) and the
+    # watermark never retroactively drops a window's events
+    events.repartitionByRange(8, "ts").sortWithinPartitions("ts").write.parquet(src)
     q = events_stream_tumbling(
         spark,
         src,
         window="1 hour",
         checkpoint_dir=str(tmp_path / "ckpt"),
         output_table="t_events_windowed",
+        max_files_per_trigger=2,
     )
     q.awaitTermination(120)
     streamed = spark.table("t_events_windowed")
-    # availableNow + update mode processes everything; final state == batch
-    b = {tuple(r) for r in batch.collect()}
-    s = {tuple(r) for r in streamed.collect()}
-    assert b == s
+    # append mode: each emitted window appears EXACTLY ONCE and agrees
+    # with the batch aggregation; windows the watermark never passed
+    # before the source drained stay open (unemitted), so streamed is
+    # a subset — but across multiple triggers a real prefix must have
+    # closed and emitted.
+    b = {(r.window_start, r.event_type): tuple(r) for r in batch.collect()}
+    s_rows = streamed.collect()
+    keys = [(r.window_start, r.event_type) for r in s_rows]
+    assert len(keys) == len(set(keys)), "append sink must not duplicate windows"
+    assert len(s_rows) > 0, "multi-trigger run must close some windows"
+    for r in s_rows:
+        assert tuple(r) == b[(r.window_start, r.event_type)]
 
 
 def test_stateful_sessionization_stream(spark, tmp_path):
