@@ -40,6 +40,11 @@ def zone_path(zone: str, table: str, base: str | None = None) -> str:
     if zone not in ZONES:
         raise ValueError(f"unknown zone {zone!r}; expected one of {ZONES}")
     base = base if base is not None else os.environ.get("LAKE_BASE", "s3a://")
+    if base.endswith("://"):
+        # scheme-only base ("s3a://", zone = bucket name): rstrip('/')
+        # would eat the authority slashes and emit the malformed
+        # 's3a:/bronze/...' (null-authority URI Hadoop rejects)
+        return f"{base}{zone}/olist/{table}/"
     return f"{base.rstrip('/')}/{zone}/olist/{table}/"
 
 

@@ -53,14 +53,30 @@ def publish_swap(
     old = _jp(jvm, (backup_path or final_path.rstrip("/") + "__replaced"))
     if backup_path is not None:
         fs.mkdirs(old.getParent())
+    # Crash recovery BEFORE cleanup: if a previous run died between
+    # its two renames, the backup dir holds the ONLY copy of the table
+    # (final is gone). Restore it first — deleting a leftover backup
+    # unconditionally would destroy that sole surviving generation.
     if fs.exists(old):
-        fs.delete(old, True)
+        if not fs.exists(final):
+            if not fs.rename(old, final):
+                raise IOError(
+                    f"publish_swap: orphaned previous generation at {old} "
+                    f"with no live {final_path}, and restoring it failed; "
+                    "resolve manually before publishing"
+                )
+        else:
+            fs.delete(old, True)
     had_previous = fs.exists(final)
     if had_previous and not fs.rename(final, old):
         raise IOError(f"publish_swap: cannot move {final_path} aside")
     if not fs.rename(staging, final):
-        if had_previous:
-            fs.rename(old, final)  # roll back
+        if had_previous and not fs.rename(old, final):  # roll back
+            raise IOError(
+                f"publish_swap: publish of {staging_path} failed AND the "
+                f"rollback rename failed — {final_path} is missing; the "
+                f"previous generation is stranded at {old}"
+            )
         raise IOError(f"publish_swap: cannot publish {staging_path}")
     if had_previous:
         fs.delete(old, True)

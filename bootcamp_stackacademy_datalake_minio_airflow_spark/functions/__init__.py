@@ -63,7 +63,11 @@ def replace_literal(col: str | Column, find: str, repl: str) -> Column:
         return F.translate(c, find, repl)
     import re
 
-    return F.regexp_replace(c, re.escape(find), repl)
+    # the replacement is a Java template string: bare '$1' would be a
+    # group reference and bare '\' an escape — quote both so the
+    # "literal replace" contract holds (Matcher.quoteReplacement)
+    literal_repl = repl.replace("\\", "\\\\").replace("$", r"\$")
+    return F.regexp_replace(c, re.escape(find), literal_repl)
 
 
 def rename_map(df: DataFrame, mapping: Mapping[str, str]) -> DataFrame:

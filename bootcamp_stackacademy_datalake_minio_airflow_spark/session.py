@@ -39,13 +39,19 @@ def s3a_conf(
         "spark.hadoop.fs.s3a.path.style.access": str(path_style).lower(),
         "spark.hadoop.fs.s3a.committer.name": "magic",
         "spark.hadoop.fs.s3a.committer.magic.enabled": "true",
-        "spark.sql.sources.commitProtocolClass": (
-            "org.apache.spark.internal.io.cloud.PathOutputCommitProtocol"
-        ),
-        "spark.sql.parquet.output.committer.class": (
-            "org.apache.spark.internal.io.cloud.BindingParquetOutputCommitter"
-        ),
     }
+    # The cloud commit protocol classes ship in spark-hadoop-cloud,
+    # which pip pyspark does NOT bundle — and these are session-global
+    # SQL confs that would break EVERY write (file:// included) with
+    # ClassNotFoundException when the jar is absent. Opt in explicitly
+    # on clusters that carry the jar.
+    if os.environ.get("SPARK_CLOUD_COMMITTER", "").lower() in ("1", "true"):
+        conf["spark.sql.sources.commitProtocolClass"] = (
+            "org.apache.spark.internal.io.cloud.PathOutputCommitProtocol"
+        )
+        conf["spark.sql.parquet.output.committer.class"] = (
+            "org.apache.spark.internal.io.cloud.BindingParquetOutputCommitter"
+        )
     if endpoint:
         conf["spark.hadoop.fs.s3a.endpoint"] = endpoint
     if access_key:

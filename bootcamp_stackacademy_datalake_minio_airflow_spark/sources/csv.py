@@ -36,9 +36,12 @@ def read_csv(
     cannot fit to the schema land with their raw line in that column
     (and nulls elsewhere) instead of being silently nulled — filter
     ``col(corrupt_col).isNotNull()`` to a reject table and assert the
-    clean side. The eager pandas reference aborts the whole file on a
-    bad row; at lake scale a single undecodable line must not sink a
-    multi-TB ingest.
+    clean side. NOTE: ``.cache()`` (or select at least one real
+    column) before a filter that references ONLY the corrupt column —
+    Spark disallows raw-CSV queries whose pruned schema is just the
+    internal corrupt-record field. The eager pandas reference aborts
+    the whole file on a bad row; at lake scale a single undecodable
+    line must not sink a multi-TB ingest.
     """
     read_schema = schema
     if corrupt_col is not None:

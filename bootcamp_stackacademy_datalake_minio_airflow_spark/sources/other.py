@@ -66,6 +66,13 @@ def read_jdbc(
         .option("driver", driver)
     )
     if partition_column is not None:
+        if lower_bound is None or upper_bound is None:
+            # str(None) would reach the JVM as the literal 'None' and
+            # die in a NumberFormatException far from the caller
+            raise ValueError(
+                "partition_column requires explicit lower_bound and "
+                "upper_bound (e.g. SELECT min(col), max(col) first)"
+            )
         reader = (
             reader.option("partitionColumn", partition_column)
             .option("lowerBound", str(lower_bound))
