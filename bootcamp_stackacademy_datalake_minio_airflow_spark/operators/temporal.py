@@ -57,10 +57,18 @@ def asof_join(
     merged = l_tagged.unionByName(r_tagged)
 
     if direction == "backward":
-        # right rows sort before left rows at equal time -> exact match allowed
+        # right rows sort before left rows at equal time -> exact match
+        # allowed. The trailing __v_ keys make ties among right rows at
+        # one timestamp deterministic (last() picks the max value
+        # tuple): without them the window order among equal keys is
+        # whatever survives the shuffle — racy on a real cluster.
         w = (
             Window.partitionBy("__k")
-            .orderBy(F.asc("__t"), F.asc("__is_left"))
+            .orderBy(
+                F.asc("__t"),
+                F.asc("__is_left"),
+                *[F.asc(f"__v_{c}") for c in value_cols],
+            )
             .rowsBetween(Window.unboundedPreceding, 0)
         )
         filled = merged.select(
@@ -73,7 +81,11 @@ def asof_join(
     else:
         w = (
             Window.partitionBy("__k")
-            .orderBy(F.desc("__t"), F.asc("__is_left"))
+            .orderBy(
+                F.desc("__t"),
+                F.asc("__is_left"),
+                *[F.asc(f"__v_{c}") for c in value_cols],
+            )
             .rowsBetween(Window.unboundedPreceding, 0)
         )
         filled = merged.select(

@@ -38,9 +38,8 @@ def q_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         "o_totalprice",
     )
-    # secondary tie-break: order right side by (time, orderkey) so the
-    # last-non-null carries the max-orderkey row at equal timestamps
-    orders = orders.orderBy("o_orderdate", "o_orderkey")
+    # ties on o_orderdate resolve inside asof_join's window order
+    # (max value tuple, i.e. max o_orderkey) — matching the oracle
     out = asof_join(
         ev,
         orders,

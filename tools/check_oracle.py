@@ -59,10 +59,15 @@ def main() -> int:
         )
 
     qs, oracles = ep.queries(), ep.oracle_sql()
+    unknown = only - set(qs)
+    if unknown:
+        print(f"WARN  unknown query names (typo?): {sorted(unknown)}")
     failures = []
+    n_run = 0
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        n_run += 1
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir)
@@ -93,20 +98,30 @@ def main() -> int:
             print(f"FAIL  {name}: rows spark={len(s_rows)} duck={len(d_rows)}")
             ok = False
         if ok:
-            # Type-fidelity audit via pandas (mimics the driver's canon):
+            # Type-fidelity audit (mimics the driver's pandas canon):
             # DuckDB HUGEINT/int128 lands as float64 or object in pandas
             # while Spark emits int64 — the driver's value hash can never
-            # match then, even when str() of the values agrees.
+            # match then, even when str() of the values agrees. Kinds
+            # come from the SCHEMAS (Spark dtypes + a DESCRIBE of the
+            # oracle), not from re-executing both queries — the previous
+            # toPandas()/re-execute pair roughly doubled gate runtime.
+            _SPARK_KIND = {"tinyint": "i", "smallint": "i", "int": "i",
+                           "bigint": "i", "float": "f", "double": "f"}
+            _DUCK_KIND = {"TINYINT": "i", "SMALLINT": "i", "INTEGER": "i",
+                          "BIGINT": "i", "HUGEINT": "O", "UBIGINT": "O",
+                          "FLOAT": "f", "DOUBLE": "f"}
             try:
-                s_pdf = sdf.toPandas()
-                d_pdf = con.execute(sql).fetch_df()
+                s_kinds = {c: _SPARK_KIND.get(t, "O") for c, t in sdf.dtypes}
+                d_kinds = {
+                    r[0]: _DUCK_KIND.get(str(r[1]).split("(")[0], "O")
+                    for r in con.execute(f"DESCRIBE {sql}").fetchall()
+                }
                 for c in sorted(s_cols):
-                    sk = s_pdf[c].dtype.kind
-                    dk = d_pdf[c].dtype.kind
-                    if {sk, dk} == {"i", "f"} or {sk, dk} == {"i", "O"}:
+                    sk, dk = s_kinds[c], d_kinds[c]
+                    if "i" in (sk, dk) and sk != dk:
                         print(
                             f"FAIL  {name}: dtype fidelity col={c} "
-                            f"spark={s_pdf[c].dtype} duck={d_pdf[c].dtype} "
+                            f"spark-kind={sk} duck-kind={dk} "
                             "(driver hash would mismatch; CAST the oracle)"
                         )
                         ok = False
@@ -135,7 +150,7 @@ def main() -> int:
         else:
             failures.append(name)
 
-    print(f"\n{len(qs) - len(failures)}/{len(qs)} ok")
+    print(f"\n{n_run - len(failures)}/{n_run} ok")
     return 1 if failures else 0
 
 
