@@ -3,6 +3,11 @@
 ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
+The stdout line is kept COMPACT (the driver's tail capture truncates
+long lines — round 2's 95-query line overflowed it and the official
+perf record was unparseable): "queries" on stdout carries only the 10
+slowest; the full per-query map goes to stderr and BENCH_FULL.json.
+
 Each query is forced to execute fully (count via a noop write-less
 action) after a warm-up of the session; timings are wall-clock per
 query, end to end (scan -> compute -> materialize counts).
@@ -59,17 +64,32 @@ def main() -> None:
         spark.catalog.clearCache()
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    full = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "n_queries": len(timings),
+        "n_errors": sum(1 for t in timings.values() if t < 0),
+        "queries": timings,
+        "sf": sf_val,
+    }
+    # full per-query map: stderr + a sibling file (never stdout)
+    print(json.dumps(full), file=sys.stderr)
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"),
+            "w",
+        ) as f:
+            json.dump(full, f, indent=1)
+    except OSError:
+        pass
+    slowest = dict(
+        sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:10]
     )
+    compact = dict(full)
+    compact["queries"] = slowest  # 10 slowest only; full map in BENCH_FULL.json
+    print(json.dumps(compact, separators=(",", ":")))
 
 
 if __name__ == "__main__":

@@ -82,6 +82,51 @@ def publish_swap(
         fs.delete(old, True)
 
 
+def recover_swaps(
+    spark: SparkSession, final_path: str, backup_path: str | None = None
+) -> None:
+    """Restore leftover previous generations from a crashed publish_swap.
+
+    MUST run before a job READS ``final_path`` to compute a rewrite it
+    will then publish: if a prior run died between publish_swap's two
+    renames, the backup dir holds the ONLY copy of the data and the
+    final path is empty — reading first would compute the rewrite
+    against nothing, and the publish itself would then restore the
+    backup only to overwrite it (and delete the backup root),
+    silently losing every non-rewritten row.
+
+    Covers both layouts: the flat ``<final>__replaced`` sibling used
+    by un-partitioned swaps, and a per-partition ``backup_path`` root
+    (one subdir per partition dir, as upsert_parquet stages them).
+    For each leftover: if the live path survived, the backup is a
+    stale previous generation — delete it; if not, the backup is the
+    sole copy — rename it back, or fail loudly.
+    """
+    fs, jvm = _fs_for(spark, final_path)
+    pairs = []
+    legacy = _jp(jvm, final_path.rstrip("/") + "__replaced")
+    if fs.exists(legacy):
+        pairs.append((legacy, _jp(jvm, final_path)))
+    if backup_path is not None:
+        broot = _jp(jvm, backup_path)
+        if fs.exists(broot):
+            for st in fs.listStatus(broot):
+                name = st.getPath().getName()
+                pairs.append(
+                    (st.getPath(), _jp(jvm, f"{final_path.rstrip('/')}/{name}"))
+                )
+    for old, final in pairs:
+        if fs.exists(final):
+            fs.delete(old, True)
+        elif not fs.rename(old, final):
+            raise IOError(
+                f"recover_swaps: orphaned previous generation at {old} with "
+                f"no live {final}, and restoring it failed; resolve manually"
+            )
+    if backup_path is not None and fs.exists(_jp(jvm, backup_path)):
+        fs.delete(_jp(jvm, backup_path), True)
+
+
 def list_subdirs(spark: SparkSession, path: str) -> list[str]:
     """Names of immediate subdirectories (e.g. partition dirs like
     ``dt=2024-01-01``) of a path."""

@@ -19,6 +19,30 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+# Characters Spark/Hive percent-escape in partition directory values
+# (ExternalCatalogUtils.escapePathName): ASCII control chars plus the
+# path/URI-special set. Space is NOT escaped. Verified empirically
+# against Spark 4's partitioned writes ("a b" -> "p=a b",
+# "x:y" -> "p=x%3Ay", "p/q" -> "p=p%2Fq", "c%d" -> "p=c%25d").
+_HIVE_ESCAPED = {chr(c) for c in range(0x01, 0x20)} | set('"#%\'*/:=?\\{[]^') | {
+    chr(0x7F)
+}
+_HIVE_DEFAULT_PARTITION = "__HIVE_DEFAULT_PARTITION__"
+
+
+def _hive_partition_dir(col: str, value) -> str:
+    """The directory name Spark writes for a partition value — NULL and
+    empty become the default-partition sentinel, special characters are
+    percent-escaped. Matching raw ``str(value)`` against directory
+    names misses any escaped value (and NULL), so tombstone-emptied
+    partitions would silently survive."""
+    if value is None or str(value) == "":
+        return f"{col}={_HIVE_DEFAULT_PARTITION}"
+    escaped = "".join(
+        f"%{ord(ch):02X}" if ch in _HIVE_ESCAPED else ch for ch in str(value)
+    )
+    return f"{col}={escaped}"
+
 
 def merge_upsert(
     target: DataFrame,
@@ -72,12 +96,26 @@ def upsert_parquet(
     touch, merges, and swaps just those partition directories — the
     rest of the table's files are untouched.
     """
-    from ..fsutil import delete_path, list_subdirs, publish_swap
+    from ..fsutil import delete_path, list_subdirs, publish_swap, recover_swaps
 
     staging = f"{path.rstrip('/')}__staging"
     if partition_col:
+        backup_root = f"{path.rstrip('/')}__backup"
+        # Crash recovery BEFORE the target read: if a prior run died
+        # between publish_swap's renames, the backup holds the only
+        # copy of a partition — reading first would merge against an
+        # empty partition and the subsequent publish would overwrite
+        # the restored backup with the rows-lost merge.
+        recover_swaps(spark, path, backup_root)
         parts = [r[0] for r in updates.select(partition_col).distinct().collect()]
-        target = spark.read.parquet(path).filter(F.col(partition_col).isin(parts))
+        # NULL partition values can't be matched by isin(); keep them
+        # via an explicit isNull branch when the updates carry one.
+        has_null = any(p is None for p in parts)
+        non_null = [p for p in parts if p is not None]
+        part_pred = F.col(partition_col).isin(non_null)
+        if has_null:
+            part_pred = part_pred | F.col(partition_col).isNull()
+        target = spark.read.parquet(path).filter(part_pred)
         merged = merge_upsert(target, updates, key, tombstone_col)
         (
             merged.write.mode("overwrite")
@@ -91,7 +129,9 @@ def upsert_parquet(
         # the swap. A touched partition with NO staged output means
         # every row in it was tombstoned: the live directory must be
         # deleted, not skipped, or the deletes silently resurface.
-        backup_root = f"{path.rstrip('/')}__backup"
+        # Matching uses Spark's own dir-name escaping (see
+        # _hive_partition_dir) so escaped values and NULL partitions
+        # are deleted too, not silently kept.
         staged = set(list_subdirs(spark, staging))
         for part_dir in staged:
             publish_swap(
@@ -100,14 +140,14 @@ def upsert_parquet(
                 f"{path.rstrip('/')}/{part_dir}",
                 backup_path=f"{backup_root}/{part_dir}",
             )
+        touched = {_hive_partition_dir(partition_col, p) for p in parts}
         for part_dir in set(list_subdirs(spark, path)) - staged:
-            if part_dir.split("=", 1)[0] == partition_col and part_dir.split(
-                "=", 1
-            )[-1] in {str(p) for p in parts}:
+            if part_dir in touched:
                 delete_path(spark, f"{path.rstrip('/')}/{part_dir}")
         delete_path(spark, staging)
         delete_path(spark, backup_root)
     else:
+        recover_swaps(spark, path)
         target = spark.read.parquet(path)
         merged = merge_upsert(target, updates, key, tombstone_col)
         merged.write.mode("overwrite").parquet(staging)

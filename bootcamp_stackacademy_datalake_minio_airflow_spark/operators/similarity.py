@@ -522,10 +522,15 @@ def centroid_classify(
     Centroid means and distances are rounded so any engine replaying
     the same arithmetic (e.g. the DuckDB oracle) lands on identical
     comparisons despite float summation-order differences.
+
+    Ids and labels keep the CALLER's types (no cast): a long cast
+    would silently NULL string ids/labels and collapse all affected
+    rows into one group. Tie-break is min over the label's natural
+    ordering (numeric or lexicographic).
     """
     base = df.select(
-        F.col(id_col).cast("long").alias("__id"),
-        F.col(label_col).cast("long").alias("__lbl"),
+        F.col(id_col).alias("__id"),
+        F.col(label_col).alias("__lbl"),
         F.posexplode(F.col(vec_col).cast("array<double>")).alias("__dim", "__x"),
     )
     cents = base.groupBy(

@@ -77,18 +77,25 @@ def events_stream_tumbling(
     checkpoint_dir: str | None = None,
     output_table: str = "events_windowed",
     max_files_per_trigger: int = 8,
+    output_mode: str = "update",
 ) -> StreamingQuery:
     """File-source streaming ingest of events with tumbling-window
     aggregation and late-data watermark; writes to an in-memory sink
     (swap for a parquet/kafka sink in production).
 
-    Output mode is APPEND: a window row is emitted exactly once, when
-    the watermark passes its end — so the sink table never holds two
-    conflicting rows for one window. (update mode with this sink
-    appends every per-trigger revision: a window spanning two
-    micro-batches would surface twice with different counts.) The
-    cost of exactly-once-on-close semantics: windows the watermark
-    has not passed when the source drains stay open and unemitted.
+    ``output_mode`` picks the completeness/uniqueness trade-off:
+
+    - ``update`` (default): every trigger emits the windows it
+      revised, so with trigger(availableNow) ALL windows — including
+      ones the watermark never passed before the source drained —
+      reach the sink; a window spanning several micro-batches appears
+      once per revision, and consumers take the latest row per key.
+      This is the complete-data mode for a drain-and-stop run.
+    - ``append``: a window row is emitted exactly once, when the
+      watermark passes its end — no duplicate keys ever, but windows
+      still open when the source drains are NEVER emitted (the sink
+      permanently misses the trailing ~watermark of data). Use for
+      continuous streams feeding exactly-once sinks.
 
     The watermark bounds state: windows older than max(event time) -
     watermark are finalized and evicted, so state size is O(active
@@ -103,7 +110,7 @@ def events_stream_tumbling(
     )
     agg = tumbling_counts(stream, window)
     writer = (
-        agg.writeStream.outputMode("append")
+        agg.writeStream.outputMode(output_mode)
         .format("memory")
         .queryName(output_table)
         .trigger(availableNow=True)

@@ -271,5 +271,7 @@ def q_centroid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import centroid_classify
 
     emb = load_table(spark, sf_dir, "embeddings")
-    out = centroid_classify(emb)
+    # the operator preserves caller types; cast here so the emitted
+    # label/predicted are bigint like the oracle's CAST(label AS BIGINT)
+    out = centroid_classify(emb.withColumn("label", F.col("label").cast("long")))
     return out.groupBy("label", "predicted").agg(F.count(F.lit(1)).alias("n"))

@@ -428,7 +428,18 @@ def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(None).cast("int").alias("duration_ms"),
         ).alias("meta"),
     )
-    return extract_features(assets)
+    # the features array is projected to a CSV string: the driver's
+    # value-hash canonicalizer sorts rows and cannot hash a raw list
+    # column (same fix as array_collect_orders). extract_features
+    # itself is unchanged and still returns ArrayType(FloatType).
+    feats = extract_features(assets)
+    return feats.select(
+        "asset_id",
+        "n_bytes",
+        F.concat_ws(
+            ",", F.transform("features", lambda x: F.format_string("%.6f", x))
+        ).alias("features_csv"),
+    )
 
 
 # --- sliding window with EXACT distinct users (full SQL oracle) --------------

@@ -106,6 +106,7 @@ def test_streaming_tumbling_matches_batch(spark, sf_dir, tmp_path):
         checkpoint_dir=str(tmp_path / "ckpt"),
         output_table="t_events_windowed",
         max_files_per_trigger=2,
+        output_mode="append",
     )
     q.awaitTermination(120)
     streamed = spark.table("t_events_windowed")
@@ -121,6 +122,34 @@ def test_streaming_tumbling_matches_batch(spark, sf_dir, tmp_path):
     assert len(s_rows) > 0, "multi-trigger run must close some windows"
     for r in s_rows:
         assert tuple(r) == b[(r.window_start, r.event_type)]
+
+
+def test_streaming_tumbling_update_mode_is_complete(spark, sf_dir, tmp_path):
+    """Default (update) mode: a drain-and-stop run must emit EVERY
+    window — including ones the watermark never passed — with the
+    latest revision per key matching the batch aggregation."""
+    events = load_table(spark, sf_dir, "events")
+    batch = tumbling_counts(events, "1 hour")
+    src = str(tmp_path / "events_src_u")
+    events.repartitionByRange(8, "ts").sortWithinPartitions("ts").write.parquet(src)
+    q = events_stream_tumbling(
+        spark,
+        src,
+        window="1 hour",
+        checkpoint_dir=str(tmp_path / "ckpt_u"),
+        output_table="t_events_windowed_u",
+        max_files_per_trigger=2,
+    )
+    q.awaitTermination(120)
+    s_rows = spark.table("t_events_windowed_u").collect()
+    # the memory sink appends each trigger's revisions; the last row
+    # per key is the final value
+    latest = {}
+    for r in s_rows:
+        latest[(r.window_start, r.event_type)] = tuple(r)
+    b = {(r.window_start, r.event_type): tuple(r) for r in batch.collect()}
+    assert set(latest) == set(b), "update mode must cover every window"
+    assert latest == b
 
 
 def test_stateful_sessionization_stream(spark, tmp_path):

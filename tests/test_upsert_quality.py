@@ -46,6 +46,59 @@ def test_upsert_parquet_partition_pruned(spark, tmp_path):
     assert out == {1: 1.0, 2: 99.0, 3: 3.0}  # 2024-02 partition untouched
 
 
+def test_upsert_parquet_escaped_partition_tombstone(spark, tmp_path):
+    """Fully-tombstoned partitions whose values Hive percent-escapes
+    (here ':' -> '%3A') must still be deleted — raw string matching of
+    directory names would silently keep them."""
+    path = str(tmp_path / "t_esc")
+    spark.createDataFrame(
+        [(1, "a:b", 1.0), (2, "a:b", 2.0), (3, "plain", 3.0)],
+        "k long, part string, v double",
+    ).write.partitionBy("part").parquet(path)
+
+    updates = spark.createDataFrame(
+        [(1, "a:b", 0.0, True), (2, "a:b", 0.0, True)],
+        "k long, part string, v double, deleted boolean",
+    )
+    upsert_parquet(
+        spark, path, updates, "k", partition_col="part", tombstone_col="deleted"
+    )
+    out = {r.k: r.part for r in spark.read.parquet(path).collect()}
+    assert out == {3: "plain"}, "tombstoned escaped partition must not resurface"
+
+
+def test_upsert_parquet_recovers_crashed_swap(spark, tmp_path):
+    """If a prior run died between publish_swap's two renames (live
+    partition dir moved to the backup root, staging never renamed in),
+    a re-run must restore the backup BEFORE reading the target — else
+    it merges against an empty partition and silently drops every
+    non-updated row."""
+    from bootcamp_stackacademy_datalake_minio_airflow_spark.fsutil import _fs_for, _jp
+
+    path = str(tmp_path / "t_crash")
+    spark.createDataFrame(
+        [(1, "2024-01", 1.0), (2, "2024-01", 2.0), (3, "2024-02", 3.0)],
+        "k long, mes string, v double",
+    ).write.partitionBy("mes").parquet(path)
+
+    # simulate the crash window: mes=2024-01 parked in the backup root
+    fs, jvm = _fs_for(spark, path)
+    backup_root = f"{path}__backup"
+    fs.mkdirs(_jp(jvm, backup_root))
+    assert fs.rename(
+        _jp(jvm, f"{path}/mes=2024-01"), _jp(jvm, f"{backup_root}/mes=2024-01")
+    )
+
+    updates = spark.createDataFrame(
+        [(2, "2024-01", 99.0)], "k long, mes string, v double"
+    )
+    upsert_parquet(spark, path, updates, "k", partition_col="mes")
+    out = {r.k: r.v for r in spark.read.parquet(path).collect()}
+    # k=1 survives ONLY if recovery ran before the target read
+    assert out == {1: 1.0, 2: 99.0, 3: 3.0}
+    assert not fs.exists(_jp(jvm, backup_root))
+
+
 def test_null_profile_and_range(spark):
     df = spark.createDataFrame([(1, None), (2, 5.0), (None, 200.0)], "k long, v double")
     prof = null_profile(df).first()
