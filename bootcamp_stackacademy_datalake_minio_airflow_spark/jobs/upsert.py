@@ -38,8 +38,13 @@ def _hive_partition_dir(col: str, value) -> str:
     partitions would silently survive."""
     if value is None or str(value) == "":
         return f"{col}={_HIVE_DEFAULT_PARTITION}"
+    # Spark renders booleans lowercase ("p=true"), not Python's
+    # str(True)="True" — without this, fully-tombstoned boolean
+    # partitions escape deletion. Dates/decimals/ints/floats all
+    # str() identically to Spark's rendering.
+    text = str(value).lower() if isinstance(value, bool) else str(value)
     escaped = "".join(
-        f"%{ord(ch):02X}" if ch in _HIVE_ESCAPED else ch for ch in str(value)
+        f"%{ord(ch):02X}" if ch in _HIVE_ESCAPED else ch for ch in text
     )
     return f"{col}={escaped}"
 
@@ -108,13 +113,22 @@ def upsert_parquet(
         # the restored backup with the rows-lost merge.
         recover_swaps(spark, path, backup_root)
         parts = [r[0] for r in updates.select(partition_col).distinct().collect()]
-        # NULL partition values can't be matched by isin(); keep them
-        # via an explicit isNull branch when the updates carry one.
-        has_null = any(p is None for p in parts)
-        non_null = [p for p in parts if p is not None]
-        part_pred = F.col(partition_col).isin(non_null)
-        if has_null:
-            part_pred = part_pred | F.col(partition_col).isNull()
+        # NULL and '' both land in __HIVE_DEFAULT_PARTITION__ on write
+        # and BOTH read back as NULL — isin(['']) would match nothing,
+        # so the merge would run against an empty target and the swap
+        # would drop every non-updated row in the default partition.
+        # Either sentinel value in the updates must pull the whole
+        # default partition (isNull; the == '' arm covers unpartitioned
+        # -to-partitioned migrations where '' survives as data).
+        has_default = any(p is None or str(p) == "" for p in parts)
+        non_default = [p for p in parts if not (p is None or str(p) == "")]
+        part_pred = F.col(partition_col).isin(non_default)
+        if has_default:
+            part_pred = (
+                part_pred
+                | F.col(partition_col).isNull()
+                | (F.col(partition_col) == "")
+            )
         target = spark.read.parquet(path).filter(part_pred)
         merged = merge_upsert(target, updates, key, tombstone_col)
         (

@@ -14,6 +14,8 @@ keys collide) so the join fans out only within buckets.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -205,6 +207,18 @@ def jaccard(a: Column, b: Column) -> Column:
     return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
 
 
+def _max_disagree(num_hashes: int, threshold: float, margin: float) -> int:
+    """Largest disagreeing-byte count the estimator prefilter admits.
+
+    agree/n >= threshold-margin with integer agree means
+    agree >= ceil(n*(t-m)), i.e. disagree <= n - ceil(n*(t-m)).
+    int(n*(1-(t-m))) truncates one tighter whenever n*(t-m) is exactly
+    integral (n=100, t-m=0.55: 45 admissible, truncation caps at 44),
+    dropping boundary-true pairs before exact verification. The 1e-9
+    guards float noise in n*(t-m) itself."""
+    return num_hashes - math.ceil(num_hashes * (threshold - margin) - 1e-9)
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -311,9 +325,13 @@ def minhash_lsh_pairs(
     # collision stream (the estimator runs once per colliding banded
     # row — millions of times on a shared-vocabulary corpus — so its
     # per-row cost dominates the candidate stage). agree/n >= t-margin
-    # is equivalent to disagree <= floor(n*(1-t+margin)) for integer
-    # counts. Packs beyond num_hashes stay zero-padded: XOR of equal
-    # zero lanes contributes no disagreement, so the bound is exact.
+    # (agree integral) means agree >= ceil(n*(t-margin)), i.e.
+    # disagree <= n - ceil(n*(t-margin)) — NOT floor(n*(1-t+margin)),
+    # which is one tighter whenever n*(t-margin) is exactly integral
+    # (n=100, t-m=0.55: 45 disagreeing bytes admissible, floor caps at
+    # 44 and drops boundary-true pairs before exact verification).
+    # Packs beyond num_hashes stay zero-padded: XOR of equal zero
+    # lanes contributes no disagreement, so the bound is exact.
     def _swar_disagree(k: int) -> str:
         x = f"(l.p{k} ^ r.p{k})"
         t1 = f"({x} | shiftrightunsigned({x}, 4))"
@@ -325,7 +343,7 @@ def minhash_lsh_pairs(
     lanes_used = sum(min(8, num_hashes - 8 * k) for k in range(n_packs))
     assert lanes_used == num_hashes
     disagree_sql = " + ".join(_swar_disagree(k) for k in range(n_packs))
-    max_disagree = int(num_hashes * (1.0 - (threshold - margin)))
+    max_disagree = _max_disagree(num_hashes, threshold, margin)
     left = banded.alias("l")
     right = banded.alias("r")
     prefiltered = (

@@ -6,12 +6,30 @@ from __future__ import annotations
 import pytest
 
 from bootcamp_stackacademy_datalake_minio_airflow_spark.operators.dedup import (
+    _max_disagree,
     dedup_exact,
     dedup_minhash,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
     simhash_pairs,
 )
+
+
+def test_prefilter_disagree_bound_boundary_exact():
+    """The prefilter bound must equal n - ceil(n*(t-m)) — int()
+    truncation of n*(1-(t-m)) is one tighter at exactly-integral
+    n*(t-m) and drops boundary-true pairs before verification."""
+    # the ADVICE.md counterexample: n=100, t-m=0.55 -> 45, not 44
+    assert _max_disagree(100, 0.67, 0.12) == 45
+    # defaults (n=64, t-m=0.68): unchanged vs the old formula
+    assert _max_disagree(64, 0.8, 0.12) == 20
+    # sweep: bound always admits every pair with agree >= ceil(n*(t-m))
+    for n in (48, 64, 100, 128):
+        for tm in (0.5, 0.55, 0.64, 0.68, 0.75):
+            import math
+
+            want = n - math.ceil(n * tm - 1e-9)
+            assert _max_disagree(n, tm + 0.12, 0.12) == want
 
 BASE = (
     "the quick brown fox jumps over the lazy dog while the cat watches "

@@ -142,11 +142,17 @@ def test_streaming_tumbling_update_mode_is_complete(spark, sf_dir, tmp_path):
     )
     q.awaitTermination(120)
     s_rows = spark.table("t_events_windowed_u").collect()
-    # the memory sink appends each trigger's revisions; the last row
-    # per key is the final value
+    # the memory sink appends each trigger's revisions; collect() row
+    # order is an implementation detail, so identify the final
+    # revision per key by max n_events — update mode only re-emits a
+    # key when new events landed in it, so each successive revision
+    # has a strictly larger count
     latest = {}
     for r in s_rows:
-        latest[(r.window_start, r.event_type)] = tuple(r)
+        k = (r.window_start, r.event_type)
+        if k not in latest or r.n_events > latest[k].n_events:
+            latest[k] = r
+    latest = {k: tuple(r) for k, r in latest.items()}
     b = {(r.window_start, r.event_type): tuple(r) for r in batch.collect()}
     assert set(latest) == set(b), "update mode must cover every window"
     assert latest == b

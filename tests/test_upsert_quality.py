@@ -99,6 +99,51 @@ def test_upsert_parquet_recovers_crashed_swap(spark, tmp_path):
     assert not fs.exists(_jp(jvm, backup_root))
 
 
+def test_upsert_parquet_empty_string_partition(spark, tmp_path):
+    """'' and NULL both write to __HIVE_DEFAULT_PARTITION__ and BOTH
+    read back as NULL; an update carrying '' must still pull the whole
+    default partition into the merge — isin(['']) alone matches
+    nothing, so the merge would run against an empty target and the
+    swap would drop every non-updated default-partition row."""
+    path = str(tmp_path / "t_empty")
+    spark.createDataFrame(
+        [(1, "", 1.0), (2, "", 2.0), (3, "real", 3.0)],
+        "k long, part string, v double",
+    ).write.partitionBy("part").parquet(path)
+
+    updates = spark.createDataFrame(
+        [(2, "", 99.0)], "k long, part string, v double"
+    )
+    upsert_parquet(spark, path, updates, "k", partition_col="part")
+    out = {r.k: r.v for r in spark.read.parquet(path).collect()}
+    assert out == {1: 1.0, 2: 99.0, 3: 3.0}, (
+        "non-updated default-partition rows must survive an "
+        "empty-string-partition upsert"
+    )
+
+
+def test_upsert_parquet_boolean_partition_tombstone(spark, tmp_path):
+    """Spark writes boolean partitions lowercase ('flag=true');
+    Python's str(True)='True' would never match the directory, so a
+    fully-tombstoned boolean partition would escape deletion."""
+    path = str(tmp_path / "t_bool")
+    spark.createDataFrame(
+        [(1, True, 1.0), (2, True, 2.0), (3, False, 3.0)],
+        "k long, flag boolean, v double",
+    ).write.partitionBy("flag").parquet(path)
+
+    updates = spark.createDataFrame(
+        [(1, True, 0.0, True), (2, True, 0.0, True)],
+        "k long, flag boolean, v double, deleted boolean",
+    )
+    upsert_parquet(
+        spark, path, updates, "k", partition_col="flag", tombstone_col="deleted"
+    )
+    # partition-type inference may return the column as string 'false'
+    out = {r.k: str(r.flag).lower() for r in spark.read.parquet(path).collect()}
+    assert out == {3: "false"}, "tombstoned boolean partition must not resurface"
+
+
 def test_null_profile_and_range(spark):
     df = spark.createDataFrame([(1, None), (2, 5.0), (None, 200.0)], "k long, v double")
     prof = null_profile(df).first()
