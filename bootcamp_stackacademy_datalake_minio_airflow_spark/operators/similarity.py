@@ -497,6 +497,111 @@ def ivf_topk(
     return cosine_topk(cands, query, k=k, id_col=id_col, vec_col=vec_col, round_to=round_to)
 
 
+def ivf_topk_seeded(
+    df: DataFrame,
+    query: list[float],
+    k: int = 10,
+    n_lists: int = 8,
+    n_probe: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 4,
+) -> DataFrame:
+    """IVF top-k with a deterministic, SQL-replayable coarse quantizer.
+
+    The KMeans-trained index (``ivf_index``/``ivf_topk``) is the
+    production path, but KMeans isn't expressible in ANSI SQL, so its
+    correctness check is rows-only. This variant swaps the trained
+    centroids for a deterministic seed set — the ``n_lists`` vectors
+    with the smallest ``md5(id)`` (md5 is the only cross-engine hash
+    family) — so EVERY stage is replayable by an independent engine:
+
+      1. seeds  = top-n_lists by (md5(id), id)        — ORDER BY/LIMIT
+      2. assign = argmax_j round(cos(v, seed_j), 4), ties to smaller j
+      3. probe  = n_probe seeds nearest the query (same rounding/ties)
+      4. rerank = exact cosine top-k within probed lists
+
+    Same IVF mechanics as the trained path (assignment, probe pruning,
+    rerank), hash-checkable end to end; recall is lower than KMeans
+    (random seeds cluster nothing) but deterministic. Scale shape: the
+    seed table is n_lists rows (TakeOrderedAndProject + tiny collect),
+    assignment is a map-only pass against n_lists literal vectors, and
+    the rerank inherits cosine_topk's TakeOrderedAndProject.
+    """
+    seeds = (
+        df.select(id_col, F.col(vec_col).cast("array<double>").alias("__v"))
+        .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+        .limit(n_lists)
+        .collect()
+    )
+    cents = [list(map(float, r["__v"])) for r in seeds]
+
+    def py_cos(a: list[float], b: list[float]) -> float:
+        # sequential sums — the exact order Spark's aggregate() and
+        # the oracle's list_dot_product fold in, so the rounded value
+        # agrees across engines
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a)) or 1.0
+        nb = math.sqrt(sum(x * x for x in b)) or 1.0
+        return d / (na * nb)
+
+    probe = sorted(
+        range(len(cents)),
+        key=lambda j: (-round(py_cos(cents[j], query), round_to), j),
+    )[:n_probe]
+
+    base = df.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
+    ).withColumn("__nv", l2_norm(F.col("__v")))
+    # one selectExpr parse instead of n_lists nested Column/lambda
+    # builds (py4j round-trips dominate wide expression construction)
+    cnorms = [math.sqrt(sum(x * x for x in c)) or 1.0 for c in cents]
+    cos_sqls = [
+        "round(aggregate(zip_with(__v, CAST(array({lits}) AS array<double>),"
+        " (x, y) -> x * y), 0D, (a, x) -> a + x)"
+        " / (__nv * CAST('{cn}' AS DOUBLE)), {r})".format(
+            lits=", ".join(repr(v) for v in c), cn=repr(cn), r=round_to
+        )
+        for c, cn in zip(cents, cnorms)
+    ]
+    # argmax by (cos desc, seed asc): array_max on struct(cos, -j)
+    assign_sql = "array_max(array({})).nj".format(
+        ", ".join(
+            f"named_struct('c', {cs}, 'nj', {-j})" for j, cs in enumerate(cos_sqls)
+        )
+    )
+    cands = base.withColumn("__list", -F.expr(assign_sql)).filter(
+        F.col("__list").isin(probe)
+    )
+    return cosine_topk(
+        cands, query, k=k, id_col=id_col, vec_col="__v", round_to=round_to
+    )
+
+
+def ivf_seeded_recall(
+    df: DataFrame,
+    query: list[float],
+    k: int = 10,
+    n_lists: int = 8,
+    n_probe: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Recall of the seeded IVF probe against the exact top-k: one row
+    ``(k, n_probe, recall)``. Joining the two k-row results is a
+    broadcast-sized semi-join regardless of corpus size."""
+    ivf = ivf_topk_seeded(
+        df, query, k=k, n_lists=n_lists, n_probe=n_probe,
+        id_col=id_col, vec_col=vec_col,
+    ).select(id_col)
+    exact = cosine_topk(df, query, k=k, id_col=id_col, vec_col=vec_col).select(id_col)
+    return (
+        ivf.join(exact, id_col, "left_semi")
+        .agg(F.round(F.count(F.lit(1)) / F.lit(float(k)), 4).alias("recall"))
+        .select(F.lit(k).alias("k"), F.lit(n_probe).alias("n_probe"), "recall")
+    )
+
+
 def centroid_classify(
     df: DataFrame,
     id_col: str = "vec_id",

@@ -93,6 +93,7 @@ def _ensure_loaded() -> None:
         "embedding_cosine_topk",
         "embedding_ann_lsh_topk",
         "embedding_ivf_topk",
+        "embedding_ivf_recall",
         "semantic_dedup_clusters",
         "text_language_id",
         "text_quality_score",
@@ -115,19 +116,25 @@ def _ensure_loaded() -> None:
         "filter_predicates",
         "groupby_aggregates",
         "window_rank",
-        "sort_limit_topk",
         "join_inner_agg",
         "join_semi_anti",
         "grouping_sets_agg",
         "asof_join_events_orders",
         "range_join_price_bands",
         "user_sessionization",
-        "array_collect_orders",
         "explode_unnest",
-        "json_extract_events",
-        "stats_aggregates",
         "dq_orphan_lineitems",
-        "events_tumbling_window",
+        # -- rotation block (refreshed each round): queries the driver
+        # window has never checked take the tail slots, so hard-gate
+        # coverage ACCUMULATES across rounds instead of re-checking the
+        # same 50. Displaced queries (sort_limit_topk, stats_aggregates,
+        # json_extract_events, array_collect_orders,
+        # events_tumbling_window) went green in r1-r3 windows and their
+        # families stay represented above.
+        "tpch_q21_shaped",
+        "bigram_pmi",
+        "events_sliding_exact",
+        "ann_batch_topk",
     ]
     rank = {name: i for i, name in enumerate(priority)}
     ordered = sorted(

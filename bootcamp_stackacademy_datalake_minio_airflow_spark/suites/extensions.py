@@ -493,6 +493,66 @@ def q_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(assigned, centroids, QUERY_VEC, k=10, n_probe=3)
 
 
+def _ivf_recall_oracle(k: int = 10, n_lists: int = 8, n_probe: int = 3) -> str:
+    """SQL twin of ivf_seeded_recall: the seeded coarse quantizer is
+    deterministic (seeds = n_lists smallest md5(vec_id); assignment,
+    probe, and rerank all argsort round(cos, 4) with index/id ties), so
+    DuckDB replays the ENTIRE IVF pipeline — seed selection through
+    recall — not just the final top-k. This hash-gates the IVF probe
+    mechanics that the KMeans variant (embedding_ivf_topk) can't."""
+    q = f"{_VEC_SQL}::DOUBLE[]"
+    return f"""
+    WITH seeds AS (
+      SELECT embedding::DOUBLE[] AS sv,
+             ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+               - 1 AS j
+      FROM embeddings
+      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+      LIMIT {n_lists}
+    ),
+    probe AS (
+      SELECT j FROM seeds
+      ORDER BY ROUND(list_cosine_similarity(sv, {q}), 4) DESC, j
+      LIMIT {n_probe}
+    ),
+    assigned AS (
+      SELECT vec_id, v, j FROM (
+        SELECT e.vec_id, e.embedding::DOUBLE[] AS v, s.j,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY ROUND(list_cosine_similarity(
+                            e.embedding::DOUBLE[], s.sv), 4) DESC, s.j
+               ) AS rn
+        FROM embeddings e CROSS JOIN seeds s
+      ) WHERE rn = 1
+    ),
+    ivf AS (
+      SELECT vec_id FROM assigned
+      WHERE j IN (SELECT j FROM probe)
+      ORDER BY ROUND(list_cosine_similarity(v, {q}), 4) DESC, vec_id
+      LIMIT {k}
+    ),
+    exact AS (
+      SELECT vec_id FROM embeddings
+      ORDER BY ROUND(list_cosine_similarity(embedding::DOUBLE[], {q}), 4)
+        DESC, vec_id
+      LIMIT {k}
+    )
+    SELECT {k} AS k, {n_probe} AS n_probe,
+           ROUND((SELECT COUNT(*) FROM ivf
+                  WHERE vec_id IN (SELECT vec_id FROM exact)) / {k}.0, 4)
+             AS recall
+    """
+
+
+@register("embedding_ivf_recall", _ivf_recall_oracle())
+def q_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import ivf_seeded_recall
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_seeded_recall(emb, QUERY_VEC, k=10, n_lists=8, n_probe=3)
+
+
 # --- winnowing fingerprints (rolling hash; xxhash-based -> rows-only) --------
 
 

@@ -116,6 +116,31 @@ def test_ivf_recall_on_planted_neighbors(spark, sf_dir):
     assert recall >= 0.8, f"IVF recall {recall}; exact={exact} approx={approx}"
 
 
+def test_ivf_seeded_full_probe_is_exact(spark, sf_dir):
+    """Probing EVERY list makes the seeded IVF scan the whole corpus,
+    so its top-k must equal the exact top-k and recall must be 1.0 —
+    an absolute assertion the hash gate's parity check can't make."""
+    from bootcamp_stackacademy_datalake_minio_airflow_spark.operators.similarity import (
+        ivf_seeded_recall,
+        ivf_topk_seeded,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = [r.vec_id for r in cosine_topk(emb, QUERY_VEC, k=10).collect()]
+    full = [
+        r.vec_id
+        for r in ivf_topk_seeded(
+            emb, QUERY_VEC, k=10, n_lists=8, n_probe=8
+        ).collect()
+    ]
+    assert full == exact
+    r = ivf_seeded_recall(emb, QUERY_VEC, k=10, n_lists=8, n_probe=8).first()
+    assert (r.k, r.n_probe, r.recall) == (10, 8, 1.0)
+    # pruned probe: recall is a true fraction of k, never above 1
+    pruned = ivf_seeded_recall(emb, QUERY_VEC, k=10, n_lists=8, n_probe=3).first()
+    assert 0.0 <= pruned.recall <= 1.0
+
+
 def test_ivf_index_build_once(spark, sf_dir):
     """Second ivf_index call with the same key returns the cached
     index (no retrain) and the probe still answers."""
