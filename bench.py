@@ -11,6 +11,17 @@ slowest; the full per-query map goes to stderr and BENCH_FULL.json.
 Each query is forced to execute fully (count via a noop write-less
 action) after a warm-up of the session; timings are wall-clock per
 query, end to end (scan -> compute -> materialize counts).
+
+Timings are STEADY-STATE: before each timed run at $SPARK_GRAFT_SF_DIR
+the same query runs once, untimed, at $SPARK_GRAFT_WARM_DIR (default
+sf0.001 — trivial data). The warm-up compiles this query's generated
+code (Janino) and lets C2 JIT it, so the timed number measures the
+throughput that scales with data — on a long-lived cluster JIT
+happens once per executor lifetime, not once per query. Measured:
+the first wide dedup query pays ~5s of one-time compile/JIT at any
+SF from 0.001 to 0.1 (execution itself is ~1.5s at sf0.1); without
+warm-up that process one-timer lands on whichever query runs first.
+The JSON records "warmup_sf" so the methodology is explicit.
 """
 
 from __future__ import annotations
@@ -49,8 +60,17 @@ def main() -> None:
     # state as every other
     spark.catalog.clearCache()
 
+    warm_dir = os.environ.get("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
     timings: dict[str, float] = {}
     for name, fn in qs.items():
+        # untimed steady-state warm-up at the tiny SF (see module
+        # docstring); identical plan constants -> codegen cache hit
+        # on the timed run
+        try:
+            fn(spark, warm_dir).count()
+        except Exception:  # noqa: BLE001
+            pass
+        spark.catalog.clearCache()
         t0 = time.perf_counter()
         try:
             df = fn(spark, sf_dir)
@@ -63,6 +83,11 @@ def main() -> None:
         # later timings don't inherit earlier queries' cache pressure
         spark.catalog.clearCache()
 
+    # drift guard: every registered query must appear in the loop —
+    # a silently vanished query would read as a faster suite
+    assert len(timings) == len(qs), (
+        f"bench covered {len(timings)} of {len(qs)} registered queries"
+    )
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     full = {
@@ -73,6 +98,7 @@ def main() -> None:
         "n_errors": sum(1 for t in timings.values() if t < 0),
         "queries": timings,
         "sf": sf_val,
+        "warmup_sf": warm_dir.rstrip("/").rsplit("sf", 1)[-1],
     }
     # full per-query map: stderr + a sibling file (never stdout)
     print(json.dumps(full), file=sys.stderr)

@@ -77,6 +77,27 @@ def char_shingles(col: str | Column, n: int = 5) -> Column:
     return _shingles_of(normalize_text(col), n)
 
 
+def _word_shingles_of(c: Column, n: int) -> Column:
+    """Distinct word n-grams (space-joined) of an ALREADY-NORMALIZED
+    column — the MinHash shingle unit.
+
+    Word grams over char grams is the standard text-dedup trade
+    (RefinedWeb/SlimPajama-style pipelines): ~one shingle per WORD
+    instead of one per CHARACTER, so the signature stage processes
+    ~6x fewer rows for near-identical pair decisions on prose.
+    Documents shorter than ``n`` words collapse to one whole-text
+    shingle, mirroring ``_shingles_of``. The split() inside the
+    lambda re-evaluates per element (interpreted HOF) — use only on
+    verification survivors, never the corpus; the corpus path is
+    ``_shingle_hashes``.
+    """
+    w = F.split(c, " ")
+    idx = F.sequence(F.lit(1), F.greatest(F.size(w) - F.lit(n - 1), F.lit(1)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.array_join(F.slice(w, i, n), " "))
+    )
+
+
 def _norm_base(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(__id, __txt) with normalization materialized via an exchange
     boundary so downstream per-element expressions read a concrete
@@ -119,28 +140,34 @@ def _perm_sql(base: str, i: int) -> str:
 
 
 def _shingle_hashes(norm: DataFrame, n: int) -> DataFrame:
-    """(__id, __h) — one row per character n-gram position of the
+    """(__id, __h) — one row per WORD n-gram position of the
     normalized text, hashed to 64 bits.
 
-    Pure codegen: explode a position sequence, substr, xxhash64 — no
-    array materialization, no higher-order functions (which Spark
-    interprets). Duplicate shingles are NOT removed: the downstream
-    min-aggregate is idempotent to duplicates, so set semantics come
-    for free without an array_distinct pass. Documents shorter than
-    ``n`` produce one whole-text shingle (same bounds as
-    ``_shingles_of``).
+    Pure codegen: split once per document, explode a position
+    sequence, slice+join+xxhash64 per gram. One row per word (~6x
+    fewer than the char-gram form this replaced — at corpus scale the
+    signature aggregate is the dominant scan, so shingle volume IS
+    the cost of the operator). Duplicate shingles are NOT removed:
+    the downstream min-aggregate is idempotent to duplicates, so set
+    semantics come for free without an array_distinct pass.
+    Documents shorter than ``n`` words produce one whole-text shingle
+    (same bounds as ``_word_shingles_of``).
     """
     exploded = norm.select(
         "__id",
-        "__txt",
+        F.split(F.col("__txt"), " ").alias("__w"),
+    ).select(
+        "__id",
+        "__w",
         F.explode(
-            F.sequence(
-                F.lit(1), F.greatest(F.length("__txt") - F.lit(n - 1), F.lit(1))
-            )
+            F.sequence(F.lit(1), F.greatest(F.size("__w") - F.lit(n - 1), F.lit(1)))
         ).alias("__i"),
     )
     return exploded.select(
-        "__id", F.xxhash64(F.substr(F.col("__txt"), F.col("__i"), F.lit(n))).alias("__h")
+        "__id",
+        F.xxhash64(F.array_join(F.slice(F.col("__w"), F.col("__i"), n), " ")).alias(
+            "__h"
+        ),
     )
 
 
@@ -230,6 +257,10 @@ def minhash_lsh_pairs(
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash + LSH banding, verified with
     exact Jaccard on the shingle sets.
+
+    Shingles are word ``shingle_n``-grams of the normalized text
+    (space-joined) — the standard MinHash unit for prose dedup; char
+    grams cost ~6x the signature scan for near-identical decisions.
 
     Plan shape (the part that must survive 100 TB):
       1. per-doc signature (no shuffle, codegen)
@@ -374,8 +405,8 @@ def minhash_lsh_pairs(
             "id_b",
             F.round(
                 jaccard(
-                    _shingles_of(F.col("__ta"), shingle_n),
-                    _shingles_of(F.col("__tb"), shingle_n),
+                    _word_shingles_of(F.col("__ta"), shingle_n),
+                    _word_shingles_of(F.col("__tb"), shingle_n),
                 ),
                 4,
             ).alias("jaccard_sim"),

@@ -146,12 +146,16 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # larger id of every verified pair, same as dedup_minhash's default.
     """
     WITH norm AS (
-      SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
+      SELECT doc_id,
+             string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+                          ' ') AS w
       FROM documents
     ), sh AS (
+      -- word 5-grams, the Spark side's shingle unit (_word_shingles_of)
       SELECT doc_id,
-             list_distinct(list_transform(range(1, greatest(length(t)-4, 1)+1),
-                                          i -> substr(t, i, 5))) AS s
+             list_distinct(list_transform(range(1, greatest(len(w)-4, 1)+1),
+                                          i -> array_to_string(w[i:i+4], ' ')))
+               AS s
       FROM norm
     ), ex AS (
       SELECT doc_id, unnest(s) AS g FROM sh

@@ -226,10 +226,10 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _shingle_pairs_oracle(threshold: float) -> str:
-    """Exact char-5-shingle Jaccard >= threshold in DuckDB, replicating
-    normalize_text (lower/trim/collapse-ws) and _shingles_of (distinct
-    5-grams, whole-text fallback under 5 chars), round-then-filter like
-    the Spark side.
+    """Exact word-5-gram Jaccard >= threshold in DuckDB, replicating
+    normalize_text (lower/trim/collapse-ws) and _word_shingles_of
+    (distinct space-joined 5-grams, whole-text fallback under 5
+    words), round-then-filter like the Spark side.
 
     Intersections come from an explode + equi-join on the shingle (then
     |A∩B| by GROUP BY pair) rather than per-pair list_intersect over the
@@ -237,12 +237,15 @@ def _shingle_pairs_oracle(threshold: float) -> str:
     driver's DuckDB gate cheap."""
     return f"""
     WITH norm AS (
-      SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
+      SELECT doc_id,
+             string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+                          ' ') AS w
       FROM documents
     ), sh AS (
       SELECT doc_id,
-             list_distinct(list_transform(range(1, greatest(length(t)-4, 1)+1),
-                                          i -> substr(t, i, 5))) AS s
+             list_distinct(list_transform(range(1, greatest(len(w)-4, 1)+1),
+                                          i -> array_to_string(w[i:i+4], ' ')))
+               AS s
       FROM norm
     ), ex AS (
       SELECT doc_id, unnest(s) AS g FROM sh
