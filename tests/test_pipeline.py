@@ -119,6 +119,138 @@ def test_vendas_gold_end_to_end(spark, lake):
     assert any(p.startswith("MES_VENDA=") for p in part_dirs)
 
 
+# --- golden end-to-end on an edge-case lake ---------------------------------
+# The spot-check tests above pin a few cells; this block compares the
+# ENTIRE gold frame against an independent DuckDB replay of the same
+# silver parquet — every row, every column, including the joins'
+# null paths the happy-path fixture never hits.
+
+EDGE_ORDERS_CSV = """order_id,customer_id,order_status,order_purchase_timestamp,order_approved_at,order_delivered_carrier_date,order_delivered_customer_date,order_estimated_delivery_date
+o1,c1,delivered,2017-10-02 10:56:33,2017-10-02 11:07:15,2017-10-04 19:55:00,2017-10-10 21:25:13,2017-10-18 00:00:00
+o2,c2,shipped,2018-07-24 20:41:37,2018-07-26 03:24:27,2018-07-26 14:31:00,,2018-08-13 00:00:00
+o3,c9,invoiced,2018-01-15 08:00:00,,,,2018-02-01 00:00:00
+"""
+
+EDGE_ITEMS_CSV = """order_id,order_item_id,product_id,seller_id,shipping_limit_date,price,freight_value
+o1,1,p1,s1,2017-10-06 11:07:15,58.9,13.29
+o1,2,p2,s1,2017-10-06 11:07:15,239.9,19.93
+o2,1,p1,s2,2018-07-30 03:24:27,199.0,17.87
+o3,1,p9,s2,2018-01-20 08:00:00,45.0,5.5
+o9,1,p2,s1,2018-03-01 00:00:00,12.34,1.11
+"""
+
+EDGE_PAYMENTS_CSV = """order_id,payment_sequential,payment_type,payment_installments,payment_value
+o1,1,credit_card,8,99.33
+o1,2,credit_card,1,50.0
+o1,3,voucher,1,20.0
+o2,1,boleto,1,216.87
+o2,2,not_defined,1,0.0
+"""
+
+
+@pytest.fixture(scope="module")
+def lake_edge(tmp_path_factory):
+    base = tmp_path_factory.mktemp("lake_edge")
+    csvs = {
+        "orders": EDGE_ORDERS_CSV,
+        "order_items": EDGE_ITEMS_CSV,
+        "order_payments": EDGE_PAYMENTS_CSV,
+        "products": PRODUCTS_CSV,
+        "customers": CUSTOMERS_CSV,
+        "order_reviews": REVIEWS_CSV,
+        "sellers": SELLERS_CSV,
+        "geolocation": GEOLOCATION_CSV,
+    }
+    for t, body in csvs.items():
+        d = base / "bronze" / "olist" / t
+        os.makedirs(d)
+        (d / f"{t}.csv").write_text(body)
+    return str(base)
+
+
+# DuckDB replay of build_vendas over the SILVER parquet — the golden
+# truth the Spark gold output must equal frame-for-frame. Mirrors the
+# reference's semantics (SURVEY §3.2): pivot-sum payments, 4 left
+# joins rooted at order_items, numeric null-fill, date cast, upper,
+# '_'->' ', business renames.
+OLIST_VENDAS_GOLDEN_SQL = """
+WITH pay AS (
+  SELECT order_id,
+         SUM(CASE WHEN payment_type = 'boleto' THEN payment_value END) AS boleto,
+         SUM(CASE WHEN payment_type = 'credit_card' THEN payment_value END) AS credit_card,
+         SUM(CASE WHEN payment_type = 'debit_card' THEN payment_value END) AS debit_card,
+         SUM(CASE WHEN payment_type = 'not_defined' THEN payment_value END) AS not_defined,
+         SUM(CASE WHEN payment_type = 'voucher' THEN payment_value END) AS voucher
+  FROM order_payments GROUP BY order_id
+)
+SELECT COALESCE(i.price, 0) AS VALOR_VENDA,
+       COALESCE(i.freight_value, 0) AS FRETE,
+       CAST(o.order_purchase_timestamp AS DATE) AS DATA_VENDA,
+       i.order_id AS PEDIDO,
+       i.product_id AS ID_PRODUTO,
+       o.customer_id AS ID_CLIENTE,
+       REPLACE(UPPER(p.product_category_name), '_', ' ') AS CATEGORIA_PRODUTO,
+       UPPER(c.customer_city) AS CIDADE_CLIENTE,
+       c.customer_state AS ESTADO_CLIENTE,
+       COALESCE(pay.boleto, 0) AS VALOR_BOLETO,
+       COALESCE(pay.credit_card, 0) AS VALOR_CREDITO,
+       COALESCE(pay.debit_card, 0) AS VALOR_DEBITO,
+       COALESCE(pay.voucher, 0) AS VALOR_VOUCHER,
+       COALESCE(pay.not_defined, 0) AS VALOR_NAO_DEFINIDO
+FROM order_items i
+LEFT JOIN orders o USING (order_id)
+LEFT JOIN products p USING (product_id)
+LEFT JOIN customers c ON o.customer_id = c.customer_id
+LEFT JOIN pay USING (order_id)
+"""
+
+_GOLD_COLS = [
+    "VALOR_VENDA", "FRETE", "DATA_VENDA", "PEDIDO", "ID_PRODUTO",
+    "ID_CLIENTE", "CATEGORIA_PRODUTO", "CIDADE_CLIENTE", "ESTADO_CLIENTE",
+    "VALOR_BOLETO", "VALOR_CREDITO", "VALOR_DEBITO", "VALOR_VOUCHER",
+    "VALOR_NAO_DEFINIDO",
+]
+
+
+def test_vendas_gold_golden_vs_duckdb(spark, lake_edge):
+    """Full-frame golden compare on the REAL Olist schema path:
+    bronze CSV (8 tables, pinned schemas) -> silver parquet ->
+    gold vendas, equal row-for-row to an independent DuckDB replay
+    of the same silver data. Covers the null paths: an order with no
+    payments (o3: every VALOR_* = 0), an item whose product is
+    unknown (p9: NULL category), an order whose customer is unknown
+    (c9: NULL city/state — strings are NOT null-filled), and an
+    orphan item (o9: no order row, so no date and no customer)."""
+    import duckdb
+
+    from bootcamp_stackacademy_datalake_minio_airflow_spark.schemas import OLIST_SCHEMAS
+
+    for t in OLIST_SCHEMAS:
+        bronze_to_silver(spark, t, base=lake_edge)
+    gold = vendas_gold(spark, base=lake_edge)
+
+    con = duckdb.connect()
+    for t in ["order_items", "orders", "products", "customers", "order_payments"]:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"'{lake_edge}/silver/olist/{t}/*.parquet'"
+        )
+    want = con.execute(OLIST_VENDAS_GOLDEN_SQL).fetchall()
+
+    def norm(row):
+        return tuple(
+            round(v, 6) if isinstance(v, float) else v for v in row
+        )
+
+    got = [tuple(r) for r in gold.select(*_GOLD_COLS).collect()]
+    assert len(got) == 5  # one row per order item, orphans preserved
+    assert sorted(map(norm, got)) == sorted(map(norm, want))
+    # the on-disk gold partition layout survives the edge rows: the
+    # orphan item has no sale date -> NULL month partition
+    part_dirs = os.listdir(f"{lake_edge}/gold/olist/vendas/")
+    assert any(p.startswith("MES_VENDA=") for p in part_dirs)
+
+
 def test_all_eight_tables_ingest(spark, lake):
     """Every Olist table the reference ingests (8 scripts) goes
     through the ONE parameterized job with its pinned schema."""
