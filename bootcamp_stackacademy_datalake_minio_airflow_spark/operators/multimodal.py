@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
-    FloatType,
+    DoubleType,
     IntegerType,
     LongType,
     StringType,
@@ -55,11 +55,17 @@ MEDIA_SCHEMA = StructType(
 
 FEATURE_DIM = 8
 
+#: features are DOUBLE, not float32: the fake extractor's byte-fold is
+#: integer-ratio math that an independent engine (the DuckDB oracle)
+#: replays bit-for-bit in float64 — a float32 round-trip would inject
+#: representation noise into the parity hash. A real embedding
+#: extractor would justify float32 (half the bytes) once features stop
+#: being oracle-replayable anyway.
 FEATURES_SCHEMA = StructType(
     [
         StructField("asset_id", LongType(), False),
         StructField("n_bytes", LongType(), True),
-        StructField("features", ArrayType(FloatType()), True),
+        StructField("features", ArrayType(DoubleType()), True),
     ]
 )
 
@@ -182,15 +188,19 @@ def decode_media(
                     "this environment; wire a real decoder here"
                 )
             out = {"asset_id": [], "width": [], "height": [], "channels": [], "pixels": []}
-            for _, row in pdf.iterrows():
-                w = int(row["width"]) if pd.notna(row["width"]) else 8
-                h = int(row["height"]) if pd.notna(row["height"]) else 8
-                data = row["data"] if row["data"] is not None else b"\x00"
+            # zip over columns, not iterrows(): iterrows materializes a
+            # Series per row (dtype-boxing every cell)
+            for aid, wv, hv, data in zip(
+                pdf["asset_id"], pdf["width"], pdf["height"], pdf["data"]
+            ):
+                w = int(wv) if pd.notna(wv) else 8
+                h = int(hv) if pd.notna(hv) else 8
+                data = data if data is not None else b"\x00"
                 need = w * h * channels
                 buf = np.frombuffer(data, dtype=np.uint8)
                 reps = -(-need // max(1, len(buf)))
                 pixels = np.tile(buf, reps)[:need].tobytes()
-                out["asset_id"].append(row["asset_id"])
+                out["asset_id"].append(aid)
                 out["width"].append(w)
                 out["height"].append(h)
                 out["channels"].append(channels)
@@ -224,13 +234,16 @@ def resize_nearest(
 
         for pdf in batches:
             out = {"asset_id": [], "width": [], "height": [], "channels": [], "pixels": []}
-            for _, row in pdf.iterrows():
-                w, h, c = int(row["width"]), int(row["height"]), int(row["channels"])
-                img = np.frombuffer(row["pixels"], dtype=np.uint8).reshape(h, w, c)
+            for aid, wv, hv, cv, pixels in zip(
+                pdf["asset_id"], pdf["width"], pdf["height"],
+                pdf["channels"], pdf["pixels"],
+            ):
+                w, h, c = int(wv), int(hv), int(cv)
+                img = np.frombuffer(pixels, dtype=np.uint8).reshape(h, w, c)
                 ys = (np.arange(target_h) * h) // target_h
                 xs = (np.arange(target_w) * w) // target_w
                 resized = img[ys][:, xs]
-                out["asset_id"].append(row["asset_id"])
+                out["asset_id"].append(aid)
                 out["width"].append(target_w)
                 out["height"].append(target_h)
                 out["channels"].append(c)

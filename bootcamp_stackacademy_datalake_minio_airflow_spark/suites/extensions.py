@@ -415,9 +415,56 @@ def q_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- multimodal plumbing (mapInPandas; binary built from text bytes) -------------
 
 
-@register("multimodal_features", None)
+def _multimodal_oracle(dim: int = 8) -> str:
+    """SQL twin of the multimodal plumbing run: the stub extractor's
+    byte-fold (acc[i % dim] += byte; f_k = round(acc_k/total, 6)) is
+    deterministic byte math, so DuckDB replays it over the SAME binary
+    column — hex-decode each byte position, fold mod ``dim``,
+    normalize. This hash-gates the Arrow plumbing, partitioning, and
+    fold WITHOUT pretending the media decode is real (the decode stays
+    an honest stub; a real codec would replace _fake_features and this
+    query would drop back to rows-only)."""
+    hexd = "0123456789ABCDEF"
+    folds = ", ".join(
+        f"SUM(CASE WHEN k = {k} THEN v END) AS s{k}" for k in range(dim)
+    )
+    total = " + ".join(f"COALESCE(s{k}, 0)" for k in range(dim))
+    feats = ", ".join(
+        f"ROUND(COALESCE(s{k}, 0) / t, 6) AS f{k}" for k in range(dim)
+    )
+    zeros = ", ".join(f"0.0 AS f{k}" for k in range(dim))
+    return f"""
+    WITH b AS (
+      SELECT doc_id, hex(encode(text)) AS h,
+             octet_length(encode(text)) AS n
+      FROM documents
+    ), ex AS (
+      SELECT doc_id, unnest(range(n)) AS i, h FROM b WHERE n > 0
+    ), byt AS (
+      SELECT doc_id, CAST(i % {dim} AS INTEGER) AS k,
+             (strpos('{hexd}', substr(h, CAST(i*2+1 AS INTEGER), 1)) - 1) * 16
+             + strpos('{hexd}', substr(h, CAST(i*2+2 AS INTEGER), 1)) - 1 AS v
+      FROM ex
+    ), acc AS (
+      SELECT doc_id, {folds} FROM byt GROUP BY doc_id
+    ), normed AS (
+      SELECT doc_id, CAST(greatest({total}, 1) AS DOUBLE) AS t, *
+      FROM acc
+    )
+    SELECT b.doc_id AS asset_id,
+           CAST(COALESCE(b.n, 0) AS BIGINT) AS n_bytes,
+           {feats}
+    FROM b JOIN normed USING (doc_id)
+    UNION ALL
+    SELECT b.doc_id AS asset_id, CAST(COALESCE(b.n, 0) AS BIGINT) AS n_bytes,
+           {zeros}
+    FROM b WHERE COALESCE(b.n, 0) = 0
+    """
+
+
+@register("multimodal_features", _multimodal_oracle())
 def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.multimodal import extract_features
+    from ..operators.multimodal import FEATURE_DIM, extract_features
 
     docs = load_table(spark, sf_dir, "documents")
     assets = docs.select(
@@ -431,17 +478,18 @@ def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(None).cast("int").alias("duration_ms"),
         ).alias("meta"),
     )
-    # the features array is projected to a CSV string: the driver's
+    # features unpacked to one double column per lane: the driver's
     # value-hash canonicalizer sorts rows and cannot hash a raw list
-    # column (same fix as array_collect_orders). extract_features
-    # itself is unchanged and still returns ArrayType(FloatType).
+    # column, and scalar lanes let the oracle compare NUMBERS instead
+    # of a formatted string
     feats = extract_features(assets)
     return feats.select(
         "asset_id",
         "n_bytes",
-        F.concat_ws(
-            ",", F.transform("features", lambda x: F.format_string("%.6f", x))
-        ).alias("features_csv"),
+        *[
+            F.element_at("features", k + 1).alias(f"f{k}")
+            for k in range(FEATURE_DIM)
+        ],
     )
 
 
