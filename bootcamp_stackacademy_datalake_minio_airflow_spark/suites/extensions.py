@@ -345,6 +345,46 @@ def q_ngram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.6)
 
 
+# --- cross-document duplicated-n-gram fraction (passage-level dedup) --------
+
+_CROSS_NGRAM_ORACLE = """
+    WITH norm AS (
+      SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
+      FROM documents
+    ), grams AS (
+      SELECT DISTINCT doc_id, g FROM (
+        SELECT doc_id,
+               unnest(list_transform(
+                 range(1, greatest(len(w) - 9, 1) + 1),
+                 i -> md5(array_to_string(w[i:i+9], ' ')))) AS g
+        FROM (SELECT doc_id, string_split(t, ' ') AS w FROM norm)
+      )
+    ), freq AS (
+      SELECT g, COUNT(*) AS df FROM grams GROUP BY g
+    )
+    SELECT gr.doc_id,
+           COUNT(*) AS n_grams,
+           CAST(SUM(CASE WHEN f.df > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_shared,
+           ROUND(CAST(SUM(CASE WHEN f.df > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 4) AS shared_ratio
+    FROM grams gr JOIN freq f USING (g)
+    GROUP BY gr.doc_id
+    """
+
+
+@register("dedup_cross_doc_ngrams", _CROSS_NGRAM_ORACLE)
+def q_cross_doc_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Passage-level dedup signal: fraction of each document's distinct
+    word-10-grams that appear in at least one other document (Lee et
+    al. 2022 ExactSubstr family at n-gram granularity). Reference has
+    no dedup at all (SURVEY §2 marks the category absent)."""
+    from ..operators.dedup import cross_doc_ngram_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    return cross_doc_ngram_stats(docs, "doc_id", "text", n=10, hash_fn="md5")
+
+
 # --- windowed event aggregation (batch twin of the streaming job) ---------------
 
 

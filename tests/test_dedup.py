@@ -141,3 +141,40 @@ def test_dedup_minhash_canonicalize_collapses_chain(spark):
         ).collect()
     )
     assert kept == [1, 4]  # cluster {1,2,3} -> keep 1; 4 unrelated
+
+
+def test_cross_doc_ngram_stats_planted_passage(spark):
+    """A passage copied between two otherwise-distinct docs must be
+    flagged in both (and only there); a fully-unique doc scores 0."""
+    from bootcamp_stackacademy_datalake_minio_airflow_spark.operators.dedup import (
+        cross_doc_ngram_stats,
+    )
+
+    passage = " ".join(f"shared{i}" for i in range(6))  # 6 words -> 3 grams at n=4
+    uniq_a = " ".join(f"alpha{i}" for i in range(8))
+    uniq_b = " ".join(f"beta{i}" for i in range(8))
+    uniq_c = " ".join(f"gamma{i}" for i in range(12))
+    df = spark.createDataFrame(
+        [
+            (1, f"{uniq_a} {passage}"),
+            (2, f"{passage} {uniq_b}"),
+            (3, uniq_c),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in cross_doc_ngram_stats(df, n=4).collect()}
+    # doc 1: 14 words -> 11 grams, grams fully inside the passage are
+    # positions 9..11 (1-based gram starts inside `passage` only) ->
+    # exactly the 3 grams made of shared words alone are shared
+    assert out[3].n_shared == 0 and out[3].shared_ratio == 0.0
+    assert out[1].n_shared == 3 and out[2].n_shared == 3
+    assert out[1].n_grams == 11 and out[2].n_grams == 11
+    assert abs(out[1].shared_ratio - round(3 / 11, 4)) < 1e-9
+    # xxhash64 production family agrees on the counts
+    out_xx = {
+        r.doc_id: r
+        for r in cross_doc_ngram_stats(df, n=4, hash_fn="xxhash64").collect()
+    }
+    assert {k: (v.n_grams, v.n_shared) for k, v in out.items()} == {
+        k: (v.n_grams, v.n_shared) for k, v in out_xx.items()
+    }
