@@ -658,3 +658,182 @@ def centroid_classify(
         F.col("__lbl").alias(label_col),
         "predicted",
     )
+
+
+# --- product quantization (seeded, SQL-replayable) --------------------------
+
+
+def _pq_codebooks_seeded(
+    df: DataFrame, m: int, ks: int, id_col: str, vec_col: str
+) -> list[list[list[float]]]:
+    """``[m][ks][d/m]`` sub-codebooks from a deterministic seed set:
+    the ``ks`` vectors with the smallest ``(md5(id), id)`` (the same
+    cross-engine seed rule as ``ivf_topk_seeded``), split into ``m``
+    contiguous subspaces. A trained PQ would KMeans each subspace;
+    the seeded variant trades recall for end-to-end replayability."""
+    seeds = (
+        df.select(id_col, F.col(vec_col).cast("array<double>").alias("__v"))
+        .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+        .limit(ks)
+        .collect()
+    )
+    vecs = [list(map(float, r["__v"])) for r in seeds]
+    d = len(vecs[0])
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    d0 = d // m
+    return [[v[j * d0 : (j + 1) * d0] for v in vecs] for j in range(m)]
+
+
+def _sq_sql(sub_expr: str, center: list[float], round_to: int) -> str:
+    """Rounded squared-L2 between a SQL sub-vector expression and a
+    literal center, folded left-to-right (the order Python's sum()
+    and DuckDB's list_aggregate('sum') also use)."""
+    lits = ", ".join(repr(float(v)) for v in center)
+    return (
+        f"round(aggregate(zip_with({sub_expr}, CAST(array({lits}) AS"
+        f" array<double>), (x, y) -> (x - y) * (x - y)), 0D,"
+        f" (a, x) -> a + x), {round_to})"
+    )
+
+
+def pq_encode_seeded(
+    df: DataFrame,
+    m: int = 4,
+    ks: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 4,
+) -> tuple[DataFrame, list[list[list[float]]]]:
+    """Product-quantization encode (Jegou et al., "Product
+    Quantization for Nearest Neighbor Search", TPAMI 2011) with the
+    seeded codebooks: each vector compresses to ``m`` one-byte codes
+    (nearest sub-codebook center per contiguous subspace, squared-L2
+    rounded to ``round_to``, ties to the smaller center index).
+
+    Returns ``(encoded, codebooks)`` where encoded carries
+    ``(id, __v, __c0..__c{m-1})``. Scale shape: the codebook is
+    ``m*ks*(d/m)`` driver-side floats (tiny — it rides into the plan
+    as literals), encoding is one map-only codegen pass, and the
+    compressed representation is ``m`` bytes/vector instead of
+    ``4*d`` — the point of PQ at 100 TB is that the CODES fit in
+    memory where the vectors don't."""
+    books = _pq_codebooks_seeded(df, m, ks, id_col, vec_col)
+    d0 = len(books[0][0])
+    out = df.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
+    )
+    for j, book in enumerate(books):
+        sub = f"slice(__v, {j * d0 + 1}, {d0})"
+        # argmin by (dist asc, center asc): array_min over structs
+        # compares field-lexicographically
+        cells = ", ".join(
+            f"named_struct('d', {_sq_sql(sub, c, round_to)}, 'c', {ci})"
+            for ci, c in enumerate(book)
+        )
+        out = out.withColumn(f"__c{j}", F.expr(f"array_min(array({cells})).c"))
+    return out, books
+
+
+def pq_topk_seeded(
+    df: DataFrame,
+    query: list[float],
+    k: int = 10,
+    m: int = 4,
+    ks: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 4,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over the PQ codes: the query's
+    ``m x ks`` table of rounded sub-distances is computed driver-side
+    (it depends only on the query and the codebooks), each encoded
+    vector's approximate distance is the fixed-order sum
+    ``dt[0][c0] + ... + dt[m-1][c_{m-1}]``, and the global top-k is
+    TakeOrderedAndProject (ascending distance, id ties).
+
+    Every stage is ANSI-SQL-replayable (seed rule, assignment
+    rounding/ties, table lookup, explicit left-to-right sum), so the
+    registered query hash-checks against an independent DuckDB replay
+    — the same verifiability trade as ``ivf_topk_seeded``. When
+    ``ks`` equals the corpus size every vector is its own seed, codes
+    are exact, and ADC degenerates to the true distance (pinned in
+    pytest)."""
+    encoded, books = pq_encode_seeded(
+        df, m=m, ks=ks, id_col=id_col, vec_col=vec_col, round_to=round_to
+    )
+    d0 = len(books[0][0])
+
+    def py_sq(a: list[float], b: list[float]) -> float:
+        return round(sum((x - y) * (x - y) for x, y in zip(a, b)), round_to)
+
+    dt = [
+        [py_sq(query[j * d0 : (j + 1) * d0], c) for c in book]
+        for j, book in enumerate(books)
+    ]
+    lookups = [
+        "element_at(CAST(array({lits}) AS array<double>), __c{j} + 1)".format(
+            lits=", ".join(repr(v) for v in dt[j]), j=j
+        )
+        for j in range(m)
+    ]
+    approx = f"round({' + '.join(lookups)}, {round_to})"
+    return (
+        encoded.withColumn("approx_l2", F.expr(approx))
+        .select(id_col, "approx_l2")
+        .orderBy(F.asc("approx_l2"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def l2_topk(
+    df: DataFrame,
+    query: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 4,
+) -> DataFrame:
+    """Exact squared-L2 top-k (ascending), the ground truth PQ recall
+    is measured against. Same TakeOrderedAndProject shape as
+    ``cosine_topk``."""
+    v = F.col(vec_col).cast("array<double>")
+    q = _lit_vec(query)
+    sq = F.aggregate(
+        F.zip_with(v, q, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        df.select(F.col(id_col), F.round(sq, round_to).alias("l2_sq"))
+        .orderBy(F.asc("l2_sq"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def pq_seeded_recall(
+    df: DataFrame,
+    query: list[float],
+    k: int = 10,
+    m: int = 4,
+    ks: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Recall of seeded-PQ ADC top-k against the exact squared-L2
+    top-k: one row ``(k, m, ks, recall)``. Both sides are k rows, so
+    the join is broadcast-sized regardless of corpus size."""
+    pq = pq_topk_seeded(
+        df, query, k=k, m=m, ks=ks, id_col=id_col, vec_col=vec_col
+    ).select(id_col)
+    exact = l2_topk(df, query, k=k, id_col=id_col, vec_col=vec_col).select(id_col)
+    return (
+        pq.join(exact, id_col, "left_semi")
+        .agg(F.round(F.count(F.lit(1)) / F.lit(float(k)), 4).alias("recall"))
+        .select(
+            F.lit(k).alias("k"),
+            F.lit(m).alias("m"),
+            F.lit(ks).alias("ks"),
+            "recall",
+        )
+    )

@@ -644,6 +644,112 @@ def q_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_seeded_recall(emb, QUERY_VEC, k=10, n_lists=8, n_probe=3)
 
 
+# --- product quantization (seeded codebooks -> fully SQL-replayable) --------
+
+
+def _pq_core_sql(m: int = 4, ks: int = 8, d: int = 64) -> str:
+    """Shared CTE chain replaying the seeded-PQ pipeline in DuckDB:
+    seed selection -> sub-codebooks -> per-subspace assignment
+    (rounded squared-L2, ties to the smaller center) -> ADC with a
+    fixed left-to-right sum over the m lanes (matching the Spark
+    expression's evaluation order, so the final round sees the same
+    double)."""
+    d0 = d // m
+    q = f"{_VEC_SQL}::DOUBLE[]"
+    adc_sum = " + ".join(
+        f"MAX(CASE WHEN a.j = {j} THEN t.qd END)" for j in range(m)
+    )
+    return f"""
+    WITH seeds AS (
+      SELECT embedding::DOUBLE[] AS sv,
+             ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+               - 1 AS c
+      FROM embeddings
+      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+      LIMIT {ks}
+    ), subs AS (
+      SELECT unnest(range(0, {m})) AS j
+    ), book AS (
+      SELECT s.c, ss.j, s.sv[ss.j*{d0}+1 : (ss.j+1)*{d0}] AS cv
+      FROM seeds s CROSS JOIN subs ss
+    ), qsub AS (
+      SELECT j, ({q})[j*{d0}+1 : (j+1)*{d0}] AS qv FROM subs
+    ), dtab AS (
+      SELECT b.j, b.c,
+             ROUND(list_aggregate(list_transform(range(1, {d0} + 1),
+                   i -> (q.qv[i] - b.cv[i]) * (q.qv[i] - b.cv[i])),
+                   'sum'), 4) AS qd
+      FROM book b JOIN qsub q USING (j)
+    ), base AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), assign AS (
+      SELECT vec_id, j, c FROM (
+        SELECT e.vec_id, b.j, b.c,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id, b.j
+                 ORDER BY ROUND(list_aggregate(list_transform(range(1, {d0} + 1),
+                       i -> (e.v[b.j*{d0}+i] - b.cv[i])
+                          * (e.v[b.j*{d0}+i] - b.cv[i])),
+                       'sum'), 4) ASC, b.c ASC) AS rn
+        FROM base e CROSS JOIN book b
+      ) WHERE rn = 1
+    ), adc AS (
+      SELECT a.vec_id, ROUND({adc_sum}, 4) AS approx_l2
+      FROM assign a JOIN dtab t ON t.j = a.j AND t.c = a.c
+      GROUP BY a.vec_id
+    )"""
+
+
+def _pq_topk_oracle(k: int = 10, m: int = 4, ks: int = 8) -> str:
+    return (
+        _pq_core_sql(m=m, ks=ks)
+        + f"""
+    SELECT vec_id, approx_l2 FROM adc
+    ORDER BY approx_l2 ASC, vec_id ASC LIMIT {k}
+    """
+    )
+
+
+def _pq_recall_oracle(k: int = 10, m: int = 4, ks: int = 8) -> str:
+    q = f"{_VEC_SQL}::DOUBLE[]"
+    return (
+        _pq_core_sql(m=m, ks=ks)
+        + f""", pq AS (
+      SELECT vec_id FROM adc ORDER BY approx_l2 ASC, vec_id ASC LIMIT {k}
+    ), exact AS (
+      SELECT vec_id FROM base
+      ORDER BY ROUND(list_aggregate(list_transform(range(1, 65),
+            i -> (v[i] - ({q})[i]) * (v[i] - ({q})[i])), 'sum'), 4)
+        ASC, vec_id ASC
+      LIMIT {k}
+    )
+    SELECT {k} AS k, {m} AS m, {ks} AS ks,
+           ROUND((SELECT COUNT(*) FROM pq
+                  WHERE vec_id IN (SELECT vec_id FROM exact)) / {k}.0, 4)
+             AS recall
+    """
+    )
+
+
+@register("embedding_pq_topk", _pq_topk_oracle())
+def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded product-quantization ADC top-k — the memory-bound ANN
+    path (m one-byte codes per vector instead of 4*d floats)."""
+    from ..operators.similarity import pq_topk_seeded
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pq_topk_seeded(emb, QUERY_VEC, k=10, m=4, ks=8)
+
+
+@register("embedding_pq_recall", _pq_recall_oracle())
+def q_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall of the seeded-PQ pipeline vs the exact squared-L2 top-k,
+    every stage replayed by the DuckDB oracle."""
+    from ..operators.similarity import pq_seeded_recall
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pq_seeded_recall(emb, QUERY_VEC, k=10, m=4, ks=8)
+
+
 # --- winnowing fingerprints (rolling hash; xxhash-based -> rows-only) --------
 
 

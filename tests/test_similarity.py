@@ -228,3 +228,48 @@ def test_embedding_classifier_train_and_score(spark):
     joined = out.join(df.select("vec_id", "label"), "vec_id")
     assert joined.filter(F.col("predicted") != F.col("label")).count() == 0
     assert out.agg(F.min("confidence")).collect()[0][0] > 0.9
+
+
+def test_pq_degenerates_to_exact_when_every_vector_is_a_seed(spark, sf_dir):
+    """With ks == corpus size every vector is its own seed: each
+    subspace assignment has distance 0 to the vector's own sub-codes,
+    so ADC reconstructs the true (per-subspace-rounded) squared L2 and
+    the PQ top-k equals the exact top-k."""
+    from bootcamp_stackacademy_datalake_minio_airflow_spark.operators.similarity import (
+        l2_topk,
+        pq_topk_seeded,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(40).cache()
+    n = emb.count()
+    pq = pq_topk_seeded(emb, QUERY_VEC, k=10, m=4, ks=n).collect()
+    exact = l2_topk(emb, QUERY_VEC, k=10).collect()
+    assert [r.vec_id for r in pq] == [r.vec_id for r in exact]
+    for p, e in zip(pq, exact):
+        # ADC sums four per-subspace roundings vs one whole-vector
+        # rounding -> equal within 4 half-ulps of the 4th decimal
+        assert abs(p.approx_l2 - e.l2_sq) <= 2e-4
+    emb.unpersist()
+
+
+def test_pq_codes_in_range_and_deterministic(spark, sf_dir):
+    from bootcamp_stackacademy_datalake_minio_airflow_spark.operators.similarity import (
+        pq_encode_seeded,
+        pq_seeded_recall,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    enc, books = pq_encode_seeded(emb, m=4, ks=8)
+    assert len(books) == 4 and len(books[0]) == 8 and len(books[0][0]) == 16
+    stats = enc.selectExpr(
+        "count(*) AS n",
+        *[f"min(__c{j}) AS lo{j}" for j in range(4)],
+        *[f"max(__c{j}) AS hi{j}" for j in range(4)],
+    ).collect()[0]
+    assert stats.n == emb.count()
+    for j in range(4):
+        assert 0 <= stats[f"lo{j}"] and stats[f"hi{j}"] <= 7
+    r1 = pq_seeded_recall(emb, QUERY_VEC, k=10, m=4, ks=8).collect()[0]
+    r2 = pq_seeded_recall(emb, QUERY_VEC, k=10, m=4, ks=8).collect()[0]
+    assert r1 == r2
+    assert 0.0 <= r1.recall <= 1.0
