@@ -385,6 +385,35 @@ def q_cross_doc_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cross_doc_ngram_stats(docs, "doc_id", "text", n=10, hash_fn="md5")
 
 
+# --- event attribution (batch twin of the stream-stream join) ---------------
+
+
+@register(
+    "event_attribution",
+    """
+    SELECT v.user_id,
+           v.event_id AS view_id,
+           p.event_id AS purchase_id,
+           v.ts AS view_ts,
+           p.ts AS purchase_ts,
+           CAST(floor(epoch(p.ts)) - floor(epoch(v.ts)) AS BIGINT) AS gap_s
+    FROM events v
+    JOIN events p
+      ON v.user_id = p.user_id
+     AND v.event_type = 'view' AND p.event_type = 'purchase'
+     AND v.ts <= p.ts AND p.ts <= v.ts + INTERVAL 6 HOUR
+    """,
+)
+def q_event_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Views attributed to purchases within 6h per user — the batch
+    twin of streaming/joins.py's watermarked stream-stream self-join
+    (same attribution_join definition, two execution modes)."""
+    from ..streaming.joins import batch_attribution
+
+    events = load_table(spark, sf_dir, "events")
+    return batch_attribution(events, max_gap="6 hours")
+
+
 # --- windowed event aggregation (batch twin of the streaming job) ---------------
 
 

@@ -349,3 +349,36 @@ def test_decode_resize_pipeline(spark):
     assert [f.name for f in DECODED_SCHEMA.fields] == [
         "asset_id", "width", "height", "channels", "pixels",
     ]
+
+
+def test_stream_stream_attribution_equals_batch(spark, sf_dir, tmp_path):
+    """The watermarked stream-stream self-join must emit exactly the
+    pairs the batch twin produces: inner-join rows are never withheld
+    by the watermark (it only drives state cleanup), so a
+    drain-and-stop run over multiple micro-batches is complete."""
+    from bootcamp_stackacademy_datalake_minio_airflow_spark.streaming.joins import (
+        batch_attribution,
+        stream_attribution,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    batch = batch_attribution(events, max_gap="6 hours")
+    src = str(tmp_path / "events_ss")
+    # time-ordered multi-file source so the join state actually spans
+    # micro-batches (a view buffered in batch 1 matches a purchase
+    # arriving in batch 3)
+    events.repartitionByRange(8, "ts").sortWithinPartitions("ts").write.parquet(src)
+    q = stream_attribution(
+        spark,
+        src,
+        max_gap="6 hours",
+        checkpoint_dir=str(tmp_path / "ckpt_ss"),
+        output_table="t_attribution",
+        max_files_per_trigger=2,
+    )
+    q.awaitTermination(120)
+    streamed = spark.table("t_attribution").collect()
+    s = {(r.view_id, r.purchase_id): tuple(r) for r in streamed}
+    b = {(r.view_id, r.purchase_id): tuple(r) for r in batch.collect()}
+    assert len(streamed) == len(s), "append sink must not duplicate pairs"
+    assert s == b
