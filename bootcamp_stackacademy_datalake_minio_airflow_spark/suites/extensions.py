@@ -385,6 +385,65 @@ def q_cross_doc_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cross_doc_ngram_stats(docs, "doc_id", "text", n=10, hash_fn="md5")
 
 
+# --- PageRank over the part co-purchase graph (iterative algorithm) ---------
+
+
+def _pagerank_oracle(iters: int = 5) -> str:
+    """Unrolled replay of operators/graph.py:pagerank. Each iteration
+    CTE performs the SAME double operations in the same written order
+    (base + 0.85 * SUM(rank/outdeg), then ROUND to 10 decimals), so
+    the per-iteration quantization keeps both engines' states
+    bit-identical; unordered SUM drift (~1e-16) never reaches the
+    10th decimal."""
+    head = """
+    WITH pairs AS (
+      SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+      WHERE a.l_partkey <> b.l_partkey
+    ), deg AS (
+      SELECT src, COUNT(*) AS outdeg FROM pairs GROUP BY src
+    ), nodes AS (
+      SELECT DISTINCT src AS node FROM pairs
+    ), nn AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes
+    ), r0 AS (
+      SELECT node, CAST(1 AS DOUBLE) / (SELECT n FROM nn) AS rank FROM nodes
+    )"""
+    its = "".join(
+        f""", r{t + 1} AS (
+      SELECT e.dst AS node,
+             ROUND((CAST(1 AS DOUBLE) - CAST('0.85' AS DOUBLE))
+                     / (SELECT n FROM nn)
+                   + CAST('0.85' AS DOUBLE) * SUM(p.rank / d.outdeg),
+                   10) AS rank
+      FROM r{t} p
+      JOIN pairs e ON e.src = p.node
+      JOIN deg d ON d.src = p.node
+      GROUP BY e.dst
+    )"""
+        for t in range(iters)
+    )
+    return (
+        head
+        + its
+        + f"""
+    SELECT node, ROUND(rank, 6) AS pagerank FROM r{iters}
+    """
+    )
+
+
+@register("graph_pagerank_parts", _pagerank_oracle(5))
+def q_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over parts co-occurring in the same order — the
+    link-analysis importance signal (domain authority in a web-corpus
+    pipeline) as 5 power-method iterations of pure DataFrame joins."""
+    from ..operators.graph import cooccurrence_edges, pagerank
+
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = cooccurrence_edges(li, "l_orderkey", "l_partkey")
+    return pagerank(edges, iters=5)
+
+
 # --- event attribution (batch twin of the stream-stream join) ---------------
 
 

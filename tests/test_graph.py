@@ -1,0 +1,51 @@
+"""PageRank / co-occurrence graph operator tests."""
+
+from __future__ import annotations
+
+from bootcamp_stackacademy_datalake_minio_airflow_spark.operators.graph import (
+    cooccurrence_edges,
+    pagerank,
+)
+
+
+def test_cooccurrence_edges_symmetric_distinct(spark):
+    df = spark.createDataFrame(
+        [(10, 1), (10, 2), (10, 3), (11, 2), (11, 3), (12, 7)],
+        "okey long, part long",
+    )
+    edges = {
+        (r.src, r.dst) for r in cooccurrence_edges(df, "okey", "part").collect()
+    }
+    # both directions, no self-loops, multiplicity collapsed (2-3 via
+    # two orders appears once), singleton order 12 contributes nothing
+    assert edges == {
+        (1, 2), (2, 1), (1, 3), (3, 1), (2, 3), (3, 2),
+    }
+
+
+def test_pagerank_path_graph_matches_reference_recurrence(spark):
+    """Path graph 1-2-3: the center accumulates rank. Compare against
+    an independent Python replay of the exact quantized recurrence."""
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 3), (3, 2)], "src long, dst long"
+    )
+    out = {r.node: r.pagerank for r in pagerank(edges, iters=5).collect()}
+
+    adj = {(1, 2), (2, 1), (2, 3), (3, 2)}
+    outdeg = {1: 1, 2: 2, 3: 1}
+    base = (1.0 - 0.85) / 3
+    ranks = {v: 1.0 / 3 for v in (1, 2, 3)}
+    for _ in range(5):
+        ranks = {
+            v: round(
+                base
+                + 0.85 * sum(ranks[u] / outdeg[u] for (u, w) in adj if w == v),
+                10,
+            )
+            for v in (1, 2, 3)
+        }
+    for v in (1, 2, 3):
+        assert abs(out[v] - round(ranks[v], 6)) <= 1e-9
+    assert out[2] > out[1] == out[3]
+    # symmetric graph, no dangling mass: ranks stay a distribution
+    assert abs(sum(out.values()) - 1.0) < 1e-3
