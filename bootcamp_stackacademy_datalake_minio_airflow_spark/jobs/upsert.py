@@ -54,10 +54,67 @@ def merge_upsert(
     updates: DataFrame,
     key: str,
     tombstone_col: str | None = None,
+    order_col: str | None = None,
+    retain_tombstones: bool = False,
 ) -> DataFrame:
     """Return the merged table: updates win on key collision, new keys
-    append, and rows whose update has ``tombstone_col = true`` drop."""
+    append, and rows whose update has ``tombstone_col = true`` drop.
+
+    With ``order_col`` the merge is VERSION-CONDITIONAL (``WHEN
+    MATCHED AND u.order >= t.order THEN UPDATE``): an update only
+    replaces — or a tombstone only deletes — a target row whose
+    version it does not precede. That makes applying update sets
+    ORDER-INDEPENDENT across calls, which is what a streaming CDC
+    feed needs: micro-batches arrive in file order, not event order,
+    and an unconditional merge would let a stale revision from a
+    late batch clobber a newer one already applied.
+
+    ``retain_tombstones`` keeps a winning delete as a soft-deleted
+    ROW (``tombstone_col = true``) instead of physically dropping it.
+    Required for full order-independence: a hard delete erases the
+    version watermark, so a STALE revision arriving in a later call
+    would resurrect the key (nothing is left to out-version it).
+    Retained tombstones keep the watermark; readers filter
+    ``NOT tombstone_col``, and a vacuum pass can hard-drop tombstones
+    once the out-of-order horizon has passed — exactly Kafka/Delta
+    tombstone-retention semantics. Requires the target schema to
+    carry ``tombstone_col``."""
     cols = target.columns
+    if order_col:
+        t = target.alias("t")
+        u = updates.alias("u")
+        joined = t.join(u, on=key, how="full_outer")
+        upd_wins = F.col(f"u.{key}").isNotNull() & (
+            F.col(f"t.{key}").isNull()
+            | (F.col(f"u.{order_col}") >= F.col(f"t.{order_col}"))
+        )
+        is_tomb = (
+            F.coalesce(F.col(f"u.{tombstone_col}"), F.lit(False))
+            if tombstone_col and tombstone_col in updates.columns
+            else F.lit(False)
+        )
+        merged = joined.select(
+            F.coalesce(F.col(f"u.{key}"), F.col(f"t.{key}")).alias(key),
+            *[
+                F.when(upd_wins, F.col(f"u.{c}"))
+                .otherwise(F.col(f"t.{c}"))
+                .alias(c)
+                for c in cols
+                if c != key
+            ],
+            # a winning tombstone deletes (incl. one for an absent key,
+            # which upd_wins covers — no row is produced); a LOSING
+            # tombstone, older than the live row, must not
+            (upd_wins & is_tomb).alias("__drop"),
+        )
+        if retain_tombstones:
+            if not (tombstone_col and tombstone_col in cols):
+                raise ValueError(
+                    "retain_tombstones requires tombstone_col present in "
+                    "the target schema (the soft-delete flag must persist)"
+                )
+            return merged.drop("__drop")
+        return merged.filter(~F.col("__drop")).drop("__drop")
     if tombstone_col and tombstone_col in updates.columns:
         # NULL tombstone = plain upsert. Without the coalesce, a NULL
         # row fails BOTH filters (NOT NULL is NULL) and the update
@@ -89,6 +146,8 @@ def upsert_parquet(
     key: str,
     partition_col: str | None = None,
     tombstone_col: str | None = None,
+    order_col: str | None = None,
+    retain_tombstones: bool = False,
 ) -> None:
     """Apply ``merge_upsert`` against a parquet path.
 
@@ -130,7 +189,9 @@ def upsert_parquet(
                 | (F.col(partition_col) == "")
             )
         target = spark.read.parquet(path).filter(part_pred)
-        merged = merge_upsert(target, updates, key, tombstone_col)
+        merged = merge_upsert(
+            target, updates, key, tombstone_col, order_col, retain_tombstones
+        )
         (
             merged.write.mode("overwrite")
             .partitionBy(partition_col)
@@ -163,6 +224,8 @@ def upsert_parquet(
     else:
         recover_swaps(spark, path)
         target = spark.read.parquet(path)
-        merged = merge_upsert(target, updates, key, tombstone_col)
+        merged = merge_upsert(
+            target, updates, key, tombstone_col, order_col, retain_tombstones
+        )
         merged.write.mode("overwrite").parquet(staging)
         publish_swap(spark, staging, path)

@@ -92,7 +92,9 @@ def _ensure_loaded() -> None:
         "dedup_embedding_cosine_pairs",
         "embedding_cosine_topk",
         "embedding_ann_lsh_topk",
-        "embedding_ivf_topk",
+        # embedding_ivf_topk moved out of the window in r4: it is
+        # rows-only by nature (KMeans), so its slot buys no hash
+        # coverage — the IVF family's hash gate is embedding_ivf_recall
         "embedding_ivf_recall",
         "semantic_dedup_clusters",
         "text_language_id",
@@ -130,11 +132,16 @@ def _ensure_loaded() -> None:
         # same 50. Displaced queries (sort_limit_topk, stats_aggregates,
         # json_extract_events, array_collect_orders,
         # events_tumbling_window) went green in r1-r3 windows and their
-        # families stay represented above.
+        # families stay represented above. r4 adds the four operator
+        # families new this round (all hash-gated, never
+        # driver-checked); events_sliding_exact and ann_batch_topk
+        # queue for r5.
+        "dedup_cross_doc_ngrams",
+        "embedding_pq_recall",
+        "event_attribution",
+        "graph_pagerank_parts",
         "tpch_q21_shaped",
         "bigram_pmi",
-        "events_sliding_exact",
-        "ann_batch_topk",
     ]
     rank = {name: i for i, name in enumerate(priority)}
     ordered = sorted(

@@ -61,3 +61,77 @@ def stream_bronze_to_silver(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_upsert_apply(
+    spark: SparkSession,
+    source_dir: str,
+    target_path: str,
+    key: str,
+    order_col: str,
+    schema,
+    tombstone_col: str | None = None,
+    partition_col: str | None = None,
+    checkpoint_dir: str | None = None,
+    max_files_per_trigger: int = 2,
+) -> StreamingQuery:
+    """Streaming CDC apply: a file-source stream of change rows is
+    MERGEd into a plain-parquet target per micro-batch (foreachBatch
+    -> jobs.upsert.upsert_parquet) — Delta-style `MERGE INTO` stream
+    semantics without a table format.
+
+    Correct under arbitrary arrival order: within a batch the latest
+    revision per key wins (row_number over ``order_col`` desc), and
+    across batches the merge is version-conditional (``order_col``
+    passed through to merge_upsert) with RETAINED tombstones — a hard
+    delete would erase the version watermark and let a stale revision
+    in a later micro-batch resurrect the key, so deletes persist as
+    soft-deleted rows carrying their version. The final table then
+    depends only on the SET of change rows, not on how the files were
+    batched; readers filter ``NOT tombstone_col``, and a vacuum pass
+    may hard-drop tombstones older than the out-of-order horizon.
+    pytest drains the same change set in 1-file batches under a
+    version-scrambled file layout and asserts state equality with the
+    one-shot batch merge.
+
+    Exactly-once: the checkpoint commits source offsets AFTER the
+    batch's upsert publishes; a replayed batch re-merges the same
+    revisions, which the version condition makes idempotent.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from ..jobs.upsert import upsert_parquet
+
+    def _apply(batch_df, _batch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        w = (
+            Window.partitionBy(key)
+            .orderBy(F.col(order_col).desc())
+        )
+        latest = (
+            batch_df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        upsert_parquet(
+            batch_df.sparkSession,
+            target_path,
+            latest,
+            key,
+            partition_col=partition_col,
+            tombstone_col=tombstone_col,
+            order_col=order_col,
+            retain_tombstones=tombstone_col is not None,
+        )
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(source_dir)
+    )
+    writer = stream.writeStream.foreachBatch(_apply).trigger(availableNow=True)
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()

@@ -156,3 +156,145 @@ def test_duplicate_keys(spark):
     df = spark.createDataFrame([(1, "x"), (1, "y"), (2, "z")], "k long, s string")
     dups = duplicate_keys(df, ["k"]).collect()
     assert len(dups) == 1 and dups[0].k == 1 and dups[0].n == 2
+
+
+def test_merge_upsert_version_conditional(spark):
+    """order_col makes the merge CDC-safe: stale revisions (update OR
+    tombstone) lose against a newer live row; current-or-newer ones
+    win; absent-key tombstones are no-ops."""
+    target = spark.createDataFrame(
+        [(1, "a", 5), (2, "b", 5), (3, "c", 5), (4, "d", 5)],
+        "k long, s string, ver long",
+    )
+    updates = spark.createDataFrame(
+        [
+            (1, "A-new", 9, False),   # newer -> wins
+            (2, "B-old", 3, False),   # stale -> ignored
+            (3, None, 9, True),       # newer tombstone -> deletes
+            (4, None, 3, True),       # stale tombstone -> ignored
+            (5, "e", 1, False),       # new key -> inserts
+            (6, None, 1, True),       # tombstone for absent key -> no-op
+        ],
+        "k long, s string, ver long, deleted boolean",
+    )
+    out = {
+        r.k: (r.s, r.ver)
+        for r in merge_upsert(
+            target, updates, "k", tombstone_col="deleted", order_col="ver"
+        ).collect()
+    }
+    assert out == {
+        1: ("A-new", 9),
+        2: ("b", 5),
+        4: ("d", 5),
+        5: ("e", 1),
+    }
+
+
+def test_stream_upsert_apply_order_independent(spark, tmp_path):
+    """Draining the same change set in 1-file micro-batches under a
+    deliberately version-scrambled file layout must produce exactly
+    the state of a one-shot latest-revision batch merge."""
+    from pyspark.sql import functions as F
+
+    from bootcamp_stackacademy_datalake_minio_airflow_spark.streaming.ingest import (
+        stream_upsert_apply,
+    )
+
+    target_path = str(tmp_path / "cdc_target")
+    spark.createDataFrame(
+        [(k, f"base{k}", 0, False) for k in range(1, 21)],
+        "k long, s string, ver long, deleted boolean",
+    ).write.parquet(target_path)
+
+    # three revision waves; each file holds ONE wave's rows but the
+    # file names invert version order so later micro-batches carry
+    # OLDER revisions (k % groups: rev for subset of keys)
+    changes = {
+        # file c0 (applied first) = NEWEST revisions
+        "c0": [(k, f"v3_{k}", 3, k == 5) for k in range(1, 21, 2)],
+        # file c1 = middle revisions (stale vs c0 for odd keys)
+        "c1": [(k, f"v2_{k}", 2, False) for k in range(1, 21)],
+        # file c2 = oldest revisions + an insert and a stale tombstone
+        "c2": [(k, f"v1_{k}", 1, k == 7) for k in range(1, 21)]
+        + [(99, "new", 1, False)],
+    }
+    src = tmp_path / "cdc_src"
+    src.mkdir()
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    for name, rows in changes.items():
+        pdf = pd.DataFrame(rows, columns=["k", "s", "ver", "deleted"])
+        tbl = pa.table(
+            {
+                "k": pa.array(pdf.k, "int64"),
+                "s": pa.array(pdf.s, "string"),
+                "ver": pa.array(pdf.ver, "int64"),
+                "deleted": pa.array(pdf.deleted, "bool"),
+            }
+        )
+        pq.write_table(tbl, src / f"{name}.parquet")
+
+    q = stream_upsert_apply(
+        spark,
+        str(src),
+        target_path,
+        key="k",
+        order_col="ver",
+        schema="k long, s string, ver long, deleted boolean",
+        tombstone_col="deleted",
+        checkpoint_dir=str(tmp_path / "ckpt_cdc"),
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(180)
+
+    # reference: one-shot merge of the latest revision per key, same
+    # tombstone-retention semantics
+    all_rows = [r for rows in changes.values() for r in rows]
+    all_df = spark.createDataFrame(
+        all_rows, "k long, s string, ver long, deleted boolean"
+    )
+    from pyspark.sql import Window
+
+    latest = (
+        all_df.withColumn(
+            "__rn",
+            F.row_number().over(Window.partitionBy("k").orderBy(F.desc("ver"))),
+        )
+        .filter("__rn = 1")
+        .drop("__rn")
+    )
+    base = spark.createDataFrame(
+        [(k, f"base{k}", 0, False) for k in range(1, 21)],
+        "k long, s string, ver long, deleted boolean",
+    )
+    expected = {
+        r.k: (r.s, r.ver, r.deleted)
+        for r in merge_upsert(
+            base,
+            latest,
+            "k",
+            tombstone_col="deleted",
+            order_col="ver",
+            retain_tombstones=True,
+        ).collect()
+    }
+    got = {
+        r.k: (r.s, r.ver, r.deleted)
+        for r in spark.read.parquet(target_path).collect()
+    }
+    assert got == expected
+    # key 5's newest revision is a tombstone: retained soft-deleted
+    # (so the stale v2 row arriving AFTER it could not resurrect it);
+    # key 7's ver-1 tombstone was stale -> ignored, its ver-3
+    # revision stays live; even keys never saw v3 -> v2 wins
+    assert got[5][2] is True and got[5][1] == 3
+    assert got[7] == ("v3_7", 3, False)
+    assert got[8] == ("v2_8", 2, False)
+    assert got[99] == ("new", 1, False)
+    live = {
+        r.k for r in spark.read.parquet(target_path).filter("NOT deleted").collect()
+    }
+    assert 5 not in live and len(live) == 20  # 19 base survivors + key 99
