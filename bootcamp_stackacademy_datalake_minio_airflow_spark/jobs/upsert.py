@@ -229,3 +229,80 @@ def upsert_parquet(
         )
         merged.write.mode("overwrite").parquet(staging)
         publish_swap(spark, staging, path)
+
+
+def vacuum_tombstones(
+    spark: SparkSession,
+    path: str,
+    tombstone_col: str,
+    order_col: str,
+    horizon,
+    partition_col: str | None = None,
+) -> int:
+    """Hard-drop retained tombstone rows whose version is at or below
+    ``horizon`` — the point past which no out-of-order revision can
+    still arrive (a CDC source's lateness bound). Completes the
+    retained-tombstone lifecycle: merge keeps deletes as soft rows so
+    stale revisions cannot resurrect keys (see merge_upsert); once the
+    horizon passes, the watermark they carry is no longer needed and
+    the rows become reclaimable space.
+
+    Returns the number of rows vacuumed. The rewrite reuses the
+    staging + rename-swap publish (never in-place) and, when
+    ``partition_col`` is given, rewrites ONLY partitions that contain
+    a vacuum-able tombstone — the same pruning that keeps MERGE
+    viable at 100 TB keeps vacuum viable too.
+    """
+    from ..fsutil import delete_path, list_subdirs, publish_swap, recover_swaps
+
+    staging = f"{path.rstrip('/')}__staging"
+    dead = F.coalesce(F.col(tombstone_col), F.lit(False)) & (
+        F.col(order_col) <= F.lit(horizon)
+    )
+    if partition_col:
+        backup_root = f"{path.rstrip('/')}__backup"
+        recover_swaps(spark, path, backup_root)
+        table = spark.read.parquet(path)
+        parts = [
+            r[0]
+            for r in table.filter(dead).select(partition_col).distinct().collect()
+        ]
+        if not parts:
+            return 0
+        has_default = any(p is None or str(p) == "" for p in parts)
+        non_default = [p for p in parts if not (p is None or str(p) == "")]
+        part_pred = F.col(partition_col).isin(non_default)
+        if has_default:
+            part_pred = (
+                part_pred
+                | F.col(partition_col).isNull()
+                | (F.col(partition_col) == "")
+            )
+        scoped = table.filter(part_pred)
+        n = scoped.filter(dead).count()
+        scoped.filter(~dead).write.mode("overwrite").partitionBy(
+            partition_col
+        ).parquet(staging)
+        staged = set(list_subdirs(spark, staging))
+        for part_dir in staged:
+            publish_swap(
+                spark,
+                f"{staging}/{part_dir}",
+                f"{path.rstrip('/')}/{part_dir}",
+                backup_path=f"{backup_root}/{part_dir}",
+            )
+        touched = {_hive_partition_dir(partition_col, p) for p in parts}
+        for part_dir in set(list_subdirs(spark, path)) - staged:
+            if part_dir in touched:
+                delete_path(spark, f"{path.rstrip('/')}/{part_dir}")
+        delete_path(spark, staging)
+        delete_path(spark, backup_root)
+        return n
+    recover_swaps(spark, path)
+    table = spark.read.parquet(path)
+    n = table.filter(dead).count()
+    if n == 0:
+        return 0
+    table.filter(~dead).write.mode("overwrite").parquet(staging)
+    publish_swap(spark, staging, path)
+    return n

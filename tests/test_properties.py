@@ -124,3 +124,101 @@ def test_connected_components_string_ids(spark):
         for r in connected_components(pairs, driver_budget_edges=0).collect()
     }
     assert dist == got
+
+
+_REVISIONS = st.lists(
+    st.tuples(
+        st.integers(1, 6),            # key
+        st.integers(0, 50),           # payload
+        st.integers(1, 9),            # version
+        st.booleans(),                # tombstone
+    ),
+    min_size=1,
+    max_size=12,
+    unique_by=lambda r: (r[0], r[2]),  # one revision per (key, version)
+)
+
+
+def _apply_reference(base: dict, revisions):
+    """Driver-side replay of the retained-tombstone version-conditional
+    merge: state maps key -> (payload, version, deleted)."""
+    state = dict(base)
+    for k, p, v, tomb in revisions:
+        cur = state.get(k)
+        if cur is None or v >= cur[1]:
+            state[k] = (p, v, tomb)
+    return state
+
+
+@settings(max_examples=6, deadline=None)
+@given(revisions=_REVISIONS, data=st.data())
+def test_versioned_merge_is_batching_independent(spark, revisions, data):
+    """Splitting ANY revision set into ANY ordered batching and
+    merge_upsert-ing them sequentially (version-conditional, retained
+    tombstones) must land in the same state as the driver-side
+    reference replay — i.e. final state depends only on the SET of
+    revisions."""
+    from bootcamp_stackacademy_datalake_minio_airflow_spark.jobs.upsert import (
+        merge_upsert,
+    )
+
+    # random ordered partition of the revision list into 1-3 batches
+    n_batches = data.draw(st.integers(1, min(3, len(revisions))))
+    cuts = sorted(
+        data.draw(
+            st.lists(
+                st.integers(1, len(revisions) - 1)
+                if len(revisions) > 1
+                else st.just(1),
+                min_size=n_batches - 1,
+                max_size=n_batches - 1,
+                unique=True,
+            )
+        )
+    )
+    batches, prev = [], 0
+    for c in cuts + [len(revisions)]:
+        if revisions[prev:c]:
+            batches.append(revisions[prev:c])
+        prev = c
+
+    base = {1: (100, 0, False), 2: (200, 0, False)}
+    target = spark.createDataFrame(
+        [(k, p, v, d) for k, (p, v, d) in base.items()],
+        "k long, p long, ver long, deleted boolean",
+    )
+    for batch in batches:
+        # within-batch latest-wins (ties broken by payload desc for
+        # determinism, mirroring the reference's last-write since
+        # unique_by forbids same (key, version) twice)
+        updates = spark.createDataFrame(
+            batch, "k long, p long, ver long, deleted boolean"
+        )
+        from pyspark.sql import Window
+
+        latest = (
+            updates.withColumn(
+                "__rn",
+                F.row_number().over(
+                    Window.partitionBy("k").orderBy(F.desc("ver"))
+                ),
+            )
+            .filter("__rn = 1")
+            .drop("__rn")
+        )
+        target = merge_upsert(
+            target,
+            latest,
+            "k",
+            tombstone_col="deleted",
+            order_col="ver",
+            retain_tombstones=True,
+        ).localCheckpoint()
+
+    got = {r.k: (r.p, r.ver, r.deleted) for r in target.collect()}
+    # reference replays revisions in per-key version order (batching
+    # cannot matter — that is the property)
+    expected = _apply_reference(
+        base, sorted(revisions, key=lambda r: (r[0], r[2]))
+    )
+    assert got == expected

@@ -298,3 +298,61 @@ def test_stream_upsert_apply_order_independent(spark, tmp_path):
         r.k for r in spark.read.parquet(target_path).filter("NOT deleted").collect()
     }
     assert 5 not in live and len(live) == 20  # 19 base survivors + key 99
+
+
+def test_vacuum_tombstones_partitioned(spark, tmp_path):
+    """Vacuum hard-drops only tombstones at/below the horizon, leaves
+    fresh tombstones as watermarks, and rewrites only partitions that
+    contain vacuum-able rows."""
+    import os
+
+    from bootcamp_stackacademy_datalake_minio_airflow_spark.jobs.upsert import (
+        vacuum_tombstones,
+    )
+
+    path = str(tmp_path / "vac")
+    spark.createDataFrame(
+        [
+            (1, "a", 1, False, "p1"),
+            (2, "b", 2, True, "p1"),   # old tombstone -> vacuum
+            (3, "c", 8, True, "p1"),   # fresh tombstone -> keep
+            (4, "d", 1, True, "p2"),   # old tombstone -> vacuum
+            (5, "e", 1, False, "p3"),  # untouched partition
+        ],
+        "k long, s string, ver long, deleted boolean, p string",
+    ).write.partitionBy("p").parquet(path)
+    p3_files = sorted(os.listdir(f"{path}/p=p3"))
+
+    n = vacuum_tombstones(
+        spark, path, "deleted", "ver", horizon=5, partition_col="p"
+    )
+    assert n == 2
+    out = {r.k: (r.deleted, r.p) for r in spark.read.parquet(path).collect()}
+    assert out == {
+        1: (False, "p1"),
+        3: (True, "p1"),
+        5: (False, "p3"),
+    }
+    # p3 had no vacuum-able tombstone: its files must be untouched
+    assert sorted(os.listdir(f"{path}/p=p3")) == p3_files
+    # idempotent / no-op fast path
+    assert (
+        vacuum_tombstones(spark, path, "deleted", "ver", 5, partition_col="p")
+        == 0
+    )
+
+
+def test_vacuum_tombstones_unpartitioned(spark, tmp_path):
+    from bootcamp_stackacademy_datalake_minio_airflow_spark.jobs.upsert import (
+        vacuum_tombstones,
+    )
+
+    path = str(tmp_path / "vac_flat")
+    spark.createDataFrame(
+        [(1, 1, False), (2, 2, True), (3, 9, True)],
+        "k long, ver long, deleted boolean",
+    ).write.parquet(path)
+    assert vacuum_tombstones(spark, path, "deleted", "ver", 5) == 1
+    out = {r.k: r.deleted for r in spark.read.parquet(path).collect()}
+    assert out == {1: False, 3: True}
+    assert vacuum_tombstones(spark, path, "deleted", "ver", 5) == 0
