@@ -382,3 +382,89 @@ def test_stream_stream_attribution_equals_batch(spark, sf_dir, tmp_path):
     b = {(r.view_id, r.purchase_id): tuple(r) for r in batch.collect()}
     assert len(streamed) == len(s), "append sink must not duplicate pairs"
     assert s == b
+
+
+def test_decode_media_real_png_and_strict_dispatch(spark):
+    """PNG assets decode for REAL (bitstream dims/channels, metadata
+    ignored) while unknown formats keep the stub; strict mode raises
+    only for the formats lacking an in-container codec."""
+    import numpy as np
+
+    from bootcamp_stackacademy_datalake_minio_airflow_spark.operators.codecs import (
+        encode_png,
+    )
+    from bootcamp_stackacademy_datalake_minio_airflow_spark.operators.multimodal import (
+        decode_media,
+        resize_nearest,
+    )
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, size=(6, 4, 3), dtype=np.uint8)
+    rows = [
+        # deliberately WRONG metadata dims: the real decode must use
+        # the bitstream's 4x6, not meta's 9x9
+        (1, "image", encode_png(img), ("image/png", 9, 9, None)),
+        (2, "image", b"\xff\xd8\xff\xe0 fake jpeg", ("image/jpeg", 2, 2, None)),
+    ]
+    schema = (
+        "asset_id long, kind string, data binary, "
+        "meta struct<mime:string,width:int,height:int,duration_ms:int>"
+    )
+    df = spark.createDataFrame(rows, schema)
+    dec = {r.asset_id: r for r in decode_media(df).collect()}
+    assert (dec[1].width, dec[1].height, dec[1].channels) == (4, 6, 3)
+    assert np.array_equal(
+        np.frombuffer(dec[1].pixels, np.uint8).reshape(6, 4, 3), img
+    )
+    assert (dec[2].width, dec[2].height) == (2, 2)  # stub path, meta dims
+
+    # real pixels flow through the real resize
+    up = {r.asset_id: r for r in resize_nearest(decode_media(df), 8, 12).collect()}
+    got = np.frombuffer(up[1].pixels, np.uint8).reshape(12, 8, 3)
+    assert np.array_equal(got[::2, ::2], img)  # 2x NN upscale keeps originals
+
+    # strict: PNG rows decode fine; the fake-jpeg row raises
+    png_only = spark.createDataFrame([rows[0]], schema)
+    assert decode_media(png_only, strict=True).count() == 1
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="codec"):
+        decode_media(df, strict=True).count()
+
+
+def test_audio_features_real_wav(spark):
+    """WAV assets produce real signal features (decoded PCM); unknown
+    audio emits a stub row; strict raises for the unknown one."""
+    import numpy as np
+
+    from bootcamp_stackacademy_datalake_minio_airflow_spark.operators.codecs import (
+        encode_wav,
+    )
+    from bootcamp_stackacademy_datalake_minio_airflow_spark.operators.multimodal import (
+        audio_features,
+    )
+
+    sr = 8000
+    tone = (
+        np.sin(2 * np.pi * 440 * np.arange(sr // 2) / sr) * 20000
+    ).astype(np.int16)
+    rows = [
+        (1, "audio", encode_wav(tone, sr), ("audio/wav", None, None, 500)),
+        (2, "audio", b"ID3 fake mp3 bytes", ("audio/mpeg", None, None, 1000)),
+    ]
+    schema = (
+        "asset_id long, kind string, data binary, "
+        "meta struct<mime:string,width:int,height:int,duration_ms:int>"
+    )
+    df = spark.createDataFrame(rows, schema)
+    out = {r.asset_id: r for r in audio_features(df).collect()}
+    assert out[1].codec == "wav"
+    assert out[1].sample_rate == sr and out[1].n_samples == sr // 2
+    assert out[1].duration_ms == 500.0
+    assert abs(out[1].rms - 20000 / np.sqrt(2)) / (20000 / np.sqrt(2)) < 0.01
+    assert out[2].codec == "stub" and out[2].sample_rate is None
+
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="codec"):
+        audio_features(df, strict=True).count()
