@@ -140,8 +140,8 @@ def _ensure_loaded() -> None:
         "embedding_pq_recall",
         "event_attribution",
         "graph_pagerank_parts",
+        "multimodal_png_roundtrip",
         "tpch_q21_shaped",
-        "bigram_pmi",
     ]
     rank = {name: i for i, name in enumerate(priority)}
     ordered = sorted(

@@ -621,6 +621,77 @@ def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- real-codec PNG round trip (oracle via the identity property) ------------
+
+
+def _png_roundtrip_oracle() -> str:
+    """The PNG codec itself (zlib) is not SQL-replayable, but the
+    ROUND TRIP is oracle-able through the identity decode(encode(x))
+    == x: the Spark side builds a 4x4 gray image from the 16 bytes of
+    md5(text), pushes it through the REAL encoder+decoder
+    (operators/codecs.py), and emits stats OF THE DECODED PIXELS;
+    DuckDB computes the same stats directly from the md5 bytes. Any
+    corruption anywhere in the codec chain (chunk framing, DEFLATE,
+    defiltering, buffer layout) breaks the hash."""
+    hexd = "0123456789abcdef"
+    return f"""
+    WITH h AS (
+      SELECT doc_id, md5(text) AS hx FROM documents
+    ), ex AS (
+      SELECT doc_id, unnest(range(16)) AS i, hx FROM h
+    ), byt AS (
+      SELECT doc_id,
+             (strpos('{hexd}', substr(hx, CAST(i*2+1 AS INTEGER), 1)) - 1) * 16
+             + strpos('{hexd}', substr(hx, CAST(i*2+2 AS INTEGER), 1)) - 1 AS v
+      FROM ex
+    )
+    SELECT doc_id, 4 AS width, 4 AS height,
+           CAST(SUM(v) AS BIGINT) AS pixel_sum,
+           TRUE AS roundtrip_ok
+    FROM byt GROUP BY doc_id
+    """
+
+
+@register("multimodal_png_roundtrip", _png_roundtrip_oracle())
+def q_png_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drive the REAL pure-stdlib PNG codec through the hash gate:
+    encode 16 deterministic bytes per doc as an actual PNG, decode it
+    back with the real decoder, report decoded stats."""
+    docs = load_table(spark, sf_dir, "documents")
+    src = docs.select("doc_id", F.unhex(F.md5("text")).alias("seed"))
+
+    def _rt(batches):
+        import numpy as np
+
+        from ..operators.codecs import decode_png, encode_png
+
+        for pdf in batches:
+            out = {
+                "doc_id": [],
+                "width": [],
+                "height": [],
+                "pixel_sum": [],
+                "roundtrip_ok": [],
+            }
+            for did, seed in zip(pdf["doc_id"], pdf["seed"]):
+                arr = np.frombuffer(bytes(seed), np.uint8).reshape(4, 4, 1)
+                dec = decode_png(encode_png(arr))
+                out["doc_id"].append(did)
+                out["width"].append(dec.shape[1])
+                out["height"].append(dec.shape[0])
+                out["pixel_sum"].append(int(dec.sum()))
+                out["roundtrip_ok"].append(bool(np.array_equal(dec, arr)))
+            import pandas as pd
+
+            yield pd.DataFrame(out)
+
+    return src.mapInPandas(
+        _rt,
+        "doc_id long, width int, height int, pixel_sum long, "
+        "roundtrip_ok boolean",
+    )
+
+
 # --- sliding window with EXACT distinct users (full SQL oracle) --------------
 # Each event of a [1h window, 30min slide] belongs to exactly 2 windows:
 # the one starting at its 30-min-floor and the one 30 min before that.
