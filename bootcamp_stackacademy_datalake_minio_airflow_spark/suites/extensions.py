@@ -621,6 +621,68 @@ def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- MERGE semantics as a pure query (full-outer CASE replay) ----------------
+
+
+@register(
+    "merge_upsert_semantics",
+    """
+    WITH t AS (
+      SELECT o_orderkey AS k, ROUND(o_totalprice, 2) AS val,
+             o_orderstatus AS status, 1 AS ver
+      FROM orders WHERE o_orderkey % 7 <> 0
+    ), u AS (
+      SELECT o_orderkey AS k, ROUND(o_totalprice * 2, 2) AS val,
+             'U' AS status,
+             CASE WHEN o_orderkey % 5 = 0 THEN 0 ELSE 2 END AS ver,
+             (o_orderkey % 9 = 0) AS deleted
+      FROM orders WHERE o_orderkey % 3 = 0
+    ), j AS (
+      SELECT COALESCE(u.k, t.k) AS k,
+             (u.k IS NOT NULL AND (t.k IS NULL OR u.ver >= t.ver)) AS w,
+             COALESCE(u.deleted, FALSE) AS tomb,
+             t.val AS tval, t.status AS tstatus, t.ver AS tver,
+             u.val AS uval, u.status AS ustatus, u.ver AS uver
+      FROM t FULL OUTER JOIN u ON t.k = u.k
+    )
+    SELECT k,
+           CASE WHEN w THEN uval ELSE tval END AS val,
+           CASE WHEN w THEN ustatus ELSE tstatus END AS status,
+           CASE WHEN w THEN uver ELSE tver END AS ver
+    FROM j WHERE NOT (w AND tomb)
+    """,
+)
+def q_merge_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The version-conditional MERGE (jobs/upsert.py) as a pure query
+    over deterministically-derived target/update sets, so the CDC
+    semantics themselves — stale-loses, tombstone-wins, insert,
+    version tie — sit behind the driver's hash gate, not only pytest.
+    Exercises: matched newer update (%3, not %5), matched STALE update
+    ignored (%15), winning tombstone (%9), stale tombstone ignored
+    (%45), insert of a key absent from target (%21)."""
+    from ..jobs.upsert import merge_upsert
+
+    orders = load_table(spark, sf_dir, "orders")
+    target = orders.filter(F.col("o_orderkey") % 7 != 0).select(
+        F.col("o_orderkey").alias("k"),
+        F.round("o_totalprice", 2).alias("val"),
+        F.col("o_orderstatus").alias("status"),
+        F.lit(1).alias("ver"),
+    )
+    updates = orders.filter(F.col("o_orderkey") % 3 == 0).select(
+        F.col("o_orderkey").alias("k"),
+        F.round(F.col("o_totalprice") * 2, 2).alias("val"),
+        F.lit("U").alias("status"),
+        F.when(F.col("o_orderkey") % 5 == 0, F.lit(0))
+        .otherwise(F.lit(2))
+        .alias("ver"),
+        (F.col("o_orderkey") % 9 == 0).alias("deleted"),
+    )
+    return merge_upsert(
+        target, updates, "k", tombstone_col="deleted", order_col="ver"
+    )
+
+
 # --- real-codec PNG round trip (oracle via the identity property) ------------
 
 
@@ -689,6 +751,77 @@ def q_png_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         _rt,
         "doc_id long, width int, height int, pixel_sum long, "
         "roundtrip_ok boolean",
+    )
+
+
+# --- real-codec WAV round trip (same identity-oracle trick) ------------------
+
+
+def _wav_roundtrip_oracle() -> str:
+    """DuckDB predicts the decoded PCM stats from the md5 bytes: the
+    16 seed bytes become 8 little-endian int16 samples (v = b0 +
+    256*b1, two's-complement signed), and decode(encode(x)) == x
+    means the Spark side's REAL RIFF/PCM round trip must report
+    exactly these."""
+    hexd = "0123456789abcdef"
+    byte = (
+        "(strpos('{h}', substr(hx, CAST({p}*2+1 AS INTEGER), 1)) - 1) * 16"
+        " + strpos('{h}', substr(hx, CAST({p}*2+2 AS INTEGER), 1)) - 1"
+    )
+    lo = byte.format(h=hexd, p="i*2")
+    hi = byte.format(h=hexd, p="(i*2+1)")
+    return f"""
+    WITH h AS (
+      SELECT doc_id, md5(text) AS hx FROM documents
+    ), ex AS (
+      SELECT doc_id, unnest(range(8)) AS i, hx FROM h
+    ), smp AS (
+      SELECT doc_id, ({lo}) + 256 * ({hi}) AS u FROM ex
+    )
+    SELECT doc_id, 8000 AS sample_rate, CAST(8 AS BIGINT) AS n_samples,
+           1 AS channels,
+           CAST(SUM(CASE WHEN u >= 32768 THEN u - 65536 ELSE u END) AS BIGINT)
+             AS pcm_sum
+    FROM smp GROUP BY doc_id
+    """
+
+
+@register("multimodal_wav_roundtrip", _wav_roundtrip_oracle())
+def q_wav_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drive the REAL stdlib WAV codec through the hash gate: 8
+    deterministic int16 samples per doc, encoded to RIFF/PCM and
+    decoded back; DuckDB predicts the decoded stats."""
+    docs = load_table(spark, sf_dir, "documents")
+    src = docs.select("doc_id", F.unhex(F.md5("text")).alias("seed"))
+
+    def _rt(batches):
+        import numpy as np
+        import pandas as pd
+
+        from ..operators.codecs import decode_wav, encode_wav
+
+        for pdf in batches:
+            out = {
+                "doc_id": [],
+                "sample_rate": [],
+                "n_samples": [],
+                "channels": [],
+                "pcm_sum": [],
+            }
+            for did, seed in zip(pdf["doc_id"], pdf["seed"]):
+                pcm = np.frombuffer(bytes(seed), "<i2")
+                samples, sr = decode_wav(encode_wav(pcm, 8000))
+                out["doc_id"].append(did)
+                out["sample_rate"].append(sr)
+                out["n_samples"].append(int(samples.shape[0]))
+                out["channels"].append(int(samples.shape[1]))
+                out["pcm_sum"].append(int(samples.sum()))
+            yield pd.DataFrame(out)
+
+    return src.mapInPandas(
+        _rt,
+        "doc_id long, sample_rate int, n_samples long, channels int, "
+        "pcm_sum long",
     )
 
 
