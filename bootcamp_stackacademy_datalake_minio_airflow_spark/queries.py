@@ -141,7 +141,7 @@ def _ensure_loaded() -> None:
         "event_attribution",
         "graph_pagerank_parts",
         "multimodal_png_roundtrip",
-        "tpch_q21_shaped",
+        "merge_upsert_semantics",
     ]
     rank = {name: i for i, name in enumerate(priority)}
     ordered = sorted(
