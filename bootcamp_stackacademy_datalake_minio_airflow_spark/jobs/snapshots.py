@@ -170,13 +170,25 @@ def rollback_snapshot(spark: SparkSession, root: str, to_version: int) -> int:
 
 
 def vacuum_snapshots(
-    spark: SparkSession, root: str, keep_last: int = 1
+    spark: SparkSession,
+    root: str,
+    keep_last: int = 1,
+    min_segment_age_seconds: int = 3600,
 ) -> tuple[int, int]:
     """Expire all but the last ``keep_last`` snapshots and delete data
     segments no retained snapshot references. Returns ``(n_manifests,
     n_segments)`` removed. The only destructive operation in the
     layer; time travel reaches back exactly ``keep_last`` versions
-    afterwards."""
+    afterwards.
+
+    ``min_segment_age_seconds`` protects IN-FLIGHT commits: a writer
+    stages its segment BEFORE winning the manifest CAS, so for that
+    window the segment is unreferenced by any manifest — vacuuming it
+    would let the commit publish a manifest pointing at deleted data.
+    Unreferenced segments younger than the threshold (by filesystem
+    modification time) are skipped; set it above the longest plausible
+    write-to-commit gap (the default hour is generous), or to 0 only
+    when no writer can be concurrent."""
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1")
     root = root.rstrip("/")
@@ -191,9 +203,16 @@ def vacuum_snapshots(
     n_seg = 0
     ddir = f"{root}/{_DATA_DIR}"
     if fs.exists(_jp(jvm, ddir)):
+        import time as _time
+
+        now_ms = _time.time() * 1000.0
         for st in fs.listStatus(_jp(jvm, ddir)):
             name = st.getPath().getName()
-            if name not in live:
-                fs.delete(st.getPath(), True)
-                n_seg += 1
+            if name in live:
+                continue
+            age_s = (now_ms - st.getModificationTime()) / 1000.0
+            if age_s < min_segment_age_seconds:
+                continue  # possibly an in-flight commit's segment
+            fs.delete(st.getPath(), True)
+            n_seg += 1
     return len(expire), n_seg

@@ -84,9 +84,19 @@ def merge_upsert(
         t = target.alias("t")
         u = updates.alias("u")
         joined = t.join(u, on=key, how="full_outer")
+        # NULL-version semantics: treat NULL as the LOWEST version
+        # (and NULL >= NULL as a tie the update wins). Without the
+        # coalesce, three-valued logic makes upd_wins NULL for any
+        # NULL-version row, __drop becomes NULL, and filter(~__drop)
+        # silently DISCARDS the live target row — a NULL-version
+        # tombstone would hard-delete a row it never out-versioned.
+        version_ge = F.coalesce(
+            F.col(f"u.{order_col}") >= F.col(f"t.{order_col}"),
+            F.col(f"u.{order_col}").isNotNull()
+            | F.col(f"t.{order_col}").isNull(),
+        )
         upd_wins = F.col(f"u.{key}").isNotNull() & (
-            F.col(f"t.{key}").isNull()
-            | (F.col(f"u.{order_col}") >= F.col(f"t.{order_col}"))
+            F.col(f"t.{key}").isNull() | version_ge
         )
         is_tomb = (
             F.coalesce(F.col(f"u.{tombstone_col}"), F.lit(False))
@@ -139,6 +149,62 @@ def merge_upsert(
     return merged
 
 
+def _default_partition_pred(partition_col: str, parts: list):
+    """Read predicate selecting exactly the partitions in ``parts``.
+
+    NULL and '' both land in __HIVE_DEFAULT_PARTITION__ on write and
+    BOTH read back as NULL — isin(['']) would match nothing, so a
+    merge would run against an empty target and the swap would drop
+    every non-updated row in the default partition. Either sentinel
+    value must pull the whole default partition (isNull; the == ''
+    arm covers unpartitioned-to-partitioned migrations where ''
+    survives as data)."""
+    has_default = any(p is None or str(p) == "" for p in parts)
+    non_default = [p for p in parts if not (p is None or str(p) == "")]
+    pred = F.col(partition_col).isin(non_default)
+    if has_default:
+        pred = (
+            pred
+            | F.col(partition_col).isNull()
+            | (F.col(partition_col) == "")
+        )
+    return pred
+
+
+def _publish_partition_swaps(
+    spark: SparkSession,
+    path: str,
+    staging: str,
+    backup_root: str,
+    partition_col: str,
+    parts: list,
+) -> None:
+    """Swap staged partition dirs over the live table and delete
+    touched partitions that produced NO staged output (fully
+    tombstoned — skipping them would resurface the deletes).
+    Matching uses Spark's own dir-name escaping (_hive_partition_dir)
+    so escaped values, booleans, and NULL partitions are deleted too.
+    Previous generations park OUTSIDE the table root: a
+    "<part>__replaced" sibling inside it would read as a bogus
+    partition value."""
+    from ..fsutil import delete_path, list_subdirs, publish_swap
+
+    staged = set(list_subdirs(spark, staging))
+    for part_dir in staged:
+        publish_swap(
+            spark,
+            f"{staging}/{part_dir}",
+            f"{path.rstrip('/')}/{part_dir}",
+            backup_path=f"{backup_root}/{part_dir}",
+        )
+    touched = {_hive_partition_dir(partition_col, p) for p in parts}
+    for part_dir in set(list_subdirs(spark, path)) - staged:
+        if part_dir in touched:
+            delete_path(spark, f"{path.rstrip('/')}/{part_dir}")
+    delete_path(spark, staging)
+    delete_path(spark, backup_root)
+
+
 def upsert_parquet(
     spark: SparkSession,
     path: str,
@@ -160,7 +226,7 @@ def upsert_parquet(
     touch, merges, and swaps just those partition directories — the
     rest of the table's files are untouched.
     """
-    from ..fsutil import delete_path, list_subdirs, publish_swap, recover_swaps
+    from ..fsutil import publish_swap, recover_swaps
 
     staging = f"{path.rstrip('/')}__staging"
     if partition_col:
@@ -172,23 +238,9 @@ def upsert_parquet(
         # the restored backup with the rows-lost merge.
         recover_swaps(spark, path, backup_root)
         parts = [r[0] for r in updates.select(partition_col).distinct().collect()]
-        # NULL and '' both land in __HIVE_DEFAULT_PARTITION__ on write
-        # and BOTH read back as NULL — isin(['']) would match nothing,
-        # so the merge would run against an empty target and the swap
-        # would drop every non-updated row in the default partition.
-        # Either sentinel value in the updates must pull the whole
-        # default partition (isNull; the == '' arm covers unpartitioned
-        # -to-partitioned migrations where '' survives as data).
-        has_default = any(p is None or str(p) == "" for p in parts)
-        non_default = [p for p in parts if not (p is None or str(p) == "")]
-        part_pred = F.col(partition_col).isin(non_default)
-        if has_default:
-            part_pred = (
-                part_pred
-                | F.col(partition_col).isNull()
-                | (F.col(partition_col) == "")
-            )
-        target = spark.read.parquet(path).filter(part_pred)
+        target = spark.read.parquet(path).filter(
+            _default_partition_pred(partition_col, parts)
+        )
         merged = merge_upsert(
             target, updates, key, tombstone_col, order_col, retain_tombstones
         )
@@ -197,30 +249,9 @@ def upsert_parquet(
             .partitionBy(partition_col)
             .parquet(staging)
         )
-        # swap only the touched partition dirs (e.g. "dt=2024-01-01").
-        # Previous generations park OUTSIDE the table root — a
-        # "<part>__replaced" sibling inside it would read as a bogus
-        # partition value during (or, after a crash, forever after)
-        # the swap. A touched partition with NO staged output means
-        # every row in it was tombstoned: the live directory must be
-        # deleted, not skipped, or the deletes silently resurface.
-        # Matching uses Spark's own dir-name escaping (see
-        # _hive_partition_dir) so escaped values and NULL partitions
-        # are deleted too, not silently kept.
-        staged = set(list_subdirs(spark, staging))
-        for part_dir in staged:
-            publish_swap(
-                spark,
-                f"{staging}/{part_dir}",
-                f"{path.rstrip('/')}/{part_dir}",
-                backup_path=f"{backup_root}/{part_dir}",
-            )
-        touched = {_hive_partition_dir(partition_col, p) for p in parts}
-        for part_dir in set(list_subdirs(spark, path)) - staged:
-            if part_dir in touched:
-                delete_path(spark, f"{path.rstrip('/')}/{part_dir}")
-        delete_path(spark, staging)
-        delete_path(spark, backup_root)
+        _publish_partition_swaps(
+            spark, path, staging, backup_root, partition_col, parts
+        )
     else:
         recover_swaps(spark, path)
         target = spark.read.parquet(path)
@@ -253,7 +284,7 @@ def vacuum_tombstones(
     a vacuum-able tombstone — the same pruning that keeps MERGE
     viable at 100 TB keeps vacuum viable too.
     """
-    from ..fsutil import delete_path, list_subdirs, publish_swap, recover_swaps
+    from ..fsutil import publish_swap, recover_swaps
 
     staging = f"{path.rstrip('/')}__staging"
     dead = F.coalesce(F.col(tombstone_col), F.lit(False)) & (
@@ -263,40 +294,26 @@ def vacuum_tombstones(
         backup_root = f"{path.rstrip('/')}__backup"
         recover_swaps(spark, path, backup_root)
         table = spark.read.parquet(path)
-        parts = [
-            r[0]
-            for r in table.filter(dead).select(partition_col).distinct().collect()
-        ]
-        if not parts:
+        # ONE discovery pass returns both the touched-partition list
+        # and the per-partition dead counts (a separate count() would
+        # re-scan the touched partitions before the rewrite scan)
+        counts = (
+            table.filter(dead)
+            .groupBy(partition_col)
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .collect()
+        )
+        if not counts:
             return 0
-        has_default = any(p is None or str(p) == "" for p in parts)
-        non_default = [p for p in parts if not (p is None or str(p) == "")]
-        part_pred = F.col(partition_col).isin(non_default)
-        if has_default:
-            part_pred = (
-                part_pred
-                | F.col(partition_col).isNull()
-                | (F.col(partition_col) == "")
-            )
-        scoped = table.filter(part_pred)
-        n = scoped.filter(dead).count()
+        parts = [r[0] for r in counts]
+        n = sum(r["__n"] for r in counts)
+        scoped = table.filter(_default_partition_pred(partition_col, parts))
         scoped.filter(~dead).write.mode("overwrite").partitionBy(
             partition_col
         ).parquet(staging)
-        staged = set(list_subdirs(spark, staging))
-        for part_dir in staged:
-            publish_swap(
-                spark,
-                f"{staging}/{part_dir}",
-                f"{path.rstrip('/')}/{part_dir}",
-                backup_path=f"{backup_root}/{part_dir}",
-            )
-        touched = {_hive_partition_dir(partition_col, p) for p in parts}
-        for part_dir in set(list_subdirs(spark, path)) - staged:
-            if part_dir in touched:
-                delete_path(spark, f"{path.rstrip('/')}/{part_dir}")
-        delete_path(spark, staging)
-        delete_path(spark, backup_root)
+        _publish_partition_swaps(
+            spark, path, staging, backup_root, partition_col, parts
+        )
         return n
     recover_swaps(spark, path)
     table = spark.read.parquet(path)

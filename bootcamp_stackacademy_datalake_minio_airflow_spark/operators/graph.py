@@ -77,6 +77,15 @@ def pagerank(
     ce = e.join(deg, "src").repartition("src").cache()
     nodes = e.select(F.col("src").alias("node")).distinct()
     n = nodes.count()
+    if n == 0:
+        # empty edge set (e.g. every group holds a single item):
+        # return an empty frame with the output schema instead of a
+        # driver-side ZeroDivisionError
+        ce.unpersist()
+        e.unpersist()
+        return nodes.select(
+            "node", F.lit(0.0).alias("rank")
+        ).select("node", F.round("rank", out_round).alias("pagerank"))
     base = (1.0 - damping) / n
     hint = F.broadcast if n <= broadcast_rank_budget else (lambda df: df)
     ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))

@@ -197,14 +197,24 @@ def decode_media(
                 pdf["asset_id"], pdf["width"], pdf["height"], pdf["data"]
             ):
                 if data is not None and sniff_codec(bytes(data)) == "png":
-                    arr = decode_png(bytes(data))
-                    hh, ww, cc = arr.shape
-                    out["asset_id"].append(aid)
-                    out["width"].append(ww)
-                    out["height"].append(hh)
-                    out["channels"].append(cc)
-                    out["pixels"].append(arr.tobytes())
-                    continue
+                    # valid magic does not guarantee a decodable file
+                    # (16-bit/interlaced variants, truncation): in
+                    # non-strict mode those fall THROUGH to the stub so
+                    # the pipeline stays total; strict surfaces them
+                    try:
+                        arr = decode_png(bytes(data))
+                    except Exception:
+                        if strict:
+                            raise
+                        arr = None
+                    if arr is not None:
+                        hh, ww, cc = arr.shape
+                        out["asset_id"].append(aid)
+                        out["width"].append(ww)
+                        out["height"].append(hh)
+                        out["channels"].append(cc)
+                        out["pixels"].append(arr.tobytes())
+                        continue
                 if strict:
                     raise NotImplementedError(
                         "no in-container codec for this format (PNG decodes "
@@ -304,21 +314,30 @@ def audio_features(df: DataFrame, strict: bool = False) -> DataFrame:
             rows = []
             for aid, data in zip(pdf["asset_id"], pdf["data"]):
                 if data is not None and sniff_codec(bytes(data)) == "wav":
-                    f = wav_features(bytes(data))
-                    rows.append(
-                        {
-                            "asset_id": aid,
-                            "codec": "wav",
-                            "sample_rate": f["sample_rate"],
-                            "n_samples": f["n_samples"],
-                            "channels": f["channels"],
-                            "duration_ms": f["duration_ms"],
-                            "rms": f["rms"],
-                            "peak": f["peak"],
-                            "zero_cross_rate": f["zero_cross_rate"],
-                        }
-                    )
-                    continue
+                    # valid RIFF magic but undecodable content (24-bit
+                    # PCM, truncated frames): non-strict falls through
+                    # to the stub row instead of failing the task
+                    try:
+                        f = wav_features(bytes(data))
+                    except Exception:
+                        if strict:
+                            raise
+                        f = None
+                    if f is not None:
+                        rows.append(
+                            {
+                                "asset_id": aid,
+                                "codec": "wav",
+                                "sample_rate": f["sample_rate"],
+                                "n_samples": f["n_samples"],
+                                "channels": f["channels"],
+                                "duration_ms": f["duration_ms"],
+                                "rms": f["rms"],
+                                "peak": f["peak"],
+                                "zero_cross_rate": f["zero_cross_rate"],
+                            }
+                        )
+                        continue
                 if strict:
                     raise NotImplementedError(
                         "no in-container codec for this audio format (WAV "

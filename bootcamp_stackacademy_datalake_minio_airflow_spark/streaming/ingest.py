@@ -106,9 +106,20 @@ def stream_upsert_apply(
     def _apply(batch_df, _batch_id: int) -> None:
         if not batch_df.take(1):
             return
-        w = (
-            Window.partitionBy(key)
-            .orderBy(F.col(order_col).desc())
+        # deterministic within-batch winner: version desc, then
+        # tombstone-wins on a version tie (matching the cross-batch
+        # merge where a later-applied delete beats an equal-version
+        # row), then a content hash so equal-version duplicates can
+        # never make the outcome depend on partition scheduling
+        tomb = (
+            F.coalesce(F.col(tombstone_col), F.lit(False))
+            if tombstone_col
+            else F.lit(False)
+        )
+        w = Window.partitionBy(key).orderBy(
+            F.col(order_col).desc(),
+            tomb.desc(),
+            F.xxhash64(F.struct(*batch_df.columns)).desc(),
         )
         latest = (
             batch_df.withColumn("__rn", F.row_number().over(w))

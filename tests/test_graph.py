@@ -49,3 +49,10 @@ def test_pagerank_path_graph_matches_reference_recurrence(spark):
     assert out[2] > out[1] == out[3]
     # symmetric graph, no dangling mass: ranks stay a distribution
     assert abs(sum(out.values()) - 1.0) < 1e-3
+
+
+def test_pagerank_empty_edges_returns_empty(spark):
+    edges = spark.createDataFrame([], "src long, dst long")
+    out = pagerank(edges, iters=3)
+    assert out.columns == ["node", "pagerank"]
+    assert out.count() == 0

@@ -468,3 +468,48 @@ def test_audio_features_real_wav(spark):
 
     with _pytest.raises(Exception, match="codec"):
         audio_features(df, strict=True).count()
+
+
+def test_decode_fallback_on_undecodable_valid_magic(spark):
+    """Valid magic but undecodable content (truncated PNG, 24-bit WAV)
+    must fall back to the stub in non-strict mode — the pipeline stays
+    total — and raise only under strict."""
+    import numpy as np
+
+    from bootcamp_stackacademy_datalake_minio_airflow_spark.operators.codecs import (
+        PNG_MAGIC,
+        encode_wav,
+    )
+    from bootcamp_stackacademy_datalake_minio_airflow_spark.operators.multimodal import (
+        audio_features,
+        decode_media,
+    )
+
+    bad_png = PNG_MAGIC + b"\x00" * 24  # magic ok, no valid chunks
+    schema = (
+        "asset_id long, kind string, data binary, "
+        "meta struct<mime:string,width:int,height:int,duration_ms:int>"
+    )
+    df = spark.createDataFrame(
+        [(1, "image", bad_png, ("image/png", 2, 2, None))], schema
+    )
+    dec = decode_media(df).collect()
+    assert len(dec) == 1 and (dec[0].width, dec[0].height) == (2, 2)  # stub
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        decode_media(df, strict=True).count()
+
+    # 24-bit WAV: wave module raises on sampwidth 3 at write; craft by
+    # patching a 16-bit file's fmt chunk (bytes 34-35 = bits/sample,
+    # byte 32 = block align) so it sniffs as wav but can't decode
+    good = bytearray(encode_wav(np.zeros(4, np.int16), 8000))
+    good[34] = 24
+    good[32] = 3
+    adf = spark.createDataFrame(
+        [(1, "audio", bytes(good), ("audio/wav", None, None, None))], schema
+    )
+    rows = audio_features(adf).collect()
+    assert len(rows) == 1 and rows[0].codec == "stub"
+    with _pytest.raises(Exception):
+        audio_features(adf, strict=True).count()

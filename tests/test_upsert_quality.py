@@ -356,3 +356,29 @@ def test_vacuum_tombstones_unpartitioned(spark, tmp_path):
     out = {r.k: r.deleted for r in spark.read.parquet(path).collect()}
     assert out == {1: False, 3: True}
     assert vacuum_tombstones(spark, path, "deleted", "ver", 5) == 0
+
+
+def test_merge_upsert_null_version_semantics(spark):
+    """NULL order_col values must not silently drop rows through
+    three-valued logic: a NULL-version tombstone/update LOSES to any
+    versioned live row; a NULL-version target row is beatable by any
+    update (NULL = lowest version; NULL vs NULL ties to the update)."""
+    target = spark.createDataFrame(
+        [(1, "a", 5), (2, "b", None), (3, "c", 5)],
+        "k long, s string, ver long",
+    )
+    updates = spark.createDataFrame(
+        [
+            (1, None, None, True),    # NULL-ver tombstone vs ver 5 -> ignored
+            (2, "B", 2, False),       # versioned update vs NULL target -> wins
+            (3, "C", None, False),    # NULL-ver update vs ver 5 -> ignored
+        ],
+        "k long, s string, ver long, deleted boolean",
+    )
+    out = {
+        r.k: (r.s, r.ver)
+        for r in merge_upsert(
+            target, updates, "k", tombstone_col="deleted", order_col="ver"
+        ).collect()
+    }
+    assert out == {1: ("a", 5), 2: ("B", 2), 3: ("c", 5)}
