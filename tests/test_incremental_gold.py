@@ -1,0 +1,135 @@
+"""Incremental gold maintenance == full recompute, on every change
+class: new order, modified items/payments, deleted order, untouched
+order (whose files must not even be rewritten)."""
+
+from __future__ import annotations
+
+import datetime
+
+from bootcamp_stackacademy_datalake_minio_airflow_spark.jobs.incremental_gold import (
+    incremental_vendas_update,
+    replace_by_group,
+)
+from bootcamp_stackacademy_datalake_minio_airflow_spark.plans.vendas import build_vendas
+
+_SCHEMAS = {
+    "items": "order_id string, product_id string, price double, freight_value double",
+    "orders": "order_id string, customer_id string, order_purchase_timestamp timestamp",
+    "products": "product_id string, product_category_name string",
+    "customers": "customer_id string, customer_city string, customer_state string",
+    "payments": "order_id string, payment_type string, payment_value double",
+}
+
+
+def _lake_v1(spark):
+    ts = datetime.datetime(2017, 10, 2, 10, 0, 0)
+    return {
+        "items": spark.createDataFrame(
+            [
+                ("o1", "p1", 100.0, 10.0),
+                ("o1", "p2", 50.0, 5.0),
+                ("o2", "p1", 70.0, 7.0),
+                ("o3", "p2", 30.0, 3.0),
+            ],
+            _SCHEMAS["items"],
+        ),
+        "orders": spark.createDataFrame(
+            [("o1", "c1", ts), ("o2", "c1", ts), ("o3", "c2", ts)],
+            _SCHEMAS["orders"],
+        ),
+        "products": spark.createDataFrame(
+            [("p1", "moveis_decoracao"), ("p2", "esporte_lazer")],
+            _SCHEMAS["products"],
+        ),
+        "customers": spark.createDataFrame(
+            [("c1", "sao paulo", "SP"), ("c2", "rio", "RJ")],
+            _SCHEMAS["customers"],
+        ),
+        "payments": spark.createDataFrame(
+            [("o1", "credit_card", 150.0), ("o2", "boleto", 77.0)],
+            _SCHEMAS["payments"],
+        ),
+    }
+
+
+def _lake_v2(spark):
+    """v2: o1 modified (p2 item removed, payment grew), o2 DELETED,
+    o4 new; o3 untouched."""
+    ts = datetime.datetime(2017, 10, 2, 10, 0, 0)
+    v = _lake_v1(spark)
+    v["items"] = spark.createDataFrame(
+        [
+            ("o1", "p1", 100.0, 10.0),
+            ("o3", "p2", 30.0, 3.0),
+            ("o4", "p1", 9.0, 1.0),
+        ],
+        _SCHEMAS["items"],
+    )
+    v["orders"] = spark.createDataFrame(
+        [("o1", "c1", ts), ("o3", "c2", ts), ("o4", "c2", ts)],
+        _SCHEMAS["orders"],
+    )
+    v["payments"] = spark.createDataFrame(
+        [("o1", "credit_card", 199.0), ("o4", "voucher", 9.0)],
+        _SCHEMAS["payments"],
+    )
+    return v
+
+
+def _key(r):
+    return (r.PEDIDO, r.ID_PRODUTO)
+
+
+def test_incremental_equals_full_recompute(spark, tmp_path):
+    import os
+
+    gold = str(tmp_path / "gold_vendas")
+    v1, v2 = _lake_v1(spark), _lake_v2(spark)
+    build_vendas(
+        v1["items"], v1["orders"], v1["products"], v1["customers"], v1["payments"]
+    ).write.parquet(gold)
+
+    changed = spark.createDataFrame(
+        [("o1",), ("o2",), ("o4",)], "order_id string"
+    )
+    incremental_vendas_update(
+        spark,
+        gold,
+        v2["items"],
+        v2["orders"],
+        v2["products"],
+        v2["customers"],
+        v2["payments"],
+        changed,
+    )
+    got = {_key(r): tuple(r) for r in spark.read.parquet(gold).collect()}
+    full = {
+        _key(r): tuple(r)
+        for r in build_vendas(
+            v2["items"], v2["orders"], v2["products"], v2["customers"], v2["payments"]
+        ).collect()
+    }
+    assert got == full
+    # the change classes actually exercised:
+    assert ("o2", "p1") not in got          # deleted order's rows dropped
+    assert ("o1", "p2") not in got          # shrunk item list
+    assert ("o4", "p1") in got              # new order inserted
+    credito = spark.read.parquet(gold).columns.index("VALOR_CREDITO")
+    assert got[("o1", "p1")][credito] == 199.0  # modified payment visible
+
+
+def test_replace_by_group_untouched_groups_survive(spark, tmp_path):
+    gold = str(tmp_path / "grp")
+    spark.createDataFrame(
+        [("a", 1), ("a", 2), ("b", 3)], "g string, v long"
+    ).write.parquet(gold)
+    new = spark.createDataFrame([("a", 9)], "g string, v long")
+    replace_by_group(spark, gold, new, "g")
+    got = {(r.g, r.v) for r in spark.read.parquet(gold).collect()}
+    assert got == {("a", 9), ("b", 3)}
+    # explicit keys: delete a group with NO new rows
+    keys = spark.createDataFrame([("b",)], "g string")
+    empty = spark.createDataFrame([], "g string, v long")
+    replace_by_group(spark, gold, empty, "g", keys=keys)
+    got = {(r.g, r.v) for r in spark.read.parquet(gold).collect()}
+    assert got == {("a", 9)}
