@@ -99,3 +99,43 @@ def incremental_vendas_update(
     group_key = (renames or {}).get("order_id", "PEDIDO")
     keys = changed_orders.select(F.col("order_id").alias(group_key)).distinct()
     replace_by_group(spark, gold_path, sub, group_key, keys=keys)
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key: str,
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Change feed between two versions of a table: one row per
+    changed key with ``change_type`` in {'insert','update','delete'}
+    and the NEW values (NULLs for deletes) — the Delta CDF shape,
+    derived from plain snapshots.
+
+    This is the producer side of the CDC pipeline (stream_upsert_apply
+    is the consumer): diff yesterday's and today's silver, feed the
+    changes to the incremental gold update. One full-outer hash join
+    on the key; ``compare_cols`` limits the update-detection to
+    columns that matter (default: all non-key columns shared by both
+    sides). Unchanged keys are filtered out BEFORE any downstream
+    shuffle."""
+    cols = compare_cols or [c for c in new.columns if c != key and c in old.columns]
+    o, n = old.alias("o"), new.alias("n")
+    joined = o.join(n, on=key, how="full_outer")
+    # NULL-safe per-column comparison: <=> treats NULL==NULL as true
+    same = F.lit(True)
+    for c in cols:
+        same = same & F.col(f"o.{c}").eqNullSafe(F.col(f"n.{c}"))
+    change = (
+        F.when(F.col(f"o.{key}").isNull(), F.lit("insert"))
+        .when(F.col(f"n.{key}").isNull(), F.lit("delete"))
+        .when(~same, F.lit("update"))
+    )
+    return (
+        joined.select(
+            F.coalesce(F.col(f"n.{key}"), F.col(f"o.{key}")).alias(key),
+            change.alias("change_type"),
+            *[F.col(f"n.{c}").alias(c) for c in cols],
+        )
+        .filter(F.col("change_type").isNotNull())
+    )

@@ -683,6 +683,63 @@ def q_merge_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- snapshot change feed (Delta-CDF shape from plain snapshots) -------------
+
+
+@register(
+    "table_change_feed",
+    """
+    WITH old AS (
+      SELECT o_orderkey AS k, ROUND(o_totalprice, 2) AS val,
+             o_orderstatus AS status
+      FROM orders WHERE o_orderkey % 11 <> 0
+    ), new AS (
+      SELECT o_orderkey AS k,
+             ROUND(CASE WHEN o_orderkey % 2 = 0 THEN o_totalprice * 2
+                        ELSE o_totalprice END, 2) AS val,
+             o_orderstatus AS status
+      FROM orders WHERE o_orderkey % 13 <> 0
+    ), j AS (
+      SELECT COALESCE(n.k, o.k) AS k,
+             CASE WHEN o.k IS NULL THEN 'insert'
+                  WHEN n.k IS NULL THEN 'delete'
+                  WHEN NOT (o.val IS NOT DISTINCT FROM n.val
+                            AND o.status IS NOT DISTINCT FROM n.status)
+                    THEN 'update'
+             END AS change_type,
+             n.val AS val, n.status AS status
+      FROM old o FULL OUTER JOIN new n ON o.k = n.k
+    )
+    SELECT k, change_type, val, status FROM j
+    WHERE change_type IS NOT NULL
+    """,
+)
+def q_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """snapshot_diff (Delta-CDF shape) over two deterministically-
+    derived versions of orders: %11 keys are inserts, %13 keys are
+    deletes, even keys get a price update, odd non-multiples are
+    unchanged and must NOT appear."""
+    from ..jobs.incremental_gold import snapshot_diff
+
+    orders = load_table(spark, sf_dir, "orders")
+    old = orders.filter(F.col("o_orderkey") % 11 != 0).select(
+        F.col("o_orderkey").alias("k"),
+        F.round("o_totalprice", 2).alias("val"),
+        F.col("o_orderstatus").alias("status"),
+    )
+    new = orders.filter(F.col("o_orderkey") % 13 != 0).select(
+        F.col("o_orderkey").alias("k"),
+        F.round(
+            F.when(
+                F.col("o_orderkey") % 2 == 0, F.col("o_totalprice") * 2
+            ).otherwise(F.col("o_totalprice")),
+            2,
+        ).alias("val"),
+        F.col("o_orderstatus").alias("status"),
+    )
+    return snapshot_diff(old, new, "k")
+
+
 # --- real-codec PNG round trip (oracle via the identity property) ------------
 
 

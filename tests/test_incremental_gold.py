@@ -133,3 +133,23 @@ def test_replace_by_group_untouched_groups_survive(spark, tmp_path):
     replace_by_group(spark, gold, empty, "g", keys=keys)
     got = {(r.g, r.v) for r in spark.read.parquet(gold).collect()}
     assert got == {("a", 9)}
+
+
+def test_snapshot_diff_change_classes(spark):
+    from bootcamp_stackacademy_datalake_minio_airflow_spark.jobs.incremental_gold import (
+        snapshot_diff,
+    )
+
+    old = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0), (3, None, 3.0)],
+        "k long, s string, v double",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "B", 2.0), (3, None, 3.0), (4, "d", 4.0)],
+        "k long, s string, v double",
+    )
+    out = {r.k: r.change_type for r in snapshot_diff(old, new, "k").collect()}
+    # 1 unchanged (absent), 2 updated, 3 unchanged incl. NULL==NULL, 4 insert
+    assert out == {2: "update", 4: "insert"}
+    out2 = {r.k: (r.change_type, r.s) for r in snapshot_diff(new, old, "k").collect()}
+    assert out2[4] == ("delete", None)  # delete carries NULL new-values
