@@ -382,3 +382,26 @@ def test_merge_upsert_null_version_semantics(spark):
         ).collect()
     }
     assert out == {1: ("a", 5), 2: ("B", 2), 3: ("c", 5)}
+
+
+def test_versioned_merge_is_idempotent(spark):
+    """Re-applying the same update set (a replayed CDC micro-batch)
+    must be a no-op: the version condition makes >= re-application
+    converge to the same state."""
+    target = spark.createDataFrame(
+        [(1, "a", 5, False), (2, "b", 5, False)],
+        "k long, s string, ver long, deleted boolean",
+    )
+    updates = spark.createDataFrame(
+        [(1, "A", 7, False), (2, None, 7, True), (3, "c", 1, False)],
+        "k long, s string, ver long, deleted boolean",
+    )
+    once = merge_upsert(
+        target, updates, "k", tombstone_col="deleted", order_col="ver",
+        retain_tombstones=True,
+    ).localCheckpoint()
+    twice = merge_upsert(
+        once, updates, "k", tombstone_col="deleted", order_col="ver",
+        retain_tombstones=True,
+    )
+    assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
