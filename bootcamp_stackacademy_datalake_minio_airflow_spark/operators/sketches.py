@@ -1,0 +1,83 @@
+"""Mergeable sketches (extension): count-min over token streams.
+
+A count-min sketch (Cormode & Muthukrishnan 2005) answers frequency
+queries in ``depth x width`` counters with one-sided error (estimates
+never undercount; overcount <= 2N/width w.h.p.). The property that
+matters at 100 TB is MERGEABILITY: cells are plain sums, so the
+map-side partial aggregation Spark already does IS the per-partition
+sketch build, and the shuffle carries at most ``depth*width`` rows
+per partition regardless of corpus size — the sketch is the
+aggregation state, not a post-pass.
+
+The hash family is md5-derived (``h_i(x) = int(md5(i:x)[:8]) mod
+width``) so an independent engine replays every cell and every
+estimate bit-for-bit — same verifiability trade as the sampling and
+fingerprint operators.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def cms_hash(value: Column, row: Column, width: int) -> Column:
+    """Bucket of ``value`` in sketch row ``row``: first 8 md5 hex
+    chars of ``"{row}:{value}"`` as an integer, mod width. conv() is
+    JVM-side; the oracle rebuilds the same fold from hex digits."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(row.cast("string"), F.lit(":"), value)), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % width
+    )
+
+
+def _coords(df: DataFrame, value_col: str, depth: int, width: int) -> DataFrame:
+    """(value, i, h) — each value's coordinate in every sketch row,
+    one codegen pass (explode a depth-sequence, hash with the row
+    index folded into the md5 input)."""
+    return df.select(
+        F.col(value_col).alias("__v"),
+        F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("i"),
+    ).select("__v", "i", cms_hash(F.col("__v"), F.col("i"), width).alias("h"))
+
+
+def cms_build(
+    df: DataFrame, value_col: str, depth: int = 4, width: int = 256
+) -> DataFrame:
+    """Build the sketch: ``(i, h, cnt)`` cells, one row per non-empty
+    counter (<= depth*width rows total). The groupBy partial-
+    aggregates map-side, so the exchange carries bounded sketch
+    state, not the token stream."""
+    return (
+        _coords(df, value_col, depth, width)
+        .groupBy("i", "h")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_estimate(
+    cells: DataFrame,
+    queries: DataFrame,
+    value_col: str,
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Estimate each query value's frequency: min over the ``depth``
+    cells the value hashes to (absent cell = 0). The cell table is
+    bounded by depth*width, so it broadcasts against any query set."""
+    q = queries.select(F.col(value_col).alias("__q")).distinct()
+    qc = _coords(q, "__q", depth, width)
+    joined = qc.join(F.broadcast(cells), ["i", "h"], "left").select(
+        "__v", F.coalesce(F.col("cnt"), F.lit(0)).alias("__c")
+    )
+    return (
+        joined.groupBy("__v")
+        .agg(F.min("__c").alias("cms_est"))
+        .select(F.col("__v").alias(value_col), "cms_est")
+    )

@@ -683,6 +683,84 @@ def q_merge_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- count-min sketch heavy hitters (md5 family -> fully replayable) ---------
+
+
+def _hex_fold(expr: str, nchars: int = 8) -> str:
+    """SQL for int(substr(<expr>, 1, nchars), 16) built from digit
+    positions — DuckDB's portable stand-in for Spark's conv()."""
+    hexd = "0123456789abcdef"
+    terms = " + ".join(
+        f"(strpos('{hexd}', substr({expr}, {j + 1}, 1)) - 1) * {16 ** (nchars - 1 - j)}"
+        for j in range(nchars)
+    )
+    return f"({terms})"
+
+
+def _cms_oracle(depth: int = 4, width: int = 256, k: int = 30) -> str:
+    h = _hex_fold("md5(CAST(i AS VARCHAR) || ':' || token)")
+    return f"""
+    WITH norm AS (
+      SELECT regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
+      FROM documents
+    ), tokens AS (
+      SELECT unnest(string_split(t, ' ')) AS token FROM norm
+    ), true_counts AS (
+      SELECT token, COUNT(*) AS true_count FROM tokens GROUP BY token
+    ), top AS (
+      SELECT token, true_count FROM true_counts
+      ORDER BY true_count DESC, token LIMIT {k}
+    ), coords AS (
+      SELECT token, i, {h} % {width} AS hh
+      FROM tokens, (SELECT unnest(range({depth})) AS i)
+    ), cells AS (
+      SELECT i, hh, COUNT(*) AS cnt FROM coords GROUP BY i, hh
+    ), qcoords AS (
+      SELECT t.token, q.i,
+             {_hex_fold("md5(CAST(q.i AS VARCHAR) || ':' || t.token)")}
+               % {width} AS hh
+      FROM top t, (SELECT unnest(range({depth})) AS i) q
+    ), est AS (
+      SELECT qc.token, MIN(COALESCE(c.cnt, 0)) AS cms_est
+      FROM qcoords qc LEFT JOIN cells c ON c.i = qc.i AND c.hh = qc.hh
+      GROUP BY qc.token
+    )
+    SELECT t.token, t.true_count, e.cms_est,
+           CAST(e.cms_est - t.true_count AS BIGINT) AS overcount
+    FROM top t JOIN est e USING (token)
+    """
+
+
+@register("token_cms_heavy_hitters", _cms_oracle())
+def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch frequency estimates for the corpus's top-30
+    tokens, alongside exact counts (the one-sided-error witness:
+    overcount is always >= 0). The sketch is the aggregation state —
+    mergeable across partitions by construction — and the md5 hash
+    family lets DuckDB replay every cell."""
+    from ..operators.dedup import normalize_text
+    from ..operators.sketches import cms_build, cms_estimate
+
+    docs = load_table(spark, sf_dir, "documents")
+    tokens = docs.select(
+        F.explode(F.split(normalize_text("text"), " ")).alias("token")
+    )
+    top = (
+        tokens.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("true_count"))
+        .orderBy(F.desc("true_count"), F.asc("token"))
+        .limit(30)
+    )
+    cells = cms_build(tokens, "token", depth=4, width=256)
+    est = cms_estimate(cells, top, "token", depth=4, width=256)
+    return top.join(est, "token").select(
+        "token",
+        "true_count",
+        "cms_est",
+        (F.col("cms_est") - F.col("true_count")).alias("overcount"),
+    )
+
+
 # --- snapshot change feed (Delta-CDF shape from plain snapshots) -------------
 
 

@@ -1,0 +1,57 @@
+"""Count-min sketch invariants."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bootcamp_stackacademy_datalake_minio_airflow_spark.operators.sketches import (
+    cms_build,
+    cms_estimate,
+)
+
+
+def test_cms_never_undercounts_and_is_mergeable(spark):
+    vals = (
+        ["apple"] * 50 + ["banana"] * 20 + ["cherry"] * 5 + ["durian"]
+        + [f"noise{i}" for i in range(200)]
+    )
+    df = spark.createDataFrame([(v,) for v in vals], "token string")
+    cells = cms_build(df, "token", depth=4, width=64).cache()
+    qs = spark.createDataFrame(
+        [("apple",), ("banana",), ("cherry",), ("durian",), ("absent",)],
+        "token string",
+    )
+    est = {
+        r.token: r.cms_est
+        for r in cms_estimate(cells, qs, "token", depth=4, width=64).collect()
+    }
+    true = {"apple": 50, "banana": 20, "cherry": 5, "durian": 1, "absent": 0}
+    for t, n in true.items():
+        assert est[t] >= n  # one-sided error
+        assert est[t] <= n + len(vals)  # sane upper bound
+    # total cell mass per row == stream length (mergeable sums)
+    per_row = {
+        r.i: r.s
+        for r in cells.groupBy("i").agg(F.sum("cnt").alias("s")).collect()
+    }
+    assert set(per_row) == {0, 1, 2, 3}
+    assert all(s == len(vals) for s in per_row.values())
+
+    # mergeability: sketch(A ++ B) == cellwise sum of sketch(A), sketch(B)
+    a, b = vals[:100], vals[100:]
+    ca = cms_build(
+        spark.createDataFrame([(v,) for v in a], "token string"), "token", 4, 64
+    )
+    cb = cms_build(
+        spark.createDataFrame([(v,) for v in b], "token string"), "token", 4, 64
+    )
+    merged = {
+        (r.i, r.h): r.cnt
+        for r in ca.unionByName(cb)
+        .groupBy("i", "h")
+        .agg(F.sum("cnt").alias("cnt"))
+        .collect()
+    }
+    whole = {(r.i, r.h): r.cnt for r in cells.collect()}
+    assert merged == whole
+    cells.unpersist()
