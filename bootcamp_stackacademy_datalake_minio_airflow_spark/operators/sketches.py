@@ -81,3 +81,66 @@ def cms_estimate(
         .agg(F.min("__c").alias("cms_est"))
         .select(F.col("__v").alias(value_col), "cms_est")
     )
+
+
+# --- HyperLogLog (replayable construction) ----------------------------------
+
+HLL_P = 8  #: 2^8 = 256 registers
+
+
+def hll_alpha(m: int) -> float:
+    """Bias-correction constant (Flajolet et al. 2007, m >= 128)."""
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
+def hll_registers(df: DataFrame, value_col: str, p: int = HLL_P) -> DataFrame:
+    """Register maxima ``(bucket, rho_max)`` for a value stream.
+
+    Hash = first 15 md5 hex chars (60 bits): top ``p`` bits pick the
+    register, the remaining ``60-p`` bits w give rho = (60-p) -
+    len(bin(w)) + 1 (leading zeros + 1; w=0 -> 60-p+1). max() is
+    idempotent, so duplicates need no pre-distinct, and the register
+    table merges across partitions/days by MAX — the max-merge
+    counterpart to count-min's sum-merge. Shuffle carries <= 2^p rows
+    per partition.
+    """
+    wbits = 60 - p
+    h = F.conv(
+        F.substring(F.md5(F.col(value_col).cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    # top p bits via shift, NOT double division: a 60-bit h exceeds
+    # double's 53-bit mantissa, so h/2^wbits could floor into the
+    # wrong register at exact-multiple boundaries
+    bucket = F.shiftrightunsigned(h, wbits)
+    w = h % F.lit(2**wbits)
+    rho = F.when(w == 0, F.lit(wbits + 1)).otherwise(
+        F.lit(wbits) - F.length(F.bin(w)) + 1
+    )
+    return (
+        df.select(bucket.alias("bucket"), rho.alias("rho"))
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("rho_max"))
+    )
+
+
+def hll_estimate(registers: DataFrame, p: int = HLL_P) -> DataFrame:
+    """One-row ``(hll_est)`` from the register table: harmonic-mean
+    raw estimate with the small-range linear-counting correction
+    (empty registers contribute 2^0)."""
+    m = 2**p
+    spark = registers.sparkSession
+    alpha = hll_alpha(m)
+    all_b = spark.range(m).select(F.col("id").alias("bucket"))
+    regs = all_b.join(registers, "bucket", "left").select(
+        F.coalesce(F.col("rho_max"), F.lit(0)).alias("r")
+    )
+    agg = regs.agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("r"))).alias("z"),
+        F.sum((F.col("r") == 0).cast("long")).alias("v"),
+    )
+    raw = F.lit(alpha * m * m) / F.col("z")
+    est = F.when(
+        (raw <= 2.5 * m) & (F.col("v") > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / F.col("v")),
+    ).otherwise(raw)
+    return agg.select(F.round(est, 2).alias("hll_est"))

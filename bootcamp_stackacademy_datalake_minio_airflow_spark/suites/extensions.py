@@ -761,6 +761,72 @@ def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- from-scratch HyperLogLog (md5 registers -> fully replayable) ------------
+
+
+def _hll_oracle(p: int = 8) -> str:
+    from ..operators.sketches import hll_alpha
+
+    m = 2**p
+    wbits = 60 - p
+    two_w = 2**wbits
+    am2 = repr(hll_alpha(m) * m * m)
+    h = _hex_fold("md5(CAST(user_id AS VARCHAR))", 15)
+    return f"""
+    WITH hh AS (
+      SELECT {h} // {two_w} AS bucket,
+             {h} % {two_w} AS w
+      FROM events
+    ), rr AS (
+      SELECT bucket,
+             MAX(CASE WHEN w = 0 THEN {wbits + 1}
+                      ELSE {wbits} - length(bin(w)) + 1 END) AS rho_max
+      FROM hh GROUP BY bucket
+    ), allb AS (
+      SELECT unnest(range({m})) AS bucket
+    ), regs AS (
+      SELECT COALESCE(rho_max, 0) AS r FROM allb LEFT JOIN rr USING (bucket)
+    ), agg AS (
+      SELECT SUM(power(CAST(2 AS DOUBLE), -r)) AS z,
+             CAST(SUM(CASE WHEN r = 0 THEN 1 ELSE 0 END) AS BIGINT) AS v
+      FROM regs
+    ), est AS (
+      SELECT CASE WHEN (CAST('{am2}' AS DOUBLE) / z)
+                       <= CAST('{2.5 * m}' AS DOUBLE) AND v > 0
+                  THEN CAST({m} AS DOUBLE) * ln(CAST({m} AS DOUBLE) / v)
+                  ELSE CAST('{am2}' AS DOUBLE) / z END AS e
+      FROM agg
+    )
+    SELECT (SELECT COUNT(DISTINCT user_id) FROM events) AS n_exact,
+           ROUND(e, 2) AS hll_est,
+           ROUND(ABS(ROUND(e, 2)
+                     - (SELECT COUNT(DISTINCT user_id) FROM events))
+                 / (SELECT COUNT(DISTINCT user_id) FROM events), 4) AS rel_err
+    FROM est
+    """
+
+
+@register("events_distinct_users_hll", _hll_oracle())
+def q_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """From-scratch HyperLogLog (Flajolet et al. 2007) distinct-user
+    estimate vs the exact count — unlike approx_count_distinct, every
+    register and the estimate itself replay in DuckDB (md5 hash, bit
+    math, identical correction branch). Registers merge by MAX, the
+    mergeable-sketch counterpart to count-min's sums."""
+    from ..operators.sketches import hll_estimate, hll_registers
+
+    events = load_table(spark, sf_dir, "events")
+    est = hll_estimate(hll_registers(events, "user_id", p=8), p=8)
+    exact = events.agg(F.countDistinct("user_id").alias("n_exact"))
+    return exact.crossJoin(est).select(
+        "n_exact",
+        "hll_est",
+        F.round(
+            F.abs(F.col("hll_est") - F.col("n_exact")) / F.col("n_exact"), 4
+        ).alias("rel_err"),
+    )
+
+
 # --- snapshot change feed (Delta-CDF shape from plain snapshots) -------------
 
 

@@ -55,3 +55,32 @@ def test_cms_never_undercounts_and_is_mergeable(spark):
     whole = {(r.i, r.h): r.cnt for r in cells.collect()}
     assert merged == whole
     cells.unpersist()
+
+
+def test_hll_accuracy_and_max_merge(spark):
+    from bootcamp_stackacademy_datalake_minio_airflow_spark.operators.sketches import (
+        hll_estimate,
+        hll_registers,
+    )
+
+    n = 5000
+    df = spark.range(n).select(F.concat(F.lit("user"), F.col("id")).alias("u"))
+    est = hll_estimate(hll_registers(df, "u", p=8), p=8).collect()[0].hll_est
+    # p=8 -> sigma ~ 1.04/sqrt(256) = 6.5%; allow 3 sigma
+    assert abs(est - n) / n < 0.2
+    # duplicates must not inflate the estimate (max is idempotent)
+    dup = df.unionByName(df).unionByName(df)
+    est_dup = hll_estimate(hll_registers(dup, "u", p=8), p=8).collect()[0].hll_est
+    assert est_dup == est
+    # max-merge: registers(A ++ B) == bucketwise max of the parts
+    a = spark.range(0, 2500).select(F.concat(F.lit("user"), F.col("id")).alias("u"))
+    b = spark.range(2500, n).select(F.concat(F.lit("user"), F.col("id")).alias("u"))
+    ra, rb = hll_registers(a, "u"), hll_registers(b, "u")
+    merged = (
+        ra.unionByName(rb)
+        .groupBy("bucket")
+        .agg(F.max("rho_max").alias("rho_max"))
+    )
+    assert {
+        (r.bucket, r.rho_max) for r in merged.collect()
+    } == {(r.bucket, r.rho_max) for r in hll_registers(df, "u").collect()}
