@@ -132,10 +132,13 @@ def _ensure_loaded() -> None:
         # same 50. Displaced queries (sort_limit_topk, stats_aggregates,
         # json_extract_events, array_collect_orders,
         # events_tumbling_window) went green in r1-r3 windows and their
-        # families stay represented above. r4 adds the four operator
+        # families stay represented above. r4 rotates in the operator
         # families new this round (all hash-gated, never
-        # driver-checked); events_sliding_exact and ann_batch_topk
-        # queue for r5.
+        # driver-checked). r5 queue, in priority order:
+        # multimodal_wav_roundtrip, table_change_feed,
+        # token_cms_heavy_hitters, events_distinct_users_hll,
+        # tpch_q21_shaped, bigram_pmi, events_sliding_exact,
+        # ann_batch_topk.
         "dedup_cross_doc_ngrams",
         "embedding_pq_recall",
         "event_attribution",
