@@ -85,23 +85,44 @@ def merge_upsert(
         u = updates.alias("u")
         joined = t.join(u, on=key, how="full_outer")
         # NULL-version semantics: treat NULL as the LOWEST version
-        # (and NULL >= NULL as a tie the update wins). Without the
-        # coalesce, three-valued logic makes upd_wins NULL for any
-        # NULL-version row, __drop becomes NULL, and filter(~__drop)
-        # silently DISCARDS the live target row — a NULL-version
-        # tombstone would hard-delete a row it never out-versioned.
+        # (and NULL >= NULL as a tie). Without the coalesce,
+        # three-valued logic makes upd_wins NULL for any NULL-version
+        # row, __drop becomes NULL, and filter(~__drop) silently
+        # DISCARDS the live target row — a NULL-version tombstone
+        # would hard-delete a row it never out-versioned.
         version_ge = F.coalesce(
             F.col(f"u.{order_col}") >= F.col(f"t.{order_col}"),
             F.col(f"u.{order_col}").isNotNull()
             | F.col(f"t.{order_col}").isNull(),
         )
-        upd_wins = F.col(f"u.{key}").isNotNull() & (
-            F.col(f"t.{key}").isNull() | version_ge
+        version_le = F.coalesce(
+            F.col(f"u.{order_col}") <= F.col(f"t.{order_col}"),
+            F.col(f"t.{order_col}").isNotNull()
+            | F.col(f"u.{order_col}").isNull(),
         )
         is_tomb = (
             F.coalesce(F.col(f"u.{tombstone_col}"), F.lit(False))
             if tombstone_col and tombstone_col in updates.columns
             else F.lit(False)
+        )
+        # EQUAL-version ties: a tombstone beats a live row regardless
+        # of which applied first — otherwise the outcome of
+        # {tombstone(v), live(v)} depends on batching (tombstone-first
+        # lets the live row "resurrect" on the tie, live-first lets
+        # the tombstone delete it). With tombstone>live on ties, both
+        # orders converge. (Two DISTINCT live revisions sharing a
+        # version remain last-writer-wins — CDC sources must issue
+        # unique versions per key for those.)
+        t_tomb = (
+            F.coalesce(F.col(f"t.{tombstone_col}"), F.lit(False))
+            if tombstone_col and tombstone_col in cols
+            else F.lit(False)
+        )
+        tie = version_ge & version_le
+        upd_wins = F.col(f"u.{key}").isNotNull() & (
+            F.col(f"t.{key}").isNull()
+            | (version_ge & ~tie)
+            | (tie & ~(t_tomb & ~is_tomb))
         )
         merged = joined.select(
             F.coalesce(F.col(f"u.{key}"), F.col(f"t.{key}")).alias(key),

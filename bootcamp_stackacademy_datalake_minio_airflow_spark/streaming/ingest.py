@@ -107,19 +107,27 @@ def stream_upsert_apply(
         if not batch_df.take(1):
             return
         # deterministic within-batch winner: version desc, then
-        # tombstone-wins on a version tie (matching the cross-batch
-        # merge where a later-applied delete beats an equal-version
-        # row), then a content hash so equal-version duplicates can
-        # never make the outcome depend on partition scheduling
+        # tombstone-wins on a version tie (the same tie rule the
+        # cross-batch merge applies, so batching cannot flip a
+        # tombstone-vs-live tie), then a content hash so equal-version
+        # duplicates can never make the outcome depend on partition
+        # scheduling. The hash covers only hashable columns — xxhash64
+        # rejects MapType, and a CDC schema with a map attribute
+        # column must not fail the stream.
         tomb = (
             F.coalesce(F.col(tombstone_col), F.lit(False))
             if tombstone_col
             else F.lit(False)
         )
+        hashable = [
+            f.name
+            for f in batch_df.schema.fields
+            if "map<" not in f.dataType.simpleString()
+        ] or [key]
         w = Window.partitionBy(key).orderBy(
             F.col(order_col).desc(),
             tomb.desc(),
-            F.xxhash64(F.struct(*batch_df.columns)).desc(),
+            F.xxhash64(F.struct(*hashable)).desc(),
         )
         latest = (
             batch_df.withColumn("__rn", F.row_number().over(w))

@@ -1,12 +1,20 @@
 """Airflow DAG for the INCREMENTAL path (extension; the reference's
 DAGs are all full-recompute "@once" runs).
 
-Hourly cycle: diff each silver input against its previous snapshot
-(jobs/incremental_gold.snapshot_diff), collect the changed order set,
-refresh only those orders' gold rows (incremental_vendas_update), and
-run the retention vacuum for CDC tombstones past the lateness
-horizon. The gold Dataset publishes so downstream consumers (the JDBC
-publish DAG) stay event-driven.
+Event-driven cycle: whenever a fact input's silver Dataset publishes,
+refresh the gold mart for exactly the orders whose rows changed since
+the last processed snapshot version — the snapshot-version-driven
+runner (jobs/incremental_gold.incremental_vendas_from_snapshots)
+owns the whole loop: version bookkeeping in a CAS-committed state
+manifest, multiset-digest change detection per fact table
+(changed_groups — order-grain, safe for the multi-row-per-order
+items/payments tables), semi-join-pruned rebuild, group-replace
+publish. A nightly job vacuums retained CDC tombstones past the
+lateness horizon.
+
+Dataset URIs are DERIVED from catalog.zone_path so producers and this
+consumer can never drift apart on the lake layout (Airflow matches
+Datasets by exact URI string).
 
 Import-guarded like dags/olist_medallion.py: the engine never needs
 Airflow at runtime.
@@ -24,36 +32,23 @@ except ImportError:  # pragma: no cover - Airflow not installed in test env
 
 #: silver tables whose changes can alter gold vendas rows
 FACT_INPUTS = ["order_items", "orders", "order_payments"]
+VENDAS_INPUTS = [*FACT_INPUTS, "products", "customers"]
 
 
 def _run_incremental_gold() -> None:
-    from pyspark.sql import functions as F
-
     from bootcamp_stackacademy_datalake_minio_airflow_spark.catalog import zone_path
     from bootcamp_stackacademy_datalake_minio_airflow_spark.jobs.incremental_gold import (
-        incremental_vendas_update,
-        snapshot_diff,
+        incremental_vendas_from_snapshots,
     )
     from bootcamp_stackacademy_datalake_minio_airflow_spark.session import get_spark
 
     spark = get_spark("incremental_vendas", with_s3=True)
-    read = lambda t: spark.read.parquet(zone_path("silver", t))  # noqa: E731
-    prev = lambda t: spark.read.parquet(zone_path("silver", f"{t}__prev"))  # noqa: E731
-
-    changed = None
-    for t in FACT_INPUTS:
-        feed = snapshot_diff(prev(t), read(t), "order_id").select("order_id")
-        changed = feed if changed is None else changed.unionByName(feed)
-    changed = changed.distinct()
-    incremental_vendas_update(
+    incremental_vendas_from_snapshots(
         spark,
-        zone_path("gold", "vendas"),
-        read("order_items"),
-        read("orders"),
-        spark.read.parquet(zone_path("silver", "products")),
-        spark.read.parquet(zone_path("silver", "customers")),
-        read("order_payments"),
-        changed,
+        silver_roots={t: zone_path("silver", t) for t in VENDAS_INPUTS},
+        gold_path=zone_path("gold", "vendas"),
+        state_path=zone_path("gold", "vendas").rstrip("/")
+        + "__incremental_state.json",
     )
 
 
@@ -74,14 +69,16 @@ def _run_tombstone_vacuum() -> None:
 
 
 if DAG is not None:  # pragma: no cover
+    from bootcamp_stackacademy_datalake_minio_airflow_spark.catalog import zone_path
+
     default_args = {
         "owner": "data-eng",
         "depends_on_past": False,
         "start_date": datetime.datetime(2024, 1, 1),
         "retries": 1,
     }
-    gold_vendas_ds = Dataset("s3a://gold/vendas")
-    silver_ds = [Dataset(f"s3a://silver/{t}") for t in FACT_INPUTS]
+    gold_vendas_ds = Dataset(zone_path("gold", "vendas"))
+    silver_ds = [Dataset(zone_path("silver", t)) for t in FACT_INPUTS]
 
     with DAG(
         "incremental_vendas_gold",
@@ -90,7 +87,7 @@ if DAG is not None:  # pragma: no cover
         catchup=False,
         tags=["gold", "incremental"],
     ) as dag_inc:
-        inc = PythonOperator(
+        PythonOperator(
             task_id="incremental_vendas_update",
             python_callable=_run_incremental_gold,
             outlets=[gold_vendas_ds],

@@ -69,7 +69,13 @@ if DAG is not None:  # pragma: no cover
         "retries": 1,
     }
 
-    silver_ds = {t: Dataset(f"s3a://silver/olist/{t}/") for t in TABLES}
+    # URIs derived from the lake-layout resolver (NOT literals):
+    # Airflow matches Datasets by exact URI string, so every producer
+    # and consumer must mint URIs from the same function or the
+    # event-driven wiring silently never fires
+    from bootcamp_stackacademy_datalake_minio_airflow_spark.catalog import zone_path
+
+    silver_ds = {t: Dataset(zone_path("silver", t)) for t in TABLES}
 
     for t in TABLES:
         with DAG(

@@ -153,3 +153,86 @@ def test_snapshot_diff_change_classes(spark):
     assert out == {2: "update", 4: "insert"}
     out2 = {r.k: (r.change_type, r.s) for r in snapshot_diff(new, old, "k").collect()}
     assert out2[4] == ("delete", None)  # delete carries NULL new-values
+
+
+def test_changed_groups_multiset_semantics(spark):
+    from bootcamp_stackacademy_datalake_minio_airflow_spark.jobs.incremental_gold import (
+        changed_groups,
+    )
+
+    old = spark.createDataFrame(
+        [
+            ("o1", "p1", 1.0), ("o1", "p2", 2.0),   # unchanged (order differs)
+            ("o2", "p1", 5.0),                        # value will change
+            ("o3", "p1", 7.0), ("o3", "p1", 7.0),    # one duplicate removed
+            ("o4", "p9", 9.0),                        # deleted entirely
+        ],
+        "order_id string, product_id string, price double",
+    )
+    new = spark.createDataFrame(
+        [
+            ("o1", "p2", 2.0), ("o1", "p1", 1.0),    # same multiset, new order
+            ("o2", "p1", 6.0),
+            ("o3", "p1", 7.0),
+            ("o5", "p1", 1.0),                        # inserted
+        ],
+        "order_id string, product_id string, price double",
+    )
+    got = {r.order_id for r in changed_groups(old, new, "order_id").collect()}
+    assert got == {"o2", "o3", "o4", "o5"}
+
+
+def test_incremental_from_snapshots_end_to_end(spark, tmp_path):
+    """The self-maintaining loop: silver committed via snapshots,
+    state bootstraps on first run (full build), second run refreshes
+    only the delta, state advances, result equals full recompute."""
+    from bootcamp_stackacademy_datalake_minio_airflow_spark.jobs.incremental_gold import (
+        incremental_vendas_from_snapshots,
+    )
+    from bootcamp_stackacademy_datalake_minio_airflow_spark.jobs.snapshots import (
+        commit_snapshot,
+    )
+
+    v1, v2 = _lake_v1(spark), _lake_v2(spark)
+    roots = {
+        t: str(tmp_path / f"silver_{t}")
+        for t in ["order_items", "orders", "order_payments", "products", "customers"]
+    }
+    table_map = {
+        "order_items": "items",
+        "orders": "orders",
+        "order_payments": "payments",
+        "products": "products",
+        "customers": "customers",
+    }
+    for t, k in table_map.items():
+        commit_snapshot(spark, v1[k], roots[t], mode="overwrite")
+
+    gold = str(tmp_path / "gold")
+    state = str(tmp_path / "state.json")
+    # bootstrap: full build (no state, no gold) -- seed gold first
+    build_vendas(
+        v1["items"], v1["orders"], v1["products"], v1["customers"], v1["payments"]
+    ).write.parquet(gold)
+    s1 = incremental_vendas_from_snapshots(spark, roots, gold, state)
+    assert s1 == {"order_items": 1, "orders": 1, "order_payments": 1}
+
+    # second wave: commit v2 silver, run incrementally
+    for t, k in table_map.items():
+        if k in ("items", "orders", "payments"):
+            commit_snapshot(spark, v2[k], roots[t], mode="overwrite")
+    s2 = incremental_vendas_from_snapshots(spark, roots, gold, state)
+    assert s2 == {"order_items": 2, "orders": 2, "order_payments": 2}
+
+    got = {_key(r): tuple(r) for r in spark.read.parquet(gold).collect()}
+    full = {
+        _key(r): tuple(r)
+        for r in build_vendas(
+            v2["items"], v2["orders"], v2["products"], v2["customers"], v2["payments"]
+        ).collect()
+    }
+    assert got == full
+    # idempotent no-new-versions run: state unchanged, gold unchanged
+    s3 = incremental_vendas_from_snapshots(spark, roots, gold, state)
+    assert s3 == s2
+    assert {_key(r): tuple(r) for r in spark.read.parquet(gold).collect()} == full

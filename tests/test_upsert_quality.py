@@ -405,3 +405,27 @@ def test_versioned_merge_is_idempotent(spark):
         retain_tombstones=True,
     )
     assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
+
+
+def test_versioned_merge_tombstone_wins_equal_version_any_order(spark):
+    """{tombstone(v), live(v)} must converge to deleted regardless of
+    application order — the tie rule that makes batching irrelevant."""
+    def apply(target, rows):
+        updates = spark.createDataFrame(
+            rows, "k long, s string, ver long, deleted boolean"
+        )
+        return merge_upsert(
+            target, updates, "k", tombstone_col="deleted", order_col="ver",
+            retain_tombstones=True,
+        ).localCheckpoint()
+
+    base = spark.createDataFrame(
+        [(1, "base", 1, False)], "k long, s string, ver long, deleted boolean"
+    )
+    tomb = [(1, None, 5, True)]
+    live = [(1, "alive", 5, False)]
+    a = apply(apply(base, tomb), live)   # tombstone first, live later
+    b = apply(apply(base, live), tomb)   # live first, tombstone later
+    ra = {r.k: (r.deleted, r.ver) for r in a.collect()}
+    rb = {r.k: (r.deleted, r.ver) for r in b.collect()}
+    assert ra == rb == {1: (True, 5)}
