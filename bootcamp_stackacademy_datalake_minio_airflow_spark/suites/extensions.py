@@ -738,13 +738,16 @@ def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     overcount is always >= 0). The sketch is the aggregation state —
     mergeable across partitions by construction — and the md5 hash
     family lets DuckDB replay every cell."""
-    from ..operators.dedup import normalize_text
+    from ..operators.dedup import _materialize_release, normalize_text
     from ..operators.sketches import cms_build, cms_estimate
 
     docs = load_table(spark, sf_dir, "documents")
+    # persisted: the exact-count branch and the sketch branch both
+    # scan the token stream — without the cache the normalize+explode
+    # subtree runs twice (no CSE across plan branches)
     tokens = docs.select(
         F.explode(F.split(normalize_text("text"), " ")).alias("token")
-    )
+    ).persist()
     top = (
         tokens.groupBy("token")
         .agg(F.count(F.lit(1)).alias("true_count"))
@@ -753,12 +756,13 @@ def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cells = cms_build(tokens, "token", depth=4, width=256)
     est = cms_estimate(cells, top, "token", depth=4, width=256)
-    return top.join(est, "token").select(
+    out = top.join(est, "token").select(
         "token",
         "true_count",
         "cms_est",
         (F.col("cms_est") - F.col("true_count")).alias("overcount"),
     )
+    return _materialize_release(out, tokens)
 
 
 # --- from-scratch HyperLogLog (md5 registers -> fully replayable) ------------
