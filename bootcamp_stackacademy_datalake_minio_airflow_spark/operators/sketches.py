@@ -144,3 +144,64 @@ def hll_estimate(registers: DataFrame, p: int = HLL_P) -> DataFrame:
         F.lit(float(m)) * F.log(F.lit(float(m)) / F.col("v")),
     ).otherwise(raw)
     return agg.select(F.round(est, 2).alias("hll_est"))
+
+
+# --- KMV (bottom-k) set sketches: cross-corpus overlap ----------------------
+
+
+def kmv_sketches(
+    df: DataFrame, group_col: str, value_col: str, k: int = 32
+) -> DataFrame:
+    """Per-group KMV sketch: the sorted ``k`` smallest md5 hashes of
+    the group's DISTINCT values, as ``(group, sketch array)``.
+
+    Bottom-k is taken with a window rank BEFORE any collect — the
+    per-group state that moves is k hashes, never the value set
+    (the point of KMV at 100 TB: estimate overlap between corpora
+    without joining them). Sketches merge by
+    bottom-k-of-concatenation, used by ``kmv_pair_jaccard``."""
+    hashed = df.select(
+        F.col(group_col).alias("__g"), F.md5(F.col(value_col)).alias("__h")
+    ).distinct()
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("__g").orderBy("__h")
+    topk = hashed.withColumn("__rn", F.row_number().over(w)).filter(
+        F.col("__rn") <= k
+    )
+    return (
+        topk.groupBy("__g")
+        .agg(F.sort_array(F.collect_list("__h")).alias("sketch"))
+        .select(F.col("__g").alias(group_col), "sketch")
+    )
+
+
+def kmv_pair_jaccard(
+    sketches: DataFrame, group_col: str, k: int = 32
+) -> DataFrame:
+    """Estimated Jaccard for every group pair from their KMV sketches
+    (Beyer et al. 2007): take the bottom-k of the UNION of the two
+    sketches, count how many of those minima belong to both sides —
+    that fraction is an unbiased Jaccard estimate. Pure array math on
+    the (tiny) sketch table; the corpora themselves are never
+    joined."""
+    a = sketches.select(
+        F.col(group_col).alias("ga"), F.col("sketch").alias("sa")
+    )
+    b = sketches.select(
+        F.col(group_col).alias("gb"), F.col("sketch").alias("sb")
+    )
+    pairs = a.join(b, F.col("ga") < F.col("gb"))
+    union_k = F.slice(
+        F.array_sort(F.array_distinct(F.concat(F.col("sa"), F.col("sb")))),
+        1,
+        k,
+    )
+    in_both = F.size(
+        F.array_intersect(F.array_intersect(union_k, F.col("sa")), F.col("sb"))
+    )
+    return pairs.select(
+        F.col("ga").alias(f"{group_col}_a"),
+        F.col("gb").alias(f"{group_col}_b"),
+        F.round(in_both / F.size(union_k), 4).alias("kmv_jaccard"),
+    )

@@ -765,6 +765,120 @@ def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _materialize_release(out, tokens)
 
 
+# --- KMV bottom-k sketches: cross-source overlap estimation ------------------
+
+_KMV_ORACLE = """
+    WITH norm AS (
+      SELECT source, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
+      FROM documents
+    ), grams AS (
+      SELECT DISTINCT source, g FROM (
+        SELECT source,
+               unnest(list_transform(
+                 range(1, greatest(len(w) - 3, 1) + 1),
+                 i -> array_to_string(w[i:i+3], ' '))) AS g
+        FROM (SELECT source, string_split(t, ' ') AS w FROM norm)
+      )
+    ), hashed AS (
+      SELECT source, md5(g) AS h FROM grams
+    ), ranked AS (
+      SELECT source, h,
+             ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rn
+      FROM hashed
+    ), sk AS (
+      SELECT source, list(h ORDER BY h) AS sk
+      FROM ranked WHERE rn <= 32 GROUP BY source
+    ), est AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             ROUND(
+               len(list_intersect(list_intersect(
+                     list_sort(list_distinct(list_concat(a.sk, b.sk)))[1:32],
+                     a.sk), b.sk))
+               / len(list_sort(list_distinct(list_concat(a.sk, b.sk)))[1:32]),
+               4) AS kmv_jaccard
+      FROM sk a JOIN sk b ON a.source < b.source
+    ), sizes AS (
+      SELECT source, COUNT(*) AS n FROM grams GROUP BY source
+    ), inter AS (
+      SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS i
+      FROM grams a JOIN grams b ON a.g = b.g AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT e.source_a, e.source_b, e.kmv_jaccard,
+           ROUND(COALESCE(x.i, 0)
+                 / (na.n + nb.n - COALESCE(x.i, 0)), 4) AS exact_jaccard
+    FROM est e
+    LEFT JOIN inter x
+      ON x.source_a = e.source_a AND x.source_b = e.source_b
+    JOIN sizes na ON na.source = e.source_a
+    JOIN sizes nb ON nb.source = e.source_b
+    """
+
+
+@register("source_overlap_kmv", _KMV_ORACLE)
+def q_source_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source content-overlap estimation from KMV bottom-32
+    sketches over word-4-gram sets — the way two 100 TB corpora are
+    compared WITHOUT joining them (per-source state is 32 hashes).
+    Exact Jaccard rides along as the error witness; at this SF the
+    oracle replays both sides."""
+    from ..operators.dedup import _materialize_release, normalize_text
+    from ..operators.sketches import kmv_pair_jaccard, kmv_sketches
+
+    docs = load_table(spark, sf_dir, "documents")
+    n = 4
+    words = docs.select(
+        "source", F.split(normalize_text("text"), " ").alias("__w")
+    )
+    grams = (
+        words.select(
+            "source",
+            "__w",
+            F.explode(
+                F.sequence(
+                    F.lit(1), F.greatest(F.size("__w") - F.lit(n - 1), F.lit(1))
+                )
+            ).alias("__i"),
+        )
+        .select(
+            "source",
+            F.array_join(F.slice(F.col("__w"), F.col("__i"), n), " ").alias("g"),
+        )
+        .distinct()
+        .persist()
+    )
+    est = kmv_pair_jaccard(kmv_sketches(grams, "source", "g", k=32), "source", k=32)
+    sizes = grams.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    ga = grams.select(F.col("source").alias("sa"), "g")
+    gb = grams.select(F.col("source").alias("sb"), "g")
+    inter = (
+        ga.join(gb, "g")
+        .filter(F.col("sa") < F.col("sb"))
+        .groupBy("sa", "sb")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    out = (
+        est.join(
+            inter,
+            (est.source_a == inter.sa) & (est.source_b == inter.sb),
+            "left",
+        )
+        .join(sizes.select(F.col("source").alias("source_a"), F.col("n").alias("na")), "source_a")
+        .join(sizes.select(F.col("source").alias("source_b"), F.col("n").alias("nb")), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "kmv_jaccard",
+            F.round(
+                F.coalesce(F.col("i"), F.lit(0))
+                / (F.col("na") + F.col("nb") - F.coalesce(F.col("i"), F.lit(0))),
+                4,
+            ).alias("exact_jaccard"),
+        )
+    )
+    return _materialize_release(out, grams)
+
+
 # --- from-scratch HyperLogLog (md5 registers -> fully replayable) ------------
 
 

@@ -84,3 +84,36 @@ def test_hll_accuracy_and_max_merge(spark):
     assert {
         (r.bucket, r.rho_max) for r in merged.collect()
     } == {(r.bucket, r.rho_max) for r in hll_registers(df, "u").collect()}
+
+
+def test_kmv_exact_on_small_sets_and_estimates_overlap(spark):
+    from bootcamp_stackacademy_datalake_minio_airflow_spark.operators.sketches import (
+        kmv_pair_jaccard,
+        kmv_sketches,
+    )
+
+    # groups smaller than k: the sketch IS the set -> estimate exact
+    rows = (
+        [("A", f"x{i}") for i in range(10)]
+        + [("B", f"x{i}") for i in range(5)]   # B subset of A: J = 5/10
+        + [("C", f"y{i}") for i in range(10)]  # disjoint from A,B
+    )
+    df = spark.createDataFrame(rows, "src string, v string")
+    sk = kmv_sketches(df, "src", "v", k=32)
+    est = {
+        (r.src_a, r.src_b): r.kmv_jaccard
+        for r in kmv_pair_jaccard(sk, "src", k=32).collect()
+    }
+    assert est[("A", "B")] == 0.5
+    assert est[("A", "C")] == 0.0 and est[("B", "C")] == 0.0
+
+    # large overlapping sets, k << n: estimate within a loose bound
+    big = (
+        [("P", f"e{i}") for i in range(2000)]
+        + [("Q", f"e{i}") for i in range(1000, 3000)]  # J = 1000/3000
+    )
+    bsk = kmv_sketches(
+        spark.createDataFrame(big, "src string, v string"), "src", "v", k=64
+    )
+    j = kmv_pair_jaccard(bsk, "src", k=64).collect()[0].kmv_jaccard
+    assert abs(j - 1 / 3) < 0.15  # sigma ~ sqrt(J(1-J)/k) ~ 0.06
