@@ -18,10 +18,20 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, SparkSession
 
 
-def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+def read_parquet(
+    spark: SparkSession, path: str, merge_schema: bool = False
+) -> DataFrame:
     # no recursiveFileLookup: it would disable Hive-style partition
     # discovery (MES_VENDA=... directories must surface as a column)
-    return spark.read.parquet(path)
+    reader = spark.read
+    if merge_schema:
+        # schema evolution: files written before a column existed read
+        # it back as NULL instead of the scan silently projecting the
+        # FIRST footer's schema (default parquet behavior picks one
+        # footer; an evolved table needs the union). Costs one footer
+        # read per file at planning — enable per-read, not globally.
+        reader = reader.option("mergeSchema", "true")
+    return reader.parquet(path)
 
 
 def write_parquet(

@@ -181,3 +181,24 @@ def test_read_csv_quarantines_corrupt_rows(spark, tmp_path):
     assert "not_an_int" in bad.first()["_bad"]
     # without corrupt_col the scan shape is unchanged (no extra column)
     assert read_csv(spark, str(p), schema).columns == ["id", "qty", "name"]
+
+
+def test_parquet_merge_schema_evolution(spark, tmp_path):
+    """A table whose later files carry an added column must read the
+    union schema with NULLs for pre-evolution rows (mergeSchema);
+    the default single-footer read would silently drop or keep the
+    column depending on file order."""
+    from bootcamp_stackacademy_datalake_minio_airflow_spark.sources.parquet import (
+        read_parquet,
+    )
+
+    path = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "a")], "k long, s string").write.parquet(path)
+    spark.createDataFrame(
+        [(2, "b", 9.5)], "k long, s string, score double"
+    ).write.mode("append").parquet(path)
+
+    out = read_parquet(spark, path, merge_schema=True)
+    assert set(out.columns) == {"k", "s", "score"}
+    rows = {r.k: r.score for r in out.collect()}
+    assert rows == {1: None, 2: 9.5}
