@@ -1,0 +1,53 @@
+"""Meta-tests of the correctness gate itself (tools/check_oracle.py):
+the value-hash canonicalizer must DETECT divergence -- a gate that
+can't fail proves nothing."""
+
+from __future__ import annotations
+
+import importlib.util
+import sys
+
+spec = importlib.util.spec_from_file_location("check_oracle", "tools/check_oracle.py")
+
+
+def _load():
+    import os
+
+    sys.path.insert(0, os.getcwd())
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_value_hash_detects_differences_and_normalizes_equivalences():
+    co = _load()
+    vh, nc = co.value_hash, co._norm_cell
+
+    rows_a = [(1, "x", 1.5), (2, "y", 2.5)]
+    rows_b = [(2, "y", 2.5), (1, "x", 1.5)]   # same multiset, other order
+    rows_c = [(1, "x", 1.5), (2, "y", 2.6)]   # one value differs
+    order = [0, 1, 2]
+    assert vh(rows_a, order) == vh(rows_b, order), "row order must not matter"
+    assert vh(rows_a, order) != vh(rows_c, order), "a changed value must differ"
+    # column reordering via col_order maps identical data to one hash
+    swapped = [(r[2], r[0], r[1]) for r in rows_a]
+    assert vh(rows_a, [0, 1, 2]) == vh(swapped, [1, 2, 0])
+
+    # cell normalization: NaN == NULL (both engines disagree on NaN
+    # semantics), bools as ints, floats via %.6g so engine formatting
+    # (1.0 vs 1) can't split a hash
+    assert nc(float("nan")) == nc(None)
+    assert nc(True) == "1" and nc(False) == "0"
+    assert nc(1.0) == nc(1.0000000001)  # %.6g collapses
+    assert nc(1.0) != nc(1.001)
+    # int 1 and float 1.0 normalize to the same string ('1')
+    assert nc(1) == nc(1.0)
+
+
+def test_value_hash_sensitive_to_duplicates_and_nulls():
+    co = _load()
+    vh = co.value_hash
+    order = [0]
+    assert vh([(1,), (1,)], order) != vh([(1,)], order), "multiset, not set"
+    assert vh([(None,)], order) != vh([(0,)], order)
+    assert vh([("",)], order) != vh([(None,)], order)
