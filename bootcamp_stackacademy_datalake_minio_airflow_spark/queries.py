@@ -137,8 +137,8 @@ def _ensure_loaded() -> None:
         # driver-checked). r5 queue, in priority order:
         # multimodal_wav_roundtrip, table_change_feed,
         # token_cms_heavy_hitters, events_distinct_users_hll,
-        # tpch_q21_shaped, bigram_pmi, events_sliding_exact,
-        # ann_batch_topk.
+        # bpe_merge_table, source_overlap_kmv, tpch_q21_shaped,
+        # bigram_pmi, events_sliding_exact, ann_batch_topk.
         "dedup_cross_doc_ngrams",
         "embedding_pq_recall",
         "event_attribution",

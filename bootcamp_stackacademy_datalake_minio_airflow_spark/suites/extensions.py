@@ -765,6 +765,75 @@ def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _materialize_release(out, tokens)
 
 
+# --- distributed BPE vocabulary training (unrolled-CTE oracle) ---------------
+
+
+def _bpe_oracle(n_merges: int = 10) -> str:
+    """Replay of operators/bpe.py:bpe_train: each stage recomputes
+    weighted adjacent-pair counts over the evolving vocab, takes the
+    (count desc, pair asc) argmax, and applies the merge with the same
+    left-to-right non-overlapping string replacement Spark uses —
+    integer counts and deterministic ties make the whole iterative
+    training hash-checkable."""
+    parts = [
+        """
+    WITH w0 AS MATERIALIZED (
+      SELECT trim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS w, cnt FROM (
+        SELECT word, COUNT(*) AS cnt FROM (
+          SELECT unnest(string_split(
+            regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS word
+          FROM documents
+        ) WHERE length(word) > 0 GROUP BY word
+      )
+    )"""
+    ]
+    for k in range(n_merges):
+        parts.append(
+            f""", p{k} AS MATERIALIZED (
+      SELECT sym[i] || ' ' || sym[i+1] AS p, SUM(cnt) AS s FROM (
+        SELECT sym, cnt, unnest(range(1, len(sym))) AS i
+        FROM (SELECT string_split(w, ' ') AS sym, cnt FROM w{k})
+      ) GROUP BY 1
+    ), b{k} AS MATERIALIZED (
+      SELECT p, s FROM p{k} ORDER BY s DESC, p LIMIT 1
+    ), w{k + 1} AS MATERIALIZED (
+      -- doubled-separator merge (see operators/bpe.py:_apply_merge):
+      -- adjacent pair occurrences share a boundary space in the
+      -- single-space form, so replace there misses every second one
+      SELECT replace(trim(replace(
+               ' ' || replace(w, ' ', '  ') || ' ',
+               ' ' || replace((SELECT p FROM b{k}), ' ', '  ') || ' ',
+               ' ' || replace((SELECT p FROM b{k}), ' ', '') || ' ')),
+             '  ', ' ') AS w,
+             cnt
+      FROM w{k}
+    )"""
+        )
+    rows = "\n    UNION ALL\n    ".join(
+        f"SELECT {k} AS merge_rank, (SELECT p FROM b{k}) AS pair,"
+        f" replace((SELECT p FROM b{k}), ' ', '') AS merged,"
+        f" CAST((SELECT s FROM b{k}) AS BIGINT) AS pair_count"
+        for k in range(n_merges)
+    )
+    return "".join(parts) + "\n    " + rows
+
+
+@register("bpe_merge_table", _bpe_oracle(10))
+def q_bpe_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train a 10-merge BPE vocabulary on the corpus (Sennrich et al.
+    2016) — per round: one distributed weighted-pair aggregation over
+    the distinct-word vocab and a single-row argmax collect. The
+    emitted merge table IS the learned tokenizer; the oracle
+    re-derives it from scratch."""
+    from ..operators.bpe import bpe_train
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = bpe_train(docs, "text", n_merges=10)
+    return spark.createDataFrame(
+        merges, "merge_rank int, pair string, merged string, pair_count long"
+    )
+
+
 # --- KMV bottom-k sketches: cross-source overlap estimation ------------------
 
 _KMV_ORACLE = """
