@@ -222,3 +222,52 @@ def test_versioned_merge_is_batching_independent(spark, revisions, data):
         base, sorted(revisions, key=lambda r: (r[0], r[2]))
     )
     assert got == expected
+
+
+_TABLES = st.lists(
+    st.tuples(
+        st.integers(1, 8),                       # key
+        st.integers(0, 3),                       # payload a
+        st.one_of(st.none(), st.integers(0, 2)), # payload b (nullable)
+    ),
+    min_size=0,
+    max_size=10,
+    unique_by=lambda r: r[0],
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(old_rows=_TABLES, new_rows=_TABLES)
+def test_change_feed_roundtrip_reconstructs_new(spark, old_rows, new_rows):
+    """Fundamental CDF property: applying snapshot_diff(old, new) to
+    old yields exactly new — for ANY pair of table versions, including
+    NULL payloads and empty sides."""
+    from bootcamp_stackacademy_datalake_minio_airflow_spark.jobs.incremental_gold import (
+        snapshot_diff,
+    )
+
+    schema = "k long, a long, b long"
+    old = spark.createDataFrame(old_rows, schema) if old_rows else (
+        spark.createDataFrame([], schema)
+    )
+    new = spark.createDataFrame(new_rows, schema) if new_rows else (
+        spark.createDataFrame([], schema)
+    )
+    feed = snapshot_diff(old, new, "k").collect()
+
+    state = {r[0]: (r[1], r[2]) for r in old_rows}
+    for r in feed:
+        if r.change_type == "delete":
+            state.pop(r.k)
+        else:
+            state[r.k] = (r.a, r.b)
+    assert state == {r[0]: (r[1], r[2]) for r in new_rows}
+    # and the feed is minimal: no row for unchanged keys
+    unchanged = {
+        r[0] for r in old_rows
+    } & {r[0] for r in new_rows if r in old_rows}
+    assert all(r.k not in unchanged or True for r in feed)  # sanity
+    feed_keys = {r.k for r in feed}
+    for r in old_rows:
+        if r in new_rows:
+            assert r[0] not in feed_keys, "unchanged key must not emit"
