@@ -75,3 +75,20 @@ def rename_map(df: DataFrame, mapping: Mapping[str, str]) -> DataFrame:
     with 14 business names (ingestion_vendas_silver_to_gold.py:133-149).
     """
     return df.withColumnsRenamed(dict(mapping))
+
+
+def row_hash_cols(df: DataFrame) -> list[Column]:
+    """Columns of ``df`` in an xxhash64-compatible form: map-typed
+    columns (which xxhash64 rejects) ride as their JSON rendering —
+    parquet preserves map entry order, so the rendering is stable per
+    stored row; at worst a re-ordered logical duplicate hashes
+    differently, which for change DETECTION means a spurious refresh,
+    never a missed one. Shared by the CDC layers (streaming tie-break,
+    changed_groups) so their hash domains can't drift apart."""
+    out: list[Column] = []
+    for f in df.schema.fields:
+        if "map<" in f.dataType.simpleString():
+            out.append(F.to_json(F.col(f.name)))
+        else:
+            out.append(F.col(f.name))
+    return out

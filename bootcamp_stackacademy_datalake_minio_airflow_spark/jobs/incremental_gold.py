@@ -50,9 +50,15 @@ def replace_by_group(
     orders), so the anti-join broadcasts; the rewrite cost is the
     surviving table scan + new rows, with no wide shuffle.
     """
-    from ..fsutil import publish_swap, recover_swaps
+    from ..fsutil import _fs_for, _jp, publish_swap, recover_swaps
 
     recover_swaps(spark, path)
+    fs, jvm = _fs_for(spark, path)
+    if not fs.exists(_jp(jvm, path)):
+        # bootstrap: no target yet (a first full build) — the new rows
+        # ARE the table
+        new_rows.write.mode("errorifexists").parquet(path)
+        return
     key_df = (keys if keys is not None else new_rows).select(group_key).distinct()
     target = spark.read.parquet(path)
     kept = target.join(F.broadcast(key_df), group_key, "left_anti")
@@ -170,18 +176,18 @@ def changed_groups(old: DataFrame, new: DataFrame, group_key: str) -> DataFrame:
     """
 
     def digest(df: DataFrame) -> DataFrame:
-        hashable = [
-            f.name
-            for f in df.schema.fields
-            if "map<" not in f.dataType.simpleString()
-        ]
+        from ..functions import row_hash_cols
+
         # decimal(38,0) accumulator: ANSI mode forbids wrapping long
-        # sums, and a few hundred 64-bit hashes can overflow a long
+        # sums, and a few hundred 64-bit hashes can overflow a long.
+        # row_hash_cols renders map columns as JSON so a change
+        # confined to a map value is still DETECTED (excluding them
+        # would mean silent permanent staleness for that key)
         return df.groupBy(group_key).agg(
             F.count(F.lit(1)).alias("__n"),
-            F.sum(F.xxhash64(F.struct(*hashable)).cast("decimal(38,0)")).alias(
-                "__s"
-            ),
+            F.sum(
+                F.xxhash64(F.struct(*row_hash_cols(df))).cast("decimal(38,0)")
+            ).alias("__s"),
         )
 
     o, n = digest(old).alias("o"), digest(new).alias("n")
@@ -216,29 +222,41 @@ def incremental_vendas_from_snapshots(
     refreshes gold for exactly those orders, and CAS-commits the new
     state — so repeated runs are incremental BY CONSTRUCTION (no
     hand-rotated ``__prev`` copies, no monotonically-growing change
-    sets) and a crashed run re-processes its delta idempotently
-    (state advances only after gold publishes). First run (no state)
-    treats every order as changed, i.e. a full build.
+    sets), a run where NO fact version advanced is an exact no-op
+    (a duplicate Dataset trigger or post-commit retry must never
+    degenerate into a full rebuild), and a crashed run re-processes
+    its delta idempotently (state advances only after gold
+    publishes). First run (no state) treats every order as changed —
+    including any orders already present in an existing gold table,
+    so a state-loss recovery also drops rows whose orders have since
+    been deleted from silver.
 
-    Returns the processed-version map it committed.
+    Returns the processed-version map it committed (or the unchanged
+    state on a no-op).
     """
+    from ..fsutil import _fs_for, _jp
     from .snapshots import _read_json, _write_json_atomic, read_snapshot, table_versions
 
     facts = ["order_items", "orders", "order_payments"]
-    latest = {
-        t: (table_versions(spark, root)[-1] if table_versions(spark, root) else 0)
-        for t, root in silver_roots.items()
-    }
-    try:
-        state = _read_json(spark, state_path)
-    except Exception:  # noqa: BLE001 - first run: no state yet
-        state = {}
+    latest = {}
+    for t in facts:
+        vs = table_versions(spark, silver_roots[t])
+        latest[t] = vs[-1] if vs else 0
+
+    fs, jvm = _fs_for(spark, state_path)
+    # explicit existence check, not a blanket except: a TRANSIENT read
+    # error must fail the run, not silently trigger a full rebuild
+    # (whose changed set would also lose silver-side deletions)
+    state = _read_json(spark, state_path) if fs.exists(_jp(jvm, state_path)) else {}
 
     def at(t: str, version: int | None) -> DataFrame:
         return read_snapshot(spark, silver_roots[t], version)
 
-    changed = None
     full_build = any(t not in state for t in facts)
+    if not full_build and all(state[t] == latest[t] for t in facts):
+        return {t: state[t] for t in facts}  # no-op: nothing advanced
+
+    changed = None
     if not full_build:
         for t in facts:
             if state[t] == latest[t]:
@@ -249,6 +267,20 @@ def incremental_vendas_from_snapshots(
         changed = at("orders", None).select("order_id").unionByName(
             at("order_items", None).select("order_id")
         )
+        gold_fs, gold_jvm = _fs_for(spark, gold_path)
+        if gold_fs.exists(_jp(gold_jvm, gold_path)):
+            # recovery full build: orders deleted from silver exist
+            # only in gold — include them or their rows survive forever
+            group_key = (
+                (build_kwargs["renames"] or {}).get("order_id", "order_id")
+                if "renames" in build_kwargs
+                else "PEDIDO"
+            )
+            changed = changed.unionByName(
+                spark.read.parquet(gold_path).select(
+                    F.col(group_key).alias("order_id")
+                )
+            )
     changed = changed.distinct()
 
     incremental_vendas_update(
@@ -265,9 +297,6 @@ def incremental_vendas_from_snapshots(
     new_state = {t: latest[t] for t in facts}
     # CAS-write: a concurrent run losing the race simply reprocesses
     # a delta on its next cycle (idempotent via group replace)
-    from ..fsutil import _fs_for, _jp
-
-    fs, jvm = _fs_for(spark, state_path)
     if fs.exists(_jp(jvm, state_path)):
         fs.delete(_jp(jvm, state_path), False)
     _write_json_atomic(spark, state_path, new_state)

@@ -99,6 +99,7 @@ def commit_snapshot(
     root: str,
     mode: str = "append",
     max_attempts: int = 10,
+    extra: dict | None = None,
 ) -> int:
     """Write ``df`` as a new immutable segment and commit a new
     snapshot; returns the committed version.
@@ -122,6 +123,7 @@ def commit_snapshot(
             "mode": mode,
             "parent": cur[0] if cur else None,
             "segments": base + [segment],
+            **(extra or {}),
         }
         if _write_json_atomic(spark, _manifest_path(root, version), doc):
             return version
@@ -216,3 +218,40 @@ def vacuum_snapshots(
             fs.delete(st.getPath(), True)
             n_seg += 1
     return len(expire), n_seg
+
+
+def mirror_to_snapshot(
+    spark: SparkSession, source_path: str, root: str
+) -> int | None:
+    """Bridge a PLAIN-parquet table into the snapshot layer: commit
+    the current content as a new overwrite snapshot IFF it changed
+    since the last mirrored version. Returns the committed version,
+    or None for a no-op.
+
+    Change detection is a whole-table multiset digest (row count +
+    decimal sum of row hashes — the same commutative digest
+    jobs/incremental_gold.changed_groups uses per key) stored IN the
+    manifest, so a no-op costs one aggregation over the source and
+    zero snapshot reads. This is the bridge for producers that
+    overwrite plain paths in place (the reference's bronze->silver
+    jobs); a producer writing through commit_snapshot natively skips
+    the copy entirely — prefer that where you control the writer.
+    """
+    from pyspark.sql import functions as F
+
+    from ..functions import row_hash_cols
+
+    df = spark.read.parquet(source_path)
+    agg = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.xxhash64(F.struct(*row_hash_cols(df))).cast("decimal(38,0)")
+        ).alias("s"),
+    ).collect()[0]
+    digest = [int(agg["n"]), str(agg["s"])]
+    cur = _latest(spark, root)
+    if cur is not None and cur[1].get("digest") == digest:
+        return None
+    return commit_snapshot(
+        spark, df, root, mode="overwrite", extra={"digest": digest}
+    )

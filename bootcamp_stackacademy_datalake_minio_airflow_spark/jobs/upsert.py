@@ -95,11 +95,6 @@ def merge_upsert(
             F.col(f"u.{order_col}").isNotNull()
             | F.col(f"t.{order_col}").isNull(),
         )
-        version_le = F.coalesce(
-            F.col(f"u.{order_col}") <= F.col(f"t.{order_col}"),
-            F.col(f"t.{order_col}").isNotNull()
-            | F.col(f"u.{order_col}").isNull(),
-        )
         is_tomb = (
             F.coalesce(F.col(f"u.{tombstone_col}"), F.lit(False))
             if tombstone_col and tombstone_col in updates.columns
@@ -118,7 +113,9 @@ def merge_upsert(
             if tombstone_col and tombstone_col in cols
             else F.lit(False)
         )
-        tie = version_ge & version_le
+        # equal-or-both-NULL in one self-documenting expression (the
+        # hand-built ge&le pair this replaces was exactly this)
+        tie = F.col(f"u.{order_col}").eqNullSafe(F.col(f"t.{order_col}"))
         upd_wins = F.col(f"u.{key}").isNotNull() & (
             F.col(f"t.{key}").isNull()
             | (version_ge & ~tie)

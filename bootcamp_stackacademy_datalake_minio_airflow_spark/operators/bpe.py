@@ -128,5 +128,10 @@ def bpe_segment(
         out = out.withColumn("__seg", _apply_merge(F.col("__seg"), pat, merged))
     return out.withColumn(
         "bpe_tokens",
-        F.size(F.split("__seg", " ")) - F.size(F.split("__seg", sep)) + 1,
+        # empty/whitespace-only text segments to '' — split('') yields
+        # [''] (size 1), so the subtraction formula would report 1
+        # token for zero content
+        F.when(F.length("__seg") == 0, F.lit(0)).otherwise(
+            F.size(F.split("__seg", " ")) - F.size(F.split("__seg", sep)) + 1
+        ),
     ).drop("__seg")

@@ -111,23 +111,18 @@ def stream_upsert_apply(
         # cross-batch merge applies, so batching cannot flip a
         # tombstone-vs-live tie), then a content hash so equal-version
         # duplicates can never make the outcome depend on partition
-        # scheduling. The hash covers only hashable columns — xxhash64
-        # rejects MapType, and a CDC schema with a map attribute
-        # column must not fail the stream.
+        # scheduling (row_hash_cols renders map columns hashable).
+        from ..functions import row_hash_cols
+
         tomb = (
             F.coalesce(F.col(tombstone_col), F.lit(False))
             if tombstone_col
             else F.lit(False)
         )
-        hashable = [
-            f.name
-            for f in batch_df.schema.fields
-            if "map<" not in f.dataType.simpleString()
-        ] or [key]
         w = Window.partitionBy(key).orderBy(
             F.col(order_col).desc(),
             tomb.desc(),
-            F.xxhash64(F.struct(*hashable)).desc(),
+            F.xxhash64(F.struct(*row_hash_cols(batch_df))).desc(),
         )
         latest = (
             batch_df.withColumn("__rn", F.row_number().over(w))

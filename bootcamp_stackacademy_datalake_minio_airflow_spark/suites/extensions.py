@@ -809,10 +809,13 @@ def _bpe_oracle(n_merges: int = 10) -> str:
       FROM w{k}
     )"""
         )
+    # selecting FROM b{k} (not scalar subqueries) makes an exhausted
+    # stage contribute ZERO rows, matching bpe_train's early break on
+    # a vocabulary that runs out of pairs before n_merges
     rows = "\n    UNION ALL\n    ".join(
-        f"SELECT {k} AS merge_rank, (SELECT p FROM b{k}) AS pair,"
-        f" replace((SELECT p FROM b{k}), ' ', '') AS merged,"
-        f" CAST((SELECT s FROM b{k}) AS BIGINT) AS pair_count"
+        f"SELECT {k} AS merge_rank, p AS pair,"
+        f" replace(p, ' ', '') AS merged,"
+        f" CAST(s AS BIGINT) AS pair_count FROM b{k}"
         for k in range(n_merges)
     )
     return "".join(parts) + "\n    " + rows

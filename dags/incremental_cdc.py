@@ -40,12 +40,25 @@ def _run_incremental_gold() -> None:
     from bootcamp_stackacademy_datalake_minio_airflow_spark.jobs.incremental_gold import (
         incremental_vendas_from_snapshots,
     )
+    from bootcamp_stackacademy_datalake_minio_airflow_spark.jobs.snapshots import (
+        mirror_to_snapshot,
+    )
     from bootcamp_stackacademy_datalake_minio_airflow_spark.session import get_spark
 
     spark = get_spark("incremental_vendas", with_s3=True)
+    # Bridge: the medallion jobs overwrite plain-parquet silver in
+    # place, so first mirror each input into its snapshot root
+    # (digest-gated no-op when unchanged). A silver writer that
+    # commits through jobs.snapshots natively makes this a pure no-op.
+    roots = {
+        t: zone_path("silver", t).rstrip("/") + "__snapshots"
+        for t in VENDAS_INPUTS
+    }
+    for t in VENDAS_INPUTS:
+        mirror_to_snapshot(spark, zone_path("silver", t), roots[t])
     incremental_vendas_from_snapshots(
         spark,
-        silver_roots={t: zone_path("silver", t) for t in VENDAS_INPUTS},
+        silver_roots=roots,
         gold_path=zone_path("gold", "vendas"),
         state_path=zone_path("gold", "vendas").rstrip("/")
         + "__incremental_state.json",

@@ -210,12 +210,18 @@ def test_incremental_from_snapshots_end_to_end(spark, tmp_path):
 
     gold = str(tmp_path / "gold")
     state = str(tmp_path / "state.json")
-    # bootstrap: full build (no state, no gold) -- seed gold first
-    build_vendas(
-        v1["items"], v1["orders"], v1["products"], v1["customers"], v1["payments"]
-    ).write.parquet(gold)
+    # cold start: NO gold table and no state -- the first run must
+    # bootstrap the full build itself
     s1 = incremental_vendas_from_snapshots(spark, roots, gold, state)
     assert s1 == {"order_items": 1, "orders": 1, "order_payments": 1}
+    got1 = {_key(r): tuple(r) for r in spark.read.parquet(gold).collect()}
+    full1 = {
+        _key(r): tuple(r)
+        for r in build_vendas(
+            v1["items"], v1["orders"], v1["products"], v1["customers"], v1["payments"]
+        ).collect()
+    }
+    assert got1 == full1
 
     # second wave: commit v2 silver, run incrementally
     for t, k in table_map.items():
@@ -236,3 +242,27 @@ def test_incremental_from_snapshots_end_to_end(spark, tmp_path):
     s3 = incremental_vendas_from_snapshots(spark, roots, gold, state)
     assert s3 == s2
     assert {_key(r): tuple(r) for r in spark.read.parquet(gold).collect()} == full
+
+
+def test_mirror_to_snapshot_digest_gated(spark, tmp_path):
+    """Plain-parquet bridge: first mirror commits v1; an unchanged
+    re-mirror is a digest-gated no-op (no new version, no copy); a
+    content change commits v2."""
+    from bootcamp_stackacademy_datalake_minio_airflow_spark.jobs.snapshots import (
+        mirror_to_snapshot,
+        read_snapshot,
+        table_versions,
+    )
+
+    src = str(tmp_path / "plain")
+    root = str(tmp_path / "snap_root")
+    spark.createDataFrame([(1, "a"), (2, "b")], "k long, s string").write.parquet(src)
+    assert mirror_to_snapshot(spark, src, root) == 1
+    assert mirror_to_snapshot(spark, src, root) is None  # unchanged
+    assert table_versions(spark, root) == [1]
+
+    spark.createDataFrame([(1, "a"), (2, "B")], "k long, s string").write.mode(
+        "overwrite"
+    ).parquet(src)
+    assert mirror_to_snapshot(spark, src, root) == 2
+    assert {r.s for r in read_snapshot(spark, root).collect()} == {"a", "B"}
