@@ -99,7 +99,9 @@ def _ensure_loaded() -> None:
         "semantic_dedup_clusters",
         "text_language_id",
         "text_quality_score",
-        "text_token_count",
+        # text_token_count displaced in r4 (green in r1-r3 windows;
+        # the text family keeps four in-window representatives) to
+        # make room for merge_upsert_semantics at slot 50
         "text_clean_stats",
         "doc_fingerprint",
         "doc_winnow_fingerprints",
