@@ -440,8 +440,8 @@ def q_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.graph import cooccurrence_edges, pagerank
 
     li = load_table(spark, sf_dir, "lineitem")
-    edges = cooccurrence_edges(li, "l_orderkey", "l_partkey")
-    return pagerank(edges, iters=5)
+    edges = cooccurrence_edges(li, "l_orderkey", "l_partkey", partition_by="dst")
+    return pagerank(edges, iters=5, edges_prepartitioned=True)
 
 
 # --- event attribution (batch twin of the stream-stream join) ---------------

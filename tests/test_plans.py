@@ -110,21 +110,40 @@ def test_pagerank_iteration_broadcasts_ranks(spark, sf_dir):
     )
 
     li = load_table(spark, sf_dir, "lineitem")
-    out = pagerank(cooccurrence_edges(li, "l_orderkey", "l_partkey"), iters=2)
+    out = pagerank(
+        cooccurrence_edges(li, "l_orderkey", "l_partkey", partition_by="dst"),
+        iters=2,
+        edges_prepartitioned=True,
+    )
     # pagerank materializes via localCheckpoint; inspect the executed
     # plan it recorded through a fresh equivalent build instead
-    edges = cooccurrence_edges(li, "l_orderkey", "l_partkey")
     from pyspark.sql import functions as F
 
-    e = edges.cache()
+    e = cooccurrence_edges(
+        li, "l_orderkey", "l_partkey", partition_by="dst"
+    ).cache()
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("__outdeg"))
-    ce = e.join(deg, "src").repartition("src").cache()
-    ranks = e.select(F.col("src").alias("node")).distinct().select(
-        "node", F.lit(0.001).alias("rank")
+    ranks = deg.select(F.col("src").alias("node"), F.lit(0.001).alias("rank"))
+    ce = e.join(F.broadcast(deg), "src")
+    it = (
+        ce.join(F.broadcast(ranks), ce.src == ranks.node)
+        .select(
+            F.col("dst").alias("node"),
+            (F.col("rank") / F.col("__outdeg")).alias("__c"),
+        )
+        .groupBy("node")
+        .agg(F.sum("__c").alias("rank"))
     )
-    it = ce.join(F.broadcast(ranks), ce.src == ranks.node)
+    it.count()  # finalize the adaptive plan before inspecting it
     plan = _executed_plan(it)
     assert "BroadcastHashJoin" in plan
+    # the dst-partitioning planted by cooccurrence_edges(partition_by=
+    # "dst") must flow through the cache and both broadcast joins into
+    # the groupBy — an iteration never re-exchanges the edge stream.
+    # Everything above the cached edge scan must be broadcast- and
+    # shuffle-free (the only hashpartitioning exchange lives BELOW the
+    # cache, fused into the edge dedup).
+    above_cache = plan.split("InMemoryTableScan", 1)[0]
+    assert "Exchange hashpartitioning" not in above_cache
     e.unpersist()
-    ce.unpersist()
     assert out.count() > 0
