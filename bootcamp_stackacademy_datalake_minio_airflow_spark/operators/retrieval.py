@@ -1,0 +1,276 @@
+"""Retrieval / corpus-scoring operators for training-data pipelines.
+
+Extension beyond the reference (which has no text analytics at all —
+`/root/reference/scripts/silver_to_gold/ingestion_vendas_silver_to_gold.py`
+is its only query): ranked keyword retrieval (BM25), statistical
+language-model quality scoring (bigram NLL, the CCNet-style
+perplexity-filter shape), fixed-window token chunking for training
+sequences, and positional phrase search.
+
+Scale design (100 TB posture):
+- ``chunk_tokens`` and ``phrase_positions`` are MAP-ONLY — pure array
+  expressions inside whole-stage codegen, zero shuffles, zero Python.
+  At 1000 executors they scan, transform, and emit with no exchange.
+- ``bm25_topk`` and ``bigram_nll_score`` follow the classic two-level
+  shape: one token-explode aggregation over the corpus (map-side
+  partial + one shuffle on the token/bigram key), then tiny
+  corpus-statistics tables (df/idf, bigram probabilities, scalar
+  N/avgdl) broadcast back onto the per-doc rows. The model/stat side
+  is O(vocab²) at worst, orders of magnitude smaller than the corpus,
+  so the broadcast holds at scale; the corpus side is never collected.
+- All expressions are pyspark.sql.functions / SQL lambdas (JVM
+  codegen); every stage has an exact ANSI-SQL twin for the DuckDB
+  oracle (same smoothing constants, same tie-breaks, same rounding).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import normalize_text
+
+__all__ = [
+    "bm25_topk",
+    "bigram_nll_score",
+    "chunk_tokens",
+    "phrase_positions",
+]
+
+
+def _toks(text_col: str | Column) -> Column:
+    return F.split(normalize_text(text_col), " ")
+
+
+# ---------------------------------------------------------------------------
+# BM25 ranked retrieval
+# ---------------------------------------------------------------------------
+
+
+def bm25_topk(
+    docs: DataFrame,
+    terms: list[str],
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 15,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Top-``k`` documents for a bag-of-words query under BM25.
+
+    idf(t) = ln(1 + (N - df + 0.5)/(df + 0.5))  (Robertson/Sparck-Jones,
+    +1 so it is always positive); score(d) = Σ_t idf(t) · tf·(k1+1) /
+    (tf + k1·(1 - b + b·dl/avgdl)). Deterministic output: score is
+    ROUNDed to 4 before the sort and ties break on ``id_col``.
+
+    Plan: explode tokens → filter to the query terms (the filter lands
+    before the aggregation, so only query-term postings shuffle) →
+    per-(doc, term) tf; df/idf and the (N, avgdl) scalars are tiny
+    aggregates broadcast back. One real shuffle over query-term
+    postings only.
+    """
+    base = docs.select(F.col(id_col), _toks(text_col).alias("toks")).filter(
+        F.size("toks") > 0
+    )
+    dls = base.select(id_col, F.size("toks").cast("long").alias("dl"))
+    # scalar corpus stats: one row, broadcast
+    stats = dls.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    )
+    tf = (
+        base.select(F.col(id_col), F.explode("toks").alias("term"))
+        .filter(F.col("term").isin(*terms))
+        .groupBy(id_col, "term")
+        .agg(F.count("*").cast("double").alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.count("*").cast("double").alias("df"))
+    idf = df_.crossJoin(F.broadcast(stats.select("n_docs"))).select(
+        "term",
+        F.log(
+            F.lit(1.0)
+            + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+        ).alias("idf"),
+    )
+    scored = (
+        tf.join(F.broadcast(idf), "term")
+        .join(dls, id_col)
+        .crossJoin(F.broadcast(stats.select("avgdl")))
+        .withColumn(
+            "contrib",
+            F.col("idf")
+            * (F.col("tf") * (k1 + 1.0))
+            / (
+                F.col("tf")
+                + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+            ),
+        )
+        .groupBy(id_col)
+        .agg(F.round(F.sum("contrib"), 4).alias("score"))
+    )
+    return scored.orderBy(F.col("score").desc(), F.col(id_col)).limit(k)
+
+
+# ---------------------------------------------------------------------------
+# Bigram language-model quality scoring (perplexity-filter shape)
+# ---------------------------------------------------------------------------
+
+
+def bigram_nll_score(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    add_k: float = 0.5,
+) -> DataFrame:
+    """Average negative log-likelihood of each document under an
+    add-k-smoothed bigram LM trained on the SAME corpus — the standard
+    statistical quality-filter (low NLL = fluent/typical text, high =
+    outlier/garbage; cf. the CCNet perplexity filter).
+
+    P(w2|w1) = (c(w1,w2) + k) / (c(w1·) + k·V), with c(w1·) summed
+    from the bigram table (so the model is self-consistent) and V the
+    corpus-wide distinct-unigram count. Emits one row per document
+    with ≥1 bigram: (doc_id, n_bigrams, avg_nll ROUNDed to 4).
+
+    Plan: one bigram-explode aggregation trains the model (vocab² at
+    worst — tiny next to the corpus), broadcast-joined back onto the
+    per-doc bigram counts. The corpus never leaves the executors.
+    """
+    base = docs.select(F.col(id_col), _toks(text_col).alias("toks")).filter(
+        F.size("toks") >= 2
+    )
+    # per-doc bigram multiset, as "w1 w2" strings (breadth6 bigram idiom)
+    bg = base.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - 1),
+                lambda i: F.concat_ws(" ", F.slice(F.col("toks"), i, 2)),
+            )
+        ).alias("b"),
+    )
+    doc_bg = bg.groupBy(id_col, "b").agg(F.count("*").cast("double").alias("tf"))
+    bcnt = bg.groupBy("b").agg(F.count("*").cast("double").alias("c12"))
+    c1 = bcnt.select(
+        F.split("b", " ").getItem(0).alias("w1"), F.col("c12")
+    ).groupBy("w1").agg(F.sum("c12").alias("c1"))
+    vocab = (
+        docs.select(F.explode(_toks(text_col)).alias("w"))
+        .agg(F.countDistinct("w").cast("double").alias("v"))
+    )
+    probs = (
+        bcnt.withColumn("w1", F.split("b", " ").getItem(0))
+        .join(F.broadcast(c1), "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "b",
+            (-F.log(
+                (F.col("c12") + F.lit(add_k))
+                / (F.col("c1") + F.lit(add_k) * F.col("v"))
+            )).alias("nll"),
+        )
+    )
+    return (
+        doc_bg.join(F.broadcast(probs), "b")
+        .groupBy(id_col)
+        .agg(
+            F.sum("tf").cast("long").alias("n_bigrams"),
+            F.round(F.sum(F.col("tf") * F.col("nll")) / F.sum("tf"), 4).alias(
+                "avg_nll"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Fixed-window token chunking (training-sequence windows with stride)
+# ---------------------------------------------------------------------------
+
+
+def chunk_tokens(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 32,
+    stride: int = 24,
+) -> DataFrame:
+    """Split each document's token stream into overlapping fixed-size
+    training windows (window tokens every stride — the standard LM
+    pre-training chunking with window-stride overlap).
+
+    Emits (doc_id, chunk_idx, start_tok, chunk_len, first_token) for
+    every window start 0, stride, 2·stride, … < n_tokens.
+
+    MAP-ONLY: sequence() + explode inside codegen; no shuffle, no
+    Python. At 100 TB this is a pure scan→flatMap, embarrassingly
+    parallel.
+    """
+    base = docs.select(F.col(id_col), _toks(text_col).alias("toks")).filter(
+        F.size("toks") > 0
+    )
+    n = F.size("toks")
+    return (
+        base.select(
+            F.col(id_col),
+            F.col("toks"),
+            n.alias("n_tok"),
+            F.explode(
+                F.sequence(F.lit(0), n - 1, F.lit(stride))
+            ).alias("start_tok"),
+        )
+        .select(
+            id_col,
+            (F.col("start_tok") / stride).cast("long").alias("chunk_idx"),
+            F.col("start_tok").cast("long").alias("start_tok"),
+            F.least(F.lit(window), F.col("n_tok") - F.col("start_tok"))
+            .cast("long")
+            .alias("chunk_len"),
+            F.element_at("toks", F.col("start_tok") + 1).alias("first_token"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Positional phrase search
+# ---------------------------------------------------------------------------
+
+
+def phrase_positions(
+    docs: DataFrame,
+    phrase: list[str],
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """All documents containing ``phrase`` as consecutive tokens, with
+    the match count and first match position (0-based token offset).
+
+    MAP-ONLY — the positional scan is a filter(transform(...)) array
+    expression per row, no explode, no join, no shuffle; the
+    inverted-index alternative (posting-list join) only wins when many
+    queries amortize one index build, so for a single phrase the
+    scan-side evaluation is the right plan at any scale.
+    """
+    if not phrase:
+        raise ValueError("phrase must be non-empty")
+    conds = " AND ".join(
+        f"toks[i + {j}] = '{w}'" for j, w in enumerate(phrase)
+    )
+    span = len(phrase)
+    pos_expr = (
+        "filter(transform(toks, (x, i) -> "
+        f"IF(i + {span - 1} < size(toks) AND {conds}, i, -1)), p -> p >= 0)"
+    )
+    return (
+        docs.select(F.col(id_col), _toks(text_col).alias("toks"))
+        .select(F.col(id_col), F.expr(pos_expr).alias("ps"))
+        .filter(F.size("ps") > 0)
+        .select(
+            id_col,
+            F.size("ps").cast("long").alias("n_matches"),
+            F.element_at("ps", 1).cast("long").alias("first_pos"),
+        )
+    )

@@ -60,6 +60,7 @@ def _ensure_loaded() -> None:
         breadth5,
         breadth6,
         breadth7,
+        breadth8,
         extensions,
     )
 
@@ -140,7 +141,9 @@ def _ensure_loaded() -> None:
         # multimodal_wav_roundtrip, table_change_feed,
         # token_cms_heavy_hitters, events_distinct_users_hll,
         # bpe_merge_table, source_overlap_kmv, tpch_q21_shaped,
-        # bigram_pmi, events_sliding_exact, ann_batch_topk.
+        # bigram_pmi, events_sliding_exact, ann_batch_topk,
+        # bm25_search_topk, lm_bigram_nll, token_chunks,
+        # phrase_search (retrieval family, added late r4).
         "dedup_cross_doc_ngrams",
         "embedding_pq_recall",
         "event_attribution",

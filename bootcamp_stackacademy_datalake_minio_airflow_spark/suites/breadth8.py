@@ -1,0 +1,174 @@
+r"""Round-4 breadth: retrieval and LM-scoring operator family —
+BM25 ranked keyword search, bigram-LM negative-log-likelihood quality
+scoring (the CCNet-style perplexity-filter shape), fixed-window token
+chunking for training sequences, and positional phrase search.
+
+Oracle notes:
+- Scores are ROUNDed to 4 on both sides before any sort/compare so
+  double summation order cannot flip a hash; BM25's LIMIT ties break
+  on doc_id in both engines.
+- DuckDB lists are 1-based and ``t[i:j]`` slices are inclusive;
+  Spark arrays are 0-based with 1-based ``slice``/``element_at`` —
+  each oracle below mirrors the exact offset convention of its Spark
+  twin (0-based token positions in the emitted columns).
+- ``bigram_nll`` trains and scores on the same corpus with identical
+  add-k smoothing constants; the oracle scores bigram *instances*
+  (AVG of -ln p), the Spark side scores per-(doc, bigram) counts
+  weighted by tf — algebraically the same weighted mean.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F  # noqa: F401  (kept for suite parity)
+
+from ..catalog import load_table
+from ..operators.retrieval import (
+    bigram_nll_score,
+    bm25_topk,
+    chunk_tokens,
+    phrase_positions,
+)
+from ..queries import register
+
+_NORM_SQL = r"regexp_replace(lower(trim(text)), '\s+', ' ', 'g')"
+
+_BM25_TERMS = ["spark", "hash", "window", "merge"]
+_PHRASE = ["value", "table", "part"]
+
+
+@register(
+    "bm25_search_topk",
+    rf"""
+    WITH base AS (
+      SELECT doc_id, string_split({_NORM_SQL}, ' ') AS toks FROM documents
+    ), dls AS (
+      SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM base WHERE len(toks) > 0
+    ), stats AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, AVG(dl) AS avgdl FROM dls
+    ), tf AS (
+      SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf
+      FROM (SELECT doc_id, unnest(toks) AS term FROM base)
+      WHERE term IN ('spark', 'hash', 'window', 'merge')
+      GROUP BY doc_id, term
+    ), df AS (
+      SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY term
+    ), idf AS (
+      SELECT term, ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) AS idf
+      FROM df CROSS JOIN stats
+    )
+    SELECT tf.doc_id,
+           ROUND(SUM(idf.idf * (tf.tf * 2.2)
+                     / (tf.tf + 1.2 * (0.25 + 0.75 * dls.dl / stats.avgdl))),
+                 4) AS score
+    FROM tf
+    JOIN idf ON tf.term = idf.term
+    JOIN dls ON tf.doc_id = dls.doc_id
+    CROSS JOIN stats
+    GROUP BY tf.doc_id
+    ORDER BY score DESC, tf.doc_id
+    LIMIT 15
+    """,
+)
+def q_bm25_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-15 for a fixed 4-term query (operators/retrieval.py:
+    bm25_topk, k1=1.2 b=0.75). The only corpus-sized shuffle is the
+    per-(doc, term) tf aggregation over postings already filtered to
+    the query terms; df/idf and the N/avgdl scalars broadcast back.
+    Extension beyond the reference (no search of any kind there)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return bm25_topk(docs, _BM25_TERMS, k=15)
+
+
+@register(
+    "lm_bigram_nll",
+    rf"""
+    WITH base AS (
+      SELECT doc_id, string_split({_NORM_SQL}, ' ') AS toks FROM documents
+    ), bg AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, greatest(len(toks) - 1, 1) + 1),
+                                   i -> array_to_string(toks[i:i+1], ' '))) AS b
+      FROM base WHERE len(toks) >= 2
+    ), bcnt AS (
+      SELECT b, CAST(COUNT(*) AS DOUBLE) AS c12 FROM bg GROUP BY b
+    ), c1 AS (
+      SELECT string_split(b, ' ')[1] AS w1, SUM(c12) AS c1 FROM bcnt GROUP BY 1
+    ), vocab AS (
+      SELECT CAST(COUNT(DISTINCT w) AS DOUBLE) AS v
+      FROM (SELECT unnest(toks) AS w FROM base)
+    ), probs AS (
+      SELECT b, -ln((c12 + 0.5) / (c1.c1 + 0.5 * vocab.v)) AS nll
+      FROM bcnt
+      JOIN c1 ON string_split(bcnt.b, ' ')[1] = c1.w1
+      CROSS JOIN vocab
+    )
+    SELECT bg.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           ROUND(AVG(probs.nll), 4) AS avg_nll
+    FROM bg JOIN probs ON bg.b = probs.b
+    GROUP BY bg.doc_id
+    """,
+)
+def q_lm_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document average negative log-likelihood under an
+    add-0.5-smoothed bigram LM trained on the same corpus
+    (operators/retrieval.py:bigram_nll_score) — the statistical
+    quality-filter used to drop garbage/outlier text before LM
+    training. Model table is vocab-squared at worst and broadcasts;
+    the corpus side is one explode-aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    return bigram_nll_score(docs)
+
+
+@register(
+    "token_chunks",
+    rf"""
+    WITH base AS (
+      SELECT doc_id, string_split({_NORM_SQL}, ' ') AS toks FROM documents
+    )
+    SELECT doc_id,
+           CAST(s // 24 AS BIGINT) AS chunk_idx,
+           CAST(s AS BIGINT) AS start_tok,
+           CAST(least(32, len(toks) - s) AS BIGINT) AS chunk_len,
+           toks[s + 1] AS first_token
+    FROM base, LATERAL unnest(range(0, len(toks), 24)) AS u(s)
+    WHERE len(toks) > 0
+    """,
+)
+def q_token_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping fixed-window training-sequence chunking (window 32,
+    stride 24; operators/retrieval.py:chunk_tokens). Map-only plan:
+    sequence()+explode inside codegen, zero shuffles — the pre-training
+    chunking pass stays embarrassingly parallel at any scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_tokens(docs, window=32, stride=24)
+
+
+@register(
+    "phrase_search",
+    rf"""
+    WITH base AS (
+      SELECT doc_id, string_split({_NORM_SQL}, ' ') AS toks FROM documents
+    ), hits AS (
+      SELECT doc_id,
+             list_filter(list_transform(range(1, len(toks) + 1),
+                 i -> CASE WHEN i + 2 <= len(toks)
+                            AND toks[i] = 'value'
+                            AND toks[i + 1] = 'table'
+                            AND toks[i + 2] = 'part'
+                           THEN i - 1 ELSE -1 END),
+                 p -> p >= 0) AS ps
+      FROM base
+    )
+    SELECT doc_id, CAST(len(ps) AS BIGINT) AS n_matches,
+           CAST(ps[1] AS BIGINT) AS first_pos
+    FROM hits WHERE len(ps) > 0
+    """,
+)
+def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional phrase search for the 3-token phrase
+    'value table part' (operators/retrieval.py:phrase_positions).
+    Map-only array scan — no explode, no join, no shuffle; emits
+    (doc_id, n_matches, first_pos) with 0-based token offsets."""
+    docs = load_table(spark, sf_dir, "documents")
+    return phrase_positions(docs, _PHRASE)

@@ -1,0 +1,139 @@
+"""Unit tests for operators/retrieval.py: BM25 ranking, bigram-LM NLL
+scoring, token chunking, and phrase search — planted fixtures with
+hand-computed expectations, plus plan assertions for the map-only ops.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from bootcamp_stackacademy_datalake_minio_airflow_spark.operators.retrieval import (
+    bigram_nll_score,
+    bm25_topk,
+    chunk_tokens,
+    phrase_positions,
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        (1, "spark hash join spark"),
+        (2, "merge sort window"),
+        (3, "the quick brown fox"),
+        (4, "spark spark spark hash window merge"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_bm25_ranking_and_values(corpus):
+    out = {r["doc_id"]: r["score"] for r in bm25_topk(
+        corpus, ["spark", "hash"], k=10
+    ).collect()}
+    # hand-computed: N=4, dl = [4,3,4,6], avgdl = 17/4
+    n, avgdl, k1, b = 4.0, 17.0 / 4.0, 1.2, 0.75
+
+    def idf(df):
+        return math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+
+    def w(tf, dl):
+        return tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+
+    exp1 = round(idf(2) * w(2, 4) + idf(2) * w(1, 4), 4)
+    exp4 = round(idf(2) * w(3, 6) + idf(2) * w(1, 6), 4)
+    assert out == {1: exp1, 4: exp4}
+    # doc 4 has more spark occurrences but is longer; both must rank
+    # above absent docs (2, 3 contain no query term -> no row)
+    assert 2 not in out and 3 not in out
+
+
+def test_bm25_tie_break_and_limit(spark):
+    rows = [(i, "alpha beta") for i in range(1, 8)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = bm25_topk(df, ["alpha"], k=3).collect()
+    # identical docs -> identical scores -> ties break on doc_id
+    assert [r["doc_id"] for r in got] == [1, 2, 3]
+
+
+def test_bigram_nll_hand_example(spark):
+    # corpus: "a b a b" and "a b c": bigrams ab, ba, ab | ab, bc
+    df = spark.createDataFrame([(1, "a b a b"), (2, "a b c")], ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in bigram_nll_score(df).collect()}
+    v = 3.0  # vocab {a, b, c}
+    c12 = {("a", "b"): 3.0, ("b", "a"): 1.0, ("b", "c"): 1.0}
+    c1 = {"a": 3.0, "b": 2.0}
+
+    def nll(w1, w2):
+        return -math.log((c12[(w1, w2)] + 0.5) / (c1[w1] + 0.5 * v))
+
+    exp1 = round((2 * nll("a", "b") + nll("b", "a")) / 3, 4)
+    exp2 = round((nll("a", "b") + nll("b", "c")) / 2, 4)
+    assert out[1]["n_bigrams"] == 3 and out[1]["avg_nll"] == pytest.approx(exp1)
+    assert out[2]["n_bigrams"] == 2 and out[2]["avg_nll"] == pytest.approx(exp2)
+
+
+def test_bigram_nll_skips_single_token_docs(spark):
+    df = spark.createDataFrame([(1, "lonely"), (2, "a b")], ["doc_id", "text"])
+    got = bigram_nll_score(df).collect()
+    assert [r["doc_id"] for r in got] == [2]
+
+
+def test_chunk_tokens_windows(spark):
+    text = " ".join(f"t{i}" for i in range(70))
+    df = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    got = sorted(
+        chunk_tokens(df, window=32, stride=24).collect(),
+        key=lambda r: r["chunk_idx"],
+    )
+    # 70 tokens, stride 24 -> starts 0, 24, 48
+    assert [(r["chunk_idx"], r["start_tok"], r["chunk_len"], r["first_token"])
+            for r in got] == [(0, 0, 32, "t0"), (1, 24, 32, "t24"), (2, 48, 22, "t48")]
+
+
+def test_chunk_tokens_short_doc_single_chunk(spark):
+    df = spark.createDataFrame([(1, "x y z")], ["doc_id", "text"])
+    got = chunk_tokens(df, window=32, stride=24).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r["start_tok"], r["chunk_len"], r["first_token"]) == (0, 3, "x")
+
+
+def test_phrase_positions_matches_and_offsets(spark):
+    rows = [
+        (1, "x value table part y value table part"),  # matches at 1 and 5
+        (2, "value table"),                            # incomplete phrase
+        (3, "part table value"),                       # wrong order
+        (4, "value table part"),                       # match at 0
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: (r["n_matches"], r["first_pos"])
+           for r in phrase_positions(df, ["value", "table", "part"]).collect()}
+    assert out == {1: (2, 1), 4: (1, 0)}
+
+
+def test_phrase_positions_rejects_empty():
+    with pytest.raises(ValueError):
+        phrase_positions(None, [])
+
+
+def test_map_only_plans_have_no_exchange(corpus):
+    """chunk_tokens and phrase_positions must stay shuffle-free —
+    their 100 TB story is a pure scan->flatMap/filter."""
+    for df in (
+        chunk_tokens(corpus),
+        phrase_positions(corpus, ["spark", "hash"]),
+    ):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+
+
+def test_bm25_single_posting_shuffle(corpus):
+    """BM25's corpus-sized aggregation happens once, over postings
+    already filtered to the query terms: the term filter must sit
+    below the first aggregation exchange in the plan."""
+    plan = bm25_topk(corpus, ["spark"])._jdf.queryExecution().optimizedPlan().toString()
+    filter_lines = [ln for ln in plan.splitlines() if "Filter" in ln and "spark" in ln]
+    assert filter_lines, plan  # the literal term filter survives optimization
