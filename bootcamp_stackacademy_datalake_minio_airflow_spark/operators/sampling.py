@@ -152,3 +152,50 @@ def mixture_sample(
     default_thr = F.lit(_hex_threshold(min(1.0, default_rate)))
     expr = default_thr if expr is None else expr.otherwise(default_thr)
     return df.filter(_draw(F.col(key_col), salt) < expr)
+
+
+def weighted_reservoir_topn(
+    df: DataFrame,
+    weight_col: str,
+    n: int,
+    *,
+    key_col: str = "doc_id",
+    salt: str = "wrs",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement via the
+    Efraimidis–Spirakis key trick: each row draws uniform u ∈ (0, 1]
+    from md5(salt ‖ key) and is ranked by ln(u)/w — the global top-n
+    of that key IS an exact weight-proportional sample (heavier rows
+    draw systematically larger keys).
+
+    Distributed shape: the ranking is a global top-n, which Spark
+    executes as TakeOrderedAndProject — per-partition partial top-n,
+    then a single n-row merge on the driver; no full sort, no shuffle
+    of the corpus. Deterministic across runs/engines because the draw
+    is a pure function of the row key (ties break on the key).
+
+    Rows with weight <= 0 are excluded (zero-weight rows cannot be
+    sampled; ln(u)/w flips sign for negatives).
+    """
+    u_int = F.conv(_draw(F.col(key_col), salt), 16, 10).cast("long")
+    u = (u_int + F.lit(1.0)) / F.lit(float(_PREFIX_SPACE))  # (0, 1]
+    w = F.col(weight_col).cast("double")
+    key = F.log(u) / w
+    return (
+        df.filter(w > 0)
+        .select(
+            F.col(key_col),
+            w.cast("long").alias("weight"),
+            key.alias("_k"),
+        )
+        .orderBy(F.col("_k").desc(), F.col(key_col))
+        .limit(n)
+        .select(
+            key_col,
+            "weight",
+            # + 0.0 normalizes IEEE negative zero after rounding (keys
+            # are <= 0; a key in (-5e-5, 0] rounds to -0.0 vs 0.0
+            # depending on engine)
+            (F.round(F.col("_k"), 4) + F.lit(0.0)).alias("sample_key"),
+        )
+    )

@@ -187,3 +187,42 @@ def range_join(
         & (f[value_col] < r[hi_col])
     )
     return f.join(r, cond, how).drop(f["__bkt"]).drop(r["__bkt"])
+
+
+def ewma_user_scores(
+    events: DataFrame,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tau_seconds: float = 86400.0,
+) -> DataFrame:
+    """Per-user exponentially time-decayed engagement score: each
+    event contributes value · e^(-(t_ref − t)/τ) where t_ref is the
+    corpus' newest event — recent activity dominates, stale activity
+    decays smoothly (recommendation/engagement freshness signal; the
+    reference has no time-weighted analytics at all).
+
+    Plan: timestamps truncate to integer epoch seconds (so the decay
+    argument is an exact rational both here and in the SQL oracle),
+    t_ref is a 1-row aggregate broadcast back, then one partial-final
+    aggregation per user. Two tiny exchanges, no windows, no state —
+    at 100 TB this is a plain scan + map-side-combined agg.
+    """
+    t = F.unix_seconds(F.col(ts_col).cast("timestamp"))
+    ref = events.select(t.alias("__t")).agg(F.max("__t").alias("__ref"))
+    decayed = (
+        events.select(F.col(user_col), t.alias("__t"), F.col(value_col))
+        .crossJoin(F.broadcast(ref))
+        .select(
+            user_col,
+            (
+                F.col(value_col)
+                * F.exp(-(F.col("__ref") - F.col("__t")) / F.lit(tau_seconds))
+            ).alias("__c"),
+        )
+    )
+    return decayed.groupBy(user_col).agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.round(F.sum("__c"), 4).alias("ewma_score"),
+    )

@@ -295,3 +295,41 @@ def repetition_signals(
         scalars.join(top, "__id")
         .select(F.col("__id").alias(id_col), "distinct_token_ratio", "mean_token_len", "top_bigram_frac")
     )
+
+
+def length_outliers(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str = "source",
+    z_cutoff: float = 2.0,
+) -> DataFrame:
+    """Documents whose token count is a per-source statistical outlier
+    (|z| > cutoff against the source's own mean/σ) — the standard
+    length-anomaly screen in curation pipelines (truncated or
+    concatenated documents show up as per-source length outliers even
+    when globally unremarkable).
+
+    Plan: one groupBy computes per-source mean and population σ (a
+    handful of rows), broadcast back onto the corpus; the z filter is
+    then map-side. Sources with σ = 0 have no outliers by definition.
+    """
+    n = token_count(text_col)
+    base = docs.select(F.col(id_col), F.col(group_col), n.alias("n_tok"))
+    stats = base.groupBy(group_col).agg(
+        F.avg("n_tok").alias("__mu"),
+        F.stddev_pop("n_tok").alias("__sigma"),
+    )
+    return (
+        base.join(F.broadcast(stats), group_col)
+        .filter(F.col("__sigma") > 0)
+        .withColumn("z", (F.col("n_tok") - F.col("__mu")) / F.col("__sigma"))
+        .filter(F.abs("z") > z_cutoff)
+        .select(
+            id_col,
+            group_col,
+            F.col("n_tok").cast("long").alias("n_tok"),
+            F.round("z", 4).alias("z_score"),
+        )
+    )

@@ -143,7 +143,9 @@ def _ensure_loaded() -> None:
         # bpe_merge_table, source_overlap_kmv, tpch_q21_shaped,
         # bigram_pmi, events_sliding_exact, ann_batch_topk,
         # bm25_search_topk, lm_bigram_nll, token_chunks,
-        # phrase_search (retrieval family, added late r4).
+        # phrase_search (retrieval family, added late r4),
+        # sample_weighted_reservoir, events_ewma_scores,
+        # doc_length_outliers (scoring/sampling additions, late r4).
         "dedup_cross_doc_ngrams",
         "embedding_pq_recall",
         "event_attribution",

@@ -172,3 +172,92 @@ def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     (doc_id, n_matches, first_pos) with 0-based token offsets."""
     docs = load_table(spark, sf_dir, "documents")
     return phrase_positions(docs, _PHRASE)
+
+
+_TOKCOUNT_SQL = r"""CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE len(string_split(regexp_replace(lower(trim(text)),
+                                                     '\s+', ' ', 'g'), ' '))
+           END"""
+
+
+def _wrs_oracle() -> str:
+    """SQL twin of sampling.weighted_reservoir_topn on documents with
+    weight = n_chars: same md5 draw (salt 'wrs', 8 hex digits), same
+    Efraimidis-Spirakis key ln(u)/w, same top-50 with doc_id ties."""
+    from .extensions import _hex_fold
+
+    fold = _hex_fold("md5('wrs' || CAST(doc_id AS VARCHAR))")
+    return f"""
+    WITH keyed AS (
+      SELECT doc_id, CAST(n_chars AS BIGINT) AS weight,
+             ln(({fold} + 1.0) / 4294967296.0) / n_chars AS k
+      FROM documents WHERE n_chars > 0
+    )
+    SELECT doc_id, weight, ROUND(k, 4) + 0.0 AS sample_key
+    FROM keyed ORDER BY k DESC, doc_id LIMIT 50
+    """
+
+
+@register("sample_weighted_reservoir", _wrs_oracle())
+def q_sample_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis-Spirakis
+    keys; operators/sampling.py:weighted_reservoir_topn): top-50 docs
+    by ln(u)/n_chars where u is a deterministic md5 draw. Executes as
+    TakeOrderedAndProject (partial top-n per partition, single n-row
+    merge) — no full sort at any scale."""
+    from ..operators.sampling import weighted_reservoir_topn
+
+    docs = load_table(spark, sf_dir, "documents")
+    return weighted_reservoir_topn(docs, "n_chars", 50)
+
+
+@register(
+    "events_ewma_scores",
+    """
+    WITH t AS (
+      SELECT user_id, floor(epoch(ts)) AS ts_s, value FROM events
+    ), ref AS (
+      SELECT MAX(ts_s) AS r FROM t
+    )
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value * exp(-(ref.r - t.ts_s) / 86400.0)), 4) AS ewma_score
+    FROM t CROSS JOIN ref
+    GROUP BY user_id
+    """,
+)
+def q_events_ewma_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponentially time-decayed engagement
+    (operators/temporal.py:ewma_user_scores, tau = 1 day anchored at
+    the corpus' newest event). One broadcast scalar + one partial-final
+    agg; timestamps truncate to integer epoch seconds so the decay
+    argument is an exact rational in both engines."""
+    from ..operators.temporal import ewma_user_scores
+
+    ev = load_table(spark, sf_dir, "events")
+    return ewma_user_scores(ev)
+
+
+@register(
+    "doc_length_outliers",
+    rf"""
+    WITH base AS (
+      SELECT doc_id, source, {_TOKCOUNT_SQL} AS n_tok FROM documents
+    ), stats AS (
+      SELECT source, AVG(n_tok) AS mu, STDDEV_POP(n_tok) AS sigma
+      FROM base GROUP BY source
+    )
+    SELECT b.doc_id, b.source, CAST(b.n_tok AS BIGINT) AS n_tok,
+           ROUND((b.n_tok - s.mu) / s.sigma, 4) AS z_score
+    FROM base b JOIN stats s ON b.source = s.source
+    WHERE s.sigma > 0 AND abs((b.n_tok - s.mu) / s.sigma) > 2.0
+    """,
+)
+def q_doc_length_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-count outliers, |z| > 2 against the source's
+    own mean/population-sigma (operators/text.py:length_outliers) —
+    the length-anomaly screen of curation pipelines. Source stats are
+    a handful of rows broadcast back; the z filter is map-side."""
+    from ..operators.text import length_outliers
+
+    docs = load_table(spark, sf_dir, "documents")
+    return length_outliers(docs, z_cutoff=2.0)
