@@ -149,3 +149,67 @@ def pagerank(
     from .dedup import _materialize_release
 
     return _materialize_release(out, *iter_caches)
+
+
+def triangle_counts(edges: DataFrame) -> DataFrame:
+    """Per-node triangle counts over an undirected graph given as a
+    (src, dst) edge list (either or both directions; self-loops and
+    duplicates are tolerated and collapsed).
+
+    Algorithm: degree-ordered edge orientation — every undirected edge
+    points from its lower-(degree, id) endpoint to the higher one, so
+    each triangle is generated by exactly ONE wedge at its
+    lowest-ranked vertex and out-degrees are bounded by O(sqrt(|E|))
+    even on power-law graphs. That bound is the whole point at scale:
+    the naive wedge join explodes quadratically on hub nodes; the
+    oriented join provably cannot (Suri & Vassilvitskii's MR trick,
+    public knowledge). Three hash joins total — orient, wedge, close —
+    all spillable sort-merge/AQE-eligible; nothing is collected.
+
+    Returns (node, n_triangles) for every node in ≥1 triangle.
+    """
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
+        )
+        .filter(F.col("u") < F.col("v"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("u").alias("n"))
+        .unionAll(und.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count("*").alias("deg"))
+    )
+    e = (
+        und.join(deg.select(F.col("n").alias("u"), F.col("deg").alias("du")), "u")
+        .join(deg.select(F.col("n").alias("v"), F.col("deg").alias("dv")), "v")
+    )
+    u_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = e.select(
+        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("s"),
+        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("t"),
+        F.when(u_first, F.col("dv")).otherwise(F.col("du")).alias("dt"),
+    )
+    o1 = oriented.select(F.col("s"), F.col("t").alias("t1"), F.col("dt").alias("d1"))
+    o2 = oriented.select(F.col("s"), F.col("t").alias("t2"), F.col("dt").alias("d2"))
+    t1_first = (F.col("d1") < F.col("d2")) | (
+        (F.col("d1") == F.col("d2")) & (F.col("t1") < F.col("t2"))
+    )
+    wedges = (
+        o1.join(o2, "s")
+        .filter(F.col("t1") != F.col("t2"))
+        .filter(t1_first)  # each unordered wedge once, rank-ordered
+        .select(F.col("s").alias("apex"), F.col("t1").alias("lo"), F.col("t2").alias("hi"))
+    )
+    closing = oriented.select(F.col("s").alias("lo"), F.col("t").alias("hi"))
+    tris = wedges.join(closing, ["lo", "hi"])
+    return (
+        tris.select(F.col("apex").alias("node"))
+        .unionAll(tris.select(F.col("lo").alias("node")))
+        .unionAll(tris.select(F.col("hi").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("long").alias("n_triangles"))
+    )

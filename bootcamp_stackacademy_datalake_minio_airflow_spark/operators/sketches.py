@@ -205,3 +205,55 @@ def kmv_pair_jaccard(
         F.col("gb").alias(f"{group_col}_b"),
         F.round(in_both / F.size(union_k), 4).alias("kmv_jaccard"),
     )
+
+
+def sampled_quantiles(
+    df: DataFrame,
+    value_col: str,
+    key_col: str,
+    *,
+    fraction: float = 0.1,
+    quantiles: tuple[float, ...] = (0.5, 0.9, 0.99),
+    salt: str = "quant",
+) -> DataFrame:
+    """Quantile estimation from a deterministic hash sample, with the
+    exact quantile and relative error alongside — the mergeable
+    cheap-quantiles primitive (any engine with md5 reproduces the
+    sample, so estimates are auditable, unlike rng-based sampling).
+
+    At 100 TB the exact side is the expensive one (a full sort-based
+    percentile per group); the sampled side reads ``fraction`` of the
+    rows. Emitting both here is deliberate: the registered query IS
+    the accuracy experiment, and the oracle hash-checks estimate,
+    truth, and error together.
+
+    Returns one row per quantile: (q, est, exact, rel_err).
+    """
+    from .sampling import hash_sample
+
+    sample = hash_sample(df, key_col, fraction, salt=salt)
+    est = sample.agg(
+        *[
+            F.percentile(value_col, F.lit(q)).alias(f"__e{i}")
+            for i, q in enumerate(quantiles)
+        ]
+    )
+    exact = df.agg(
+        *[
+            F.percentile(value_col, F.lit(q)).alias(f"__x{i}")
+            for i, q in enumerate(quantiles)
+        ]
+    )
+    rows = None
+    both = est.crossJoin(exact)
+    for i, q in enumerate(quantiles):
+        r = both.select(
+            F.lit(q).cast("double").alias("q"),
+            F.round(F.col(f"__e{i}"), 2).alias("est"),
+            F.round(F.col(f"__x{i}"), 2).alias("exact"),
+            F.round(
+                F.abs(F.col(f"__e{i}") - F.col(f"__x{i}")) / F.col(f"__x{i}"), 4
+            ).alias("rel_err"),
+        )
+        rows = r if rows is None else rows.unionAll(r)
+    return rows

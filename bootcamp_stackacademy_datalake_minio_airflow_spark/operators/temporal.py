@@ -226,3 +226,53 @@ def ewma_user_scores(
         F.count("*").cast("long").alias("n_events"),
         F.round(F.sum("__c"), 4).alias("ewma_score"),
     )
+
+
+def rate_anomalies(
+    events: DataFrame,
+    *,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    lookback: int = 24,
+    z_cutoff: float = 2.5,
+) -> DataFrame:
+    """Event-rate spike detection: hourly event counts per type, each
+    hour compared against the trailing ``lookback`` hours' mean/σ of
+    ITS OWN type; hours with z > cutoff (and a full trailing window)
+    are anomalies. The batch twin of a streaming rate monitor.
+
+    Plan: one aggregation to hourly counts (the corpus collapses to
+    |types|·|hours| rows — tiny), then a window over each type's
+    ordered hours. The expensive part is the first aggregation, which
+    is map-side combined; the window runs on the collapsed series.
+    σ uses the population form over a COMPLETE window only (count =
+    lookback), so partial leading windows never alarm.
+    """
+    from pyspark.sql import Window
+
+    hourly = (
+        events.select(
+            F.col(type_col), F.date_trunc("hour", F.col(ts_col)).alias("hour_ts")
+        )
+        .groupBy(type_col, "hour_ts")
+        .agg(F.count("*").cast("long").alias("n_events"))
+    )
+    w = (
+        Window.partitionBy(type_col)
+        .orderBy("hour_ts")
+        .rowsBetween(-lookback, -1)
+    )
+    return (
+        hourly.withColumn("__mu", F.avg("n_events").over(w))
+        .withColumn("__sigma", F.stddev_pop("n_events").over(w))
+        .withColumn("__cnt", F.count("n_events").over(w))
+        .filter((F.col("__cnt") == lookback) & (F.col("__sigma") > 0))
+        .withColumn("z", (F.col("n_events") - F.col("__mu")) / F.col("__sigma"))
+        .filter(F.col("z") > z_cutoff)
+        .select(
+            type_col,
+            "hour_ts",
+            "n_events",
+            F.round("z", 4).alias("z_score"),
+        )
+    )

@@ -145,7 +145,9 @@ def _ensure_loaded() -> None:
         # bm25_search_topk, lm_bigram_nll, token_chunks,
         # phrase_search (retrieval family, added late r4),
         # sample_weighted_reservoir, events_ewma_scores,
-        # doc_length_outliers (scoring/sampling additions, late r4).
+        # doc_length_outliers (scoring/sampling additions, late r4),
+        # graph_triangle_counts, events_rate_anomaly,
+        # orders_sampled_quantiles (graph/anomaly/sketch, late r4).
         "dedup_cross_doc_ngrams",
         "embedding_pq_recall",
         "event_attribution",

@@ -261,3 +261,116 @@ def q_doc_length_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return length_outliers(docs, z_cutoff=2.0)
+
+
+@register(
+    "graph_triangle_counts",
+    """
+    WITH und AS (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM lineitem a
+      JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+                     AND a.l_partkey < b.l_partkey
+    ), tri AS (
+      SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      FROM und e1
+      JOIN und e2 ON e2.u = e1.v
+      JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v
+    )
+    SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles
+    FROM (
+      SELECT a AS node FROM tri
+      UNION ALL SELECT b FROM tri
+      UNION ALL SELECT c FROM tri
+    )
+    GROUP BY node
+    """,
+)
+def q_graph_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts on the part co-purchase graph
+    (operators/graph.py:triangle_counts, degree-ordered orientation so
+    wedge generation is bounded O(sqrt(E)) per node — hub-safe at
+    scale). The oracle counts the same triangles declaratively via the
+    a<b<c triple join; per-node participation must match exactly."""
+    from ..operators.graph import cooccurrence_edges, triangle_counts
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return triangle_counts(cooccurrence_edges(li, "l_orderkey", "l_partkey"))
+
+
+@register(
+    "events_rate_anomaly",
+    """
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS hour_ts,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM events GROUP BY 1, 2
+    ), win AS (
+      SELECT event_type, hour_ts, n_events,
+             AVG(n_events) OVER w AS mu,
+             STDDEV_POP(n_events) OVER w AS sigma,
+             COUNT(n_events) OVER w AS cnt
+      FROM hourly
+      WINDOW w AS (PARTITION BY event_type ORDER BY hour_ts
+                   ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_type, hour_ts, n_events,
+           ROUND((n_events - mu) / sigma, 4) AS z_score
+    FROM win
+    WHERE cnt = 24 AND sigma > 0 AND (n_events - mu) / sigma > 2.5
+    """,
+)
+def q_events_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly event-rate spike detection per type: trailing-24h
+    mean/sigma window, alarm at z > 2.5 with a full window only
+    (operators/temporal.py:rate_anomalies) — the batch twin of a
+    streaming rate monitor. The corpus collapses to |types|*|hours|
+    rows before the window, so the window cost is negligible."""
+    from ..operators.temporal import rate_anomalies
+
+    ev = load_table(spark, sf_dir, "events")
+    return rate_anomalies(ev, lookback=24, z_cutoff=2.5)
+
+
+def _quantile_oracle() -> str:
+    from ..operators.sampling import _hex_threshold
+
+    thr = _hex_threshold(0.1)
+    qs = "\n    UNION ALL\n".join(
+        f"""
+    SELECT CAST({q} AS DOUBLE) AS q, ROUND(e.e{i}, 2) AS est,
+           ROUND(x.x{i}, 2) AS exact,
+           ROUND(abs(e.e{i} - x.x{i}) / x.x{i}, 4) AS rel_err
+    FROM e CROSS JOIN x"""
+        for i, q in enumerate((0.5, 0.9, 0.99))
+    )
+    return f"""
+    WITH samp AS (
+      SELECT o_totalprice FROM orders
+      WHERE substr(md5('quant' || CAST(o_orderkey AS VARCHAR)), 1, 8) < '{thr}'
+    ), e AS (
+      SELECT quantile_cont(o_totalprice, 0.5) AS e0,
+             quantile_cont(o_totalprice, 0.9) AS e1,
+             quantile_cont(o_totalprice, 0.99) AS e2
+      FROM samp
+    ), x AS (
+      SELECT quantile_cont(o_totalprice, 0.5) AS x0,
+             quantile_cont(o_totalprice, 0.9) AS x1,
+             quantile_cont(o_totalprice, 0.99) AS x2
+      FROM orders
+    )
+    {qs}
+    """
+
+
+@register("orders_sampled_quantiles", _quantile_oracle())
+def q_orders_sampled_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantiles of o_totalprice from a deterministic 10% hash sample
+    vs the exact values, with relative error
+    (operators/sketches.py:sampled_quantiles). The registered query IS
+    the accuracy experiment: estimate, truth, and error all hash-gate
+    together, and the md5 draw makes the sample itself replayable."""
+    from ..operators.sketches import sampled_quantiles
+
+    orders = load_table(spark, sf_dir, "orders")
+    return sampled_quantiles(orders, "o_totalprice", "o_orderkey", fraction=0.1)
