@@ -207,28 +207,34 @@ def chunk_tokens(
     MAP-ONLY: sequence() + explode inside codegen; no shuffle, no
     Python. At 100 TB this is a pure scan→flatMap, embarrassingly
     parallel.
+
+    The tokenization is bound ONCE per row via the single-element-array
+    lambda trick (``transform(array(toks), tk -> ...)``): projection
+    collapse otherwise inlines the regex+split into every reference,
+    re-tokenizing the document per chunk (the pitfall documented at
+    dedup._shingles_of — here solved without an exchange, keeping the
+    plan map-only).
     """
-    base = docs.select(F.col(id_col), _toks(text_col).alias("toks")).filter(
-        F.size("toks") > 0
-    )
-    n = F.size("toks")
-    return (
-        base.select(
-            F.col(id_col),
-            F.col("toks"),
-            n.alias("n_tok"),
-            F.explode(
-                F.sequence(F.lit(0), n - 1, F.lit(stride))
-            ).alias("start_tok"),
+
+    def per_doc(tk: Column) -> Column:
+        return F.transform(
+            F.sequence(F.lit(0), F.size(tk) - 1, F.lit(stride)),
+            lambda s: F.struct(
+                s.alias("start"),
+                F.least(F.lit(window), F.size(tk) - s).alias("len"),
+                F.get(tk, s).alias("first"),
+            ),
         )
+
+    chunks = F.get(F.transform(F.array(_toks(text_col)), per_doc), 0)
+    return (
+        docs.select(F.col(id_col), F.explode(chunks).alias("c"))
         .select(
             id_col,
-            (F.col("start_tok") / stride).cast("long").alias("chunk_idx"),
-            F.col("start_tok").cast("long").alias("start_tok"),
-            F.least(F.lit(window), F.col("n_tok") - F.col("start_tok"))
-            .cast("long")
-            .alias("chunk_len"),
-            F.element_at("toks", F.col("start_tok") + 1).alias("first_token"),
+            (F.col("c.start") / stride).cast("long").alias("chunk_idx"),
+            F.col("c.start").cast("long").alias("start_tok"),
+            F.col("c.len").cast("long").alias("chunk_len"),
+            F.col("c.first").alias("first_token"),
         )
     )
 
@@ -253,20 +259,28 @@ def phrase_positions(
     inverted-index alternative (posting-list join) only wins when many
     queries amortize one index build, so for a single phrase the
     scan-side evaluation is the right plan at any scale.
+
+    The token array is bound ONCE per row with the
+    single-element-array lambda trick (see chunk_tokens): without it,
+    projection collapse re-tokenizes the document for every element
+    lookup in the scan — measured 20x slower at sf0.1.
     """
     if not phrase:
         raise ValueError("phrase must be non-empty")
-    conds = " AND ".join(
-        f"toks[i + {j}] = '{w}'" for j, w in enumerate(phrase)
-    )
     span = len(phrase)
-    pos_expr = (
-        "filter(transform(toks, (x, i) -> "
-        f"IF(i + {span - 1} < size(toks) AND {conds}, i, -1)), p -> p >= 0)"
-    )
+
+    def scan(tk: Column) -> Column:
+        def probe(_x: Column, i: Column) -> Column:
+            cond = (i + span - 1) < F.size(tk)
+            for j, w in enumerate(phrase):
+                cond = cond & (F.get(tk, i + j) == F.lit(w))
+            return F.when(cond, i).otherwise(F.lit(-1))
+
+        return F.filter(F.transform(tk, probe), lambda p: p >= 0)
+
+    ps = F.get(F.transform(F.array(_toks(text_col)), scan), 0)
     return (
-        docs.select(F.col(id_col), _toks(text_col).alias("toks"))
-        .select(F.col(id_col), F.expr(pos_expr).alias("ps"))
+        docs.select(F.col(id_col), ps.alias("ps"))
         .filter(F.size("ps") > 0)
         .select(
             id_col,

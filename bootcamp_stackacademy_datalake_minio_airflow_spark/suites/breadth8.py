@@ -295,7 +295,9 @@ def q_graph_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.graph import cooccurrence_edges, triangle_counts
 
     li = load_table(spark, sf_dir, "lineitem")
-    return triangle_counts(cooccurrence_edges(li, "l_orderkey", "l_partkey"))
+    return triangle_counts(
+        cooccurrence_edges(li, "l_orderkey", "l_partkey", dedup=False)
+    )
 
 
 @register(
