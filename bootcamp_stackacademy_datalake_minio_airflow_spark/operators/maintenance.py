@@ -113,3 +113,36 @@ def write_bucketed(
     if sort_by:
         writer = writer.sortBy(sort_by)
     writer.saveAsTable(table)
+
+
+def salted_distinct_count(
+    df: DataFrame,
+    key: str,
+    value_col: str,
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """COUNT(DISTINCT value) per key, skew-safely: the classic two-phase
+    salt pattern for the one aggregation partial aggregation can NOT
+    fix. A plain ``groupBy(key).agg(countDistinct(v))`` must co-locate
+    every distinct value of a hot key on one reducer (distinct is not
+    algebraic); salting by ``hash(value) % buckets`` splits each key's
+    VALUE SPACE into disjoint shards — per-shard distinct counts are
+    then plain longs that sum exactly.
+
+    Phase 1 shuffles on (key, salt) — a hot key spreads over
+    ``salt_buckets`` reducers; phase 2 shuffles ``keys x buckets`` tiny
+    rows. Exact, not approximate (the shards partition the values), and
+    salt derives from the value itself, so the result is independent of
+    input partitioning.
+    """
+    salted = df.select(
+        F.col(key),
+        F.col(value_col),
+        F.pmod(F.xxhash64(F.col(value_col)), F.lit(salt_buckets)).alias("__salt"),
+    )
+    per_shard = salted.groupBy(key, "__salt").agg(
+        F.count_distinct(F.col(value_col)).alias("__d")
+    )
+    return per_shard.groupBy(key).agg(
+        F.sum("__d").cast("long").alias("n_distinct")
+    )

@@ -147,7 +147,9 @@ def _ensure_loaded() -> None:
         # sample_weighted_reservoir, events_ewma_scores,
         # doc_length_outliers (scoring/sampling additions, late r4),
         # graph_triangle_counts, events_rate_anomaly,
-        # orders_sampled_quantiles (graph/anomaly/sketch, late r4).
+        # orders_sampled_quantiles (graph/anomaly/sketch, late r4),
+        # events_salted_distinct_users, unpivot_roundtrip,
+        # orders_ntile_quartiles (skew/reshape breadth, late r4).
         "dedup_cross_doc_ngrams",
         "embedding_pq_recall",
         "event_attribution",

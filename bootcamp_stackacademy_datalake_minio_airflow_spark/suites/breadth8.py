@@ -376,3 +376,92 @@ def q_orders_sampled_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     orders = load_table(spark, sf_dir, "orders")
     return sampled_quantiles(orders, "o_totalprice", "o_orderkey", fraction=0.1)
+
+
+@register(
+    "unpivot_roundtrip",
+    """
+    SELECT l_orderkey AS order_id, l_returnflag AS flag,
+           ROUND(SUM(l_extendedprice), 2) AS total
+    FROM lineitem GROUP BY l_orderkey, l_returnflag
+    """,
+)
+def q_unpivot_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide-to-long inverse of the reference's pivot (A1): pivot
+    lineitem by returnflag, then unpivot back and drop the NULL holes
+    — proving unpivot(pivot(x)) == the plain grouped aggregate the
+    oracle computes directly. DataFrame.unpivot is a zero-shuffle
+    map-side expansion over the pivoted rows."""
+    from ..operators.pivot import pivot_sum
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("order_id"),
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_extendedprice").alias("v"),
+    )
+    wide = pivot_sum(li, "order_id", "flag", "v", values=["A", "N", "R"], round_to=2)
+    return (
+        wide.unpivot("order_id", ["A", "N", "R"], "flag", "total")
+        .filter(F.col("total").isNotNull())
+    )
+
+
+@register(
+    "orders_ntile_quartiles",
+    """
+    WITH q AS (
+      SELECT o_orderpriority,
+             NTILE(4) OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice, o_orderkey) AS quartile,
+             o_totalprice
+      FROM orders
+    )
+    SELECT o_orderpriority, quartile,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(MIN(o_totalprice), 2) AS lo,
+           ROUND(MAX(o_totalprice), 2) AS hi
+    FROM q GROUP BY o_orderpriority, quartile
+    """,
+)
+def q_orders_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth quartile buckets of order value within each
+    priority (NTILE window, tie-broken deterministically by order
+    key) aggregated to per-bucket count and bounds — the binning
+    primitive for histogram/percentile reporting."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return (
+        orders.select(
+            "o_orderpriority",
+            F.ntile(4).over(w).alias("quartile"),
+            "o_totalprice",
+        )
+        .groupBy("o_orderpriority", "quartile")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+        )
+    )
+
+
+@register(
+    "events_salted_distinct_users",
+    """
+    SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_distinct
+    FROM events GROUP BY event_type
+    """,
+)
+def q_events_salted_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per event type via the two-phase salt pattern
+    (operators/maintenance.py:salted_distinct_count): a handful of hot
+    event types would otherwise funnel every distinct user through one
+    reducer each. The oracle is the PLAIN count-distinct — proving the
+    salted plan is semantically transparent is the point of the
+    check."""
+    from ..operators.maintenance import salted_distinct_count
+
+    ev = load_table(spark, sf_dir, "events")
+    return salted_distinct_count(ev, "event_type", "user_id", salt_buckets=16)

@@ -1,0 +1,46 @@
+"""Unit tests for the salted distinct-count pattern and the
+pivot/unpivot round-trip."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bootcamp_stackacademy_datalake_minio_airflow_spark.operators.maintenance import (
+    salted_distinct_count,
+)
+from bootcamp_stackacademy_datalake_minio_airflow_spark.operators.pivot import pivot_sum
+
+
+def test_salted_distinct_count_matches_plain(spark):
+    # hot key 'a' with many repeated values; 'b' small
+    rows = [("a", i % 37) for i in range(500)] + [("b", i) for i in range(5)]
+    df = spark.createDataFrame(rows, ["k", "v"])
+    got = {r["k"]: r["n_distinct"] for r in
+           salted_distinct_count(df, "k", "v", salt_buckets=8).collect()}
+    exp = {r["k"]: r["n"] for r in
+           df.groupBy("k").agg(F.count_distinct("v").alias("n")).collect()}
+    assert got == exp == {"a": 37, "b": 5}
+
+
+def test_salted_distinct_count_independent_of_buckets(spark):
+    rows = [("k", f"u{i % 13}") for i in range(100)]
+    df = spark.createDataFrame(rows, ["k", "v"])
+    for b in (1, 4, 32):
+        got = salted_distinct_count(df, "k", "v", salt_buckets=b).collect()
+        assert got[0]["n_distinct"] == 13
+
+
+def test_unpivot_inverts_pivot(spark):
+    rows = [
+        (1, "x", 10.0), (1, "x", 5.0), (1, "y", 2.0),
+        (2, "y", 7.0),
+    ]
+    df = spark.createDataFrame(rows, ["id", "t", "v"])
+    wide = pivot_sum(df, "id", "t", "v", values=["x", "y"], round_to=2)
+    long = (
+        wide.unpivot("id", ["x", "y"], "t", "total")
+        .filter(F.col("total").isNotNull())
+    )
+    got = {(r["id"], r["t"]): r["total"] for r in long.collect()}
+    # (2, 'x') never existed -> the pivot hole must NOT reappear
+    assert got == {(1, "x"): 15.0, (1, "y"): 2.0, (2, "y"): 7.0}
