@@ -244,16 +244,25 @@ def sampled_quantiles(
             for i, q in enumerate(quantiles)
         ]
     )
-    rows = None
+    # one explode, not a per-quantile unionAll: unioning N selects of
+    # the crossJoin would recompute BOTH percentile aggregations N
+    # times (each union branch re-reads the corpus)
     both = est.crossJoin(exact)
-    for i, q in enumerate(quantiles):
-        r = both.select(
-            F.lit(q).cast("double").alias("q"),
-            F.round(F.col(f"__e{i}"), 2).alias("est"),
-            F.round(F.col(f"__x{i}"), 2).alias("exact"),
-            F.round(
-                F.abs(F.col(f"__e{i}") - F.col(f"__x{i}")) / F.col(f"__x{i}"), 4
-            ).alias("rel_err"),
-        )
-        rows = r if rows is None else rows.unionAll(r)
-    return rows
+    packed = F.array(
+        *[
+            F.struct(
+                F.lit(q).cast("double").alias("q"),
+                F.col(f"__e{i}").alias("e"),
+                F.col(f"__x{i}").alias("x"),
+            )
+            for i, q in enumerate(quantiles)
+        ]
+    )
+    return both.select(F.explode(packed).alias("r")).select(
+        F.col("r.q").alias("q"),
+        F.round(F.col("r.e"), 2).alias("est"),
+        F.round(F.col("r.x"), 2).alias("exact"),
+        F.round(F.abs(F.col("r.e") - F.col("r.x")) / F.col("r.x"), 4).alias(
+            "rel_err"
+        ),
+    )
