@@ -214,7 +214,16 @@ def chunk_tokens(
     re-tokenizing the document per chunk (the pitfall documented at
     dedup._shingles_of — here solved without an exchange, keeping the
     plan map-only).
+
+    Requires ``stride <= window``: a larger stride would silently skip
+    the tokens between window and stride ends (found by the coverage
+    property test) — every token must land in at least one chunk.
     """
+    if stride > window or stride <= 0:
+        raise ValueError(
+            f"stride ({stride}) must be in [1, window ({window})]: larger "
+            "strides leave tokens uncovered"
+        )
 
     def per_doc(tk: Column) -> Column:
         return F.transform(
