@@ -465,3 +465,95 @@ def q_events_salted_distinct_users(spark: SparkSession, sf_dir: str) -> DataFram
 
     ev = load_table(spark, sf_dir, "events")
     return salted_distinct_count(ev, "event_type", "user_id", salt_buckets=16)
+
+
+@register(
+    "curation_chunks_v2",
+    rf"""
+    WITH base AS (
+      SELECT doc_id, string_split({_NORM_SQL}, ' ') AS toks FROM documents
+    ), bg AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, greatest(len(toks) - 1, 1) + 1),
+                                   i -> array_to_string(toks[i:i+1], ' '))) AS b
+      FROM base WHERE len(toks) >= 2
+    ), bcnt AS (
+      SELECT b, CAST(COUNT(*) AS DOUBLE) AS c12 FROM bg GROUP BY b
+    ), c1 AS (
+      SELECT string_split(b, ' ')[1] AS w1, SUM(c12) AS c1 FROM bcnt GROUP BY 1
+    ), vocab AS (
+      SELECT CAST(COUNT(DISTINCT w) AS DOUBLE) AS v
+      FROM (SELECT unnest(toks) AS w FROM base)
+    ), probs AS (
+      SELECT b, -ln((c12 + 0.5) / (c1.c1 + 0.5 * vocab.v)) AS nll
+      FROM bcnt
+      JOIN c1 ON string_split(bcnt.b, ' ')[1] = c1.w1
+      CROSS JOIN vocab
+    ), scores AS (
+      SELECT bg.doc_id, ROUND(AVG(probs.nll), 4) AS avg_nll
+      FROM bg JOIN probs ON bg.b = probs.b GROUP BY bg.doc_id
+    ), cut AS (
+      SELECT ROUND(quantile_cont(avg_nll, 0.75), 4) AS c FROM scores
+    ), tokstats AS (
+      SELECT doc_id, source, {_TOKCOUNT_SQL} AS n_tok FROM documents
+    ), srcstats AS (
+      SELECT source, AVG(n_tok) AS mu, STDDEV_POP(n_tok) AS sigma
+      FROM tokstats GROUP BY source
+    ), outliers AS (
+      SELECT t.doc_id FROM tokstats t JOIN srcstats s ON t.source = s.source
+      WHERE s.sigma > 0 AND abs((t.n_tok - s.mu) / s.sigma) > 2.0
+    ), kept AS (
+      SELECT d.doc_id, d.text FROM documents d
+      JOIN scores sc ON d.doc_id = sc.doc_id
+      CROSS JOIN cut
+      WHERE sc.avg_nll <= cut.c
+        AND d.doc_id NOT IN (SELECT doc_id FROM outliers)
+    ), deduped AS (
+      SELECT doc_id, text FROM (
+        SELECT doc_id, text,
+               ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+        FROM kept
+      ) WHERE rn = 1
+    ), dtoks AS (
+      SELECT doc_id, string_split(regexp_replace(lower(trim(text)),
+                                                 '\s+', ' ', 'g'), ' ') AS toks
+      FROM deduped
+    )
+    SELECT doc_id,
+           CAST(s // 24 AS BIGINT) AS chunk_idx,
+           CAST(s AS BIGINT) AS start_tok,
+           CAST(least(32, len(toks) - s) AS BIGINT) AS chunk_len,
+           toks[s + 1] AS first_token
+    FROM dtoks, LATERAL unnest(range(0, len(toks), 24)) AS u(s)
+    """,
+)
+def q_curation_chunks_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation v2, composing this round's operators into
+    the standard pre-training data path: bigram-LM perplexity filter
+    (keep docs at or below the corpus' p75 NLL), per-source length
+    outlier screen, exact dedup (deterministic victim), then
+    stride-window chunking into training sequences. Every stage reuses
+    an operator whose oracle is independently proven; this query
+    hash-gates their COMPOSITION (filter interactions, join
+    semantics, survivor sets)."""
+    from ..operators.dedup import dedup_exact
+    from ..operators.text import length_outliers
+
+    docs = load_table(spark, sf_dir, "documents")
+    scores = bigram_nll_score(docs)
+    cutoff = scores.agg(
+        F.round(F.percentile("avg_nll", F.lit(0.75)), 4).alias("__cut")
+    )
+    keep_ids = (
+        scores.crossJoin(F.broadcast(cutoff))
+        .filter(F.col("avg_nll") <= F.col("__cut"))
+        .select("doc_id")
+    )
+    outlier_ids = length_outliers(docs, z_cutoff=2.0).select("doc_id")
+    kept = (
+        docs.join(keep_ids, "doc_id", "left_semi")
+        .join(outlier_ids, "doc_id", "left_anti")
+        .select("doc_id", "text")
+    )
+    deduped = dedup_exact(kept, ["text"], "doc_id")
+    return chunk_tokens(deduped, window=32, stride=24)

@@ -44,3 +44,22 @@ def test_unpivot_inverts_pivot(spark):
     got = {(r["id"], r["t"]): r["total"] for r in long.collect()}
     # (2, 'x') never existed -> the pivot hole must NOT reappear
     assert got == {(1, "x"): 15.0, (1, "y"): 2.0, (2, "y"): 7.0}
+
+
+def test_curation_v2_composition(spark, sf_dir):
+    """The composed curation query only emits chunks for documents
+    that survive every stage (smoke on real testdata: survivors <=
+    corpus, chunks reference surviving docs only)."""
+    from bootcamp_stackacademy_datalake_minio_airflow_spark.suites.breadth8 import (
+        q_curation_chunks_v2,
+    )
+    from bootcamp_stackacademy_datalake_minio_airflow_spark.catalog import load_table
+
+    chunks = q_curation_chunks_v2(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    surviving = chunks.select("doc_id").distinct().count()
+    assert 0 < surviving < n_docs  # p75 cutoff must drop ~25% of scored docs
+    # chunk doc_ids are a subset of the corpus
+    orphan = chunks.join(docs.select("doc_id"), "doc_id", "left_anti").count()
+    assert orphan == 0
