@@ -8,7 +8,7 @@ gate (same regexes, same wordlists, same tie-breaks).
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, Window
 from pyspark.sql import functions as F
 
 from .dedup import normalize_text
@@ -333,3 +333,51 @@ def length_outliers(
             F.round("z", 4).alias("z_score"),
         )
     )
+
+
+def char_stats(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Character-level quality signals per document: Shannon entropy
+    of the character distribution (low = repetitive/degenerate text,
+    high = random noise — both standard drop signals in pre-training
+    curation), plus digit and whitespace ratios.
+
+    Plan: one explode to characters, per-(doc, char) counts, and a
+    window total per doc (partition-local after the count shuffle, no
+    join); the ratios are map-side regex counts. Two exchanges total,
+    both map-side combined.
+    """
+    chars = docs.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), "")).alias("ch")
+    ).filter(F.col("ch") != "")
+    hist = chars.groupBy(id_col, "ch").agg(F.count("*").alias("__c"))
+    w = Window.partitionBy(id_col)
+    p = F.col("__c") / F.sum("__c").over(w)
+    ent = (
+        hist.withColumn("__term", -p * F.log(p))
+        .groupBy(id_col)
+        .agg(F.round(F.sum("__term"), 4).alias("char_entropy"))
+    )
+    n = F.length(F.col(text_col)).cast("double")
+    ratios = docs.select(
+        F.col(id_col),
+        F.when(
+            n > 0,
+            F.round(
+                (n - F.length(F.regexp_replace(F.col(text_col), "[0-9]", ""))) / n,
+                4,
+            ),
+        ).alias("digit_ratio"),
+        F.when(
+            n > 0,
+            F.round(
+                (n - F.length(F.regexp_replace(F.col(text_col), r"\s", ""))) / n,
+                4,
+            ),
+        ).alias("space_ratio"),
+    )
+    return ratios.join(ent, id_col, "left")

@@ -557,3 +557,43 @@ def q_curation_chunks_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     deduped = dedup_exact(kept, ["text"], "doc_id")
     return chunk_tokens(deduped, window=32, stride=24)
+
+
+@register(
+    "doc_char_entropy",
+    r"""
+    WITH chars AS (
+      SELECT doc_id, substr(text, CAST(i AS INTEGER), 1) AS ch
+      FROM documents, LATERAL unnest(range(1, length(text) + 1)) AS u(i)
+    ), hist AS (
+      SELECT doc_id, ch, COUNT(*) AS c FROM chars GROUP BY doc_id, ch
+    ), tot AS (
+      SELECT doc_id, SUM(c) AS n FROM hist GROUP BY doc_id
+    ), ent AS (
+      SELECT h.doc_id,
+             ROUND(SUM(-(h.c * 1.0 / t.n) * ln(h.c * 1.0 / t.n)), 4) AS char_entropy
+      FROM hist h JOIN tot t ON h.doc_id = t.doc_id
+      GROUP BY h.doc_id
+    )
+    SELECT d.doc_id,
+           CASE WHEN length(d.text) > 0 THEN
+             ROUND((length(d.text) -
+                    length(regexp_replace(d.text, '[0-9]', '', 'g')))
+                   * 1.0 / length(d.text), 4) END AS digit_ratio,
+           CASE WHEN length(d.text) > 0 THEN
+             ROUND((length(d.text) -
+                    length(regexp_replace(d.text, '\s', '', 'g')))
+                   * 1.0 / length(d.text), 4) END AS space_ratio,
+           ent.char_entropy
+    FROM documents d LEFT JOIN ent ON d.doc_id = ent.doc_id
+    """,
+)
+def q_doc_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level quality signals (operators/text.py:char_stats):
+    Shannon entropy of each document's character distribution plus
+    digit/whitespace ratios — the degenerate-text drop signals of
+    curation pipelines. One explode + windowed total, map-side ratios."""
+    from ..operators.text import char_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    return char_stats(docs)

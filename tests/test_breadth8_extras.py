@@ -63,3 +63,33 @@ def test_curation_v2_composition(spark, sf_dir):
     # chunk doc_ids are a subset of the corpus
     orphan = chunks.join(docs.select("doc_id"), "doc_id", "left_anti").count()
     assert orphan == 0
+
+
+def test_char_stats_hand_computed(spark):
+    import math
+
+    df = spark.createDataFrame([(1, "aab1 "), (2, "")], ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in __import__(
+        "bootcamp_stackacademy_datalake_minio_airflow_spark.operators.text", fromlist=["char_stats"]
+    ).char_stats(df).collect()}
+    # "aab1 ": a:2 b:1 1:1 ' ':1, n=5
+    ps = [2 / 5, 1 / 5, 1 / 5, 1 / 5]
+    exp = round(-sum(p * math.log(p) for p in ps), 4)
+    assert out[1]["char_entropy"] == exp
+    assert out[1]["digit_ratio"] == 0.2 and out[1]["space_ratio"] == 0.2
+    # empty text: no chars -> NULL entropy and NULL ratios
+    assert out[2]["char_entropy"] is None and out[2]["digit_ratio"] is None
+
+
+def test_no_rowwise_python_udfs_in_plans():
+    """Anti-pattern regression pin: no registered query may compile to
+    a row-at-a-time Python UDF (BatchEvalPython). Arrow-batched
+    MapInPandas/ArrowEvalPython nodes are the sanctioned slow path
+    (multimodal decode, packing) and are allowed. Scans the PLANS.md
+    artifact, which tools/explain_all.py regenerates per round."""
+    import pathlib
+
+    plans = pathlib.Path(__file__).resolve().parent.parent / "PLANS.md"
+    text = plans.read_text()
+    assert "BatchEvalPython" not in text
+    assert "## vendas_flagship" in text  # artifact sanity
