@@ -208,6 +208,16 @@ def triangle_counts(
         .distinct()
         .cache()
     )
+    # regime decision up front (the count fills und's cache): the
+    # broadcast hints — degree table for orientation, adjacency for
+    # the intersection — are only legal under the budget. |V| <= 2|E|,
+    # so the edge count bounds both. Past the budget NOTHING is
+    # broadcast or collected; orientation and closing run as
+    # spillable shuffle joins (found in review: the degree broadcast
+    # used to be unconditional, collecting |V| rows to the driver on
+    # the very graphs the scale path exists for).
+    small = und.count() <= broadcast_edge_budget
+    hint = F.broadcast if small else (lambda df: df)
     deg = (
         und.select(F.col("u").alias("n"))
         .unionAll(und.select(F.col("v").alias("n")))
@@ -216,11 +226,11 @@ def triangle_counts(
     )
     e = (
         und.join(
-            F.broadcast(deg.select(F.col("n").alias("u"), F.col("deg").alias("du"))),
+            hint(deg.select(F.col("n").alias("u"), F.col("deg").alias("du"))),
             "u",
         )
         .join(
-            F.broadcast(deg.select(F.col("n").alias("v"), F.col("deg").alias("dv"))),
+            hint(deg.select(F.col("n").alias("v"), F.col("deg").alias("dv"))),
             "v",
         )
     )
@@ -234,8 +244,8 @@ def triangle_counts(
     ).cache()
     from .dedup import _materialize_release
 
-    # the cache-filling count doubles as the regime check
-    if oriented.count() <= broadcast_edge_budget:
+    oriented.count()  # fill the cache before multi-consumer reads
+    if small:
         # dense/fast path: broadcast adjacency, intersect per edge.
         # Each triangle (s, t, w) with oriented edges s->t, s->w, t->w
         # is found exactly once, at its base edge (s, t), as

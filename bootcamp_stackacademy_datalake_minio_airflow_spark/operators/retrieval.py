@@ -66,23 +66,32 @@ def bm25_topk(
 
     Plan: explode tokens → filter to the query terms (the filter lands
     before the aggregation, so only query-term postings shuffle) →
-    per-(doc, term) tf; df/idf and the (N, avgdl) scalars are tiny
-    aggregates broadcast back. One real shuffle over query-term
-    postings only.
+    per-(doc, term) tf with the doc length CARRIED THROUGH the
+    aggregation key (dl is functionally dependent on the doc id, so
+    grouping on it is free and avoids a corpus-sized dl join — review
+    finding); df/idf and the (N, avgdl) scalars are tiny aggregates
+    broadcast back. Two scans of the corpus (postings + the length
+    aggregate), one real shuffle over query-term postings only.
     """
-    base = docs.select(F.col(id_col), _toks(text_col).alias("toks")).filter(
-        F.size("toks") > 0
+    # blank docs must not inflate N/avgdl: split('') is [''] (size 1),
+    # so the size guard alone admits them — gate on trimmed length,
+    # matching token_count()'s zero-token definition
+    base = docs.filter(F.length(F.trim(F.col(text_col))) > 0).select(
+        F.col(id_col), _toks(text_col).alias("toks")
     )
-    dls = base.select(id_col, F.size("toks").cast("long").alias("dl"))
     # scalar corpus stats: one row, broadcast
-    stats = dls.agg(
+    stats = base.select(F.size("toks").cast("long").alias("dl")).agg(
         F.count("*").cast("double").alias("n_docs"),
         F.avg("dl").alias("avgdl"),
     )
     tf = (
-        base.select(F.col(id_col), F.explode("toks").alias("term"))
+        base.select(
+            F.col(id_col),
+            F.size("toks").cast("long").alias("dl"),
+            F.explode("toks").alias("term"),
+        )
         .filter(F.col("term").isin(*terms))
-        .groupBy(id_col, "term")
+        .groupBy(id_col, "dl", "term")
         .agg(F.count("*").cast("double").alias("tf"))
     )
     df_ = tf.groupBy("term").agg(F.count("*").cast("double").alias("df"))
@@ -95,7 +104,6 @@ def bm25_topk(
     )
     scored = (
         tf.join(F.broadcast(idf), "term")
-        .join(dls, id_col)
         .crossJoin(F.broadcast(stats.select("avgdl")))
         .withColumn(
             "contrib",
@@ -237,7 +245,10 @@ def chunk_tokens(
 
     chunks = F.get(F.transform(F.array(_toks(text_col)), per_doc), 0)
     return (
-        docs.select(F.col(id_col), F.explode(chunks).alias("c"))
+        # blank docs emit NO chunk (split('') is [''], which would
+        # otherwise yield a phantom 1-token window of empty string)
+        docs.filter(F.length(F.trim(F.col(text_col))) > 0)
+        .select(F.col(id_col), F.explode(chunks).alias("c"))
         .select(
             id_col,
             (F.col("c.start") / stride).cast("long").alias("chunk_idx"),

@@ -262,7 +262,12 @@ def sampled_quantiles(
         F.col("r.q").alias("q"),
         F.round(F.col("r.e"), 2).alias("est"),
         F.round(F.col("r.x"), 2).alias("exact"),
-        F.round(F.abs(F.col("r.e") - F.col("r.x")) / F.col("r.x"), 4).alias(
-            "rel_err"
-        ),
+        # |exact| in the denominator (a negative quantile must not flip
+        # the error's sign), NULL when the exact quantile is 0
+        F.when(
+            F.abs(F.col("r.x")) > 0,
+            F.round(
+                F.abs(F.col("r.e") - F.col("r.x")) / F.abs(F.col("r.x")), 4
+            ),
+        ).alias("rel_err"),
     )

@@ -241,21 +241,41 @@ def rate_anomalies(
     ITS OWN type; hours with z > cutoff (and a full trailing window)
     are anomalies. The batch twin of a streaming rate monitor.
 
-    Plan: one aggregation to hourly counts (the corpus collapses to
-    |types|·|hours| rows — tiny), then a window over each type's
-    ordered hours. The expensive part is the first aggregation, which
-    is map-side combined; the window runs on the collapsed series.
-    σ uses the population form over a COMPLETE window only (count =
-    lookback), so partial leading windows never alarm.
+    Plan: one aggregation to hourly counts, then the hour series is
+    DENSIFIED per type (sequence over the type's [min, max] hour,
+    left-joined onto the counts, missing hours = 0) so the trailing
+    window really spans ``lookback`` HOURS — without densification a
+    rows-window silently skips zero-event hours and scores a spike
+    against a baseline weeks wide (found in review). The corpus
+    collapses to |types|·|hours| rows before any window; the expensive
+    first aggregation is map-side combined. σ uses the population form
+    over a COMPLETE window only (count = lookback), so partial leading
+    windows never alarm. Zero-filled hours never alarm themselves
+    (n_events = 0 is never > mu + z·σ for non-negative baselines) but
+    they DO deflate the baseline, as a real rate monitor must.
     """
     from pyspark.sql import Window
 
-    hourly = (
+    sparse = (
         events.select(
             F.col(type_col), F.date_trunc("hour", F.col(ts_col)).alias("hour_ts")
         )
         .groupBy(type_col, "hour_ts")
         .agg(F.count("*").cast("long").alias("n_events"))
+    )
+    spans = sparse.groupBy(type_col).agg(
+        F.min("hour_ts").alias("__lo"), F.max("hour_ts").alias("__hi")
+    )
+    dense_hours = spans.select(
+        type_col,
+        F.explode(
+            F.sequence("__lo", "__hi", F.expr("INTERVAL 1 HOUR"))
+        ).alias("hour_ts"),
+    )
+    hourly = dense_hours.join(sparse, [type_col, "hour_ts"], "left").select(
+        type_col,
+        "hour_ts",
+        F.coalesce("n_events", F.lit(0)).cast("long").alias("n_events"),
     )
     w = (
         Window.partitionBy(type_col)

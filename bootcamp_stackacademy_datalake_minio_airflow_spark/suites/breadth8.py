@@ -41,9 +41,10 @@ _PHRASE = ["value", "table", "part"]
     "bm25_search_topk",
     rf"""
     WITH base AS (
-      SELECT doc_id, string_split({_NORM_SQL}, ' ') AS toks FROM documents
+      SELECT doc_id, string_split({_NORM_SQL}, ' ') AS toks
+      FROM documents WHERE length(trim(text)) > 0
     ), dls AS (
-      SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM base WHERE len(toks) > 0
+      SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM base
     ), stats AS (
       SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, AVG(dl) AS avgdl FROM dls
     ), tf AS (
@@ -124,7 +125,8 @@ def q_lm_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     "token_chunks",
     rf"""
     WITH base AS (
-      SELECT doc_id, string_split({_NORM_SQL}, ' ') AS toks FROM documents
+      SELECT doc_id, string_split({_NORM_SQL}, ' ') AS toks
+      FROM documents WHERE length(trim(text)) > 0
     )
     SELECT doc_id,
            CAST(s // 24 AS BIGINT) AS chunk_idx,
@@ -132,7 +134,6 @@ def q_lm_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(least(32, len(toks) - s) AS BIGINT) AS chunk_len,
            toks[s + 1] AS first_token
     FROM base, LATERAL unnest(range(0, len(toks), 24)) AS u(s)
-    WHERE len(toks) > 0
     """,
 )
 def q_token_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -303,10 +304,21 @@ def q_graph_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "events_rate_anomaly",
     """
-    WITH hourly AS (
+    WITH sparse AS (
       SELECT event_type, date_trunc('hour', ts) AS hour_ts,
              CAST(COUNT(*) AS BIGINT) AS n_events
       FROM events GROUP BY 1, 2
+    ), spans AS (
+      SELECT event_type, MIN(hour_ts) AS lo, MAX(hour_ts) AS hi
+      FROM sparse GROUP BY event_type
+    ), dense AS (
+      SELECT event_type, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour_ts
+      FROM spans
+    ), hourly AS (
+      SELECT d.event_type, d.hour_ts,
+             COALESCE(s.n_events, 0) AS n_events
+      FROM dense d LEFT JOIN sparse s
+        ON d.event_type = s.event_type AND d.hour_ts = s.hour_ts
     ), win AS (
       SELECT event_type, hour_ts, n_events,
              AVG(n_events) OVER w AS mu,
@@ -342,7 +354,7 @@ def _quantile_oracle() -> str:
         f"""
     SELECT CAST({q} AS DOUBLE) AS q, ROUND(e.e{i}, 2) AS est,
            ROUND(x.x{i}, 2) AS exact,
-           ROUND(abs(e.e{i} - x.x{i}) / x.x{i}, 4) AS rel_err
+           ROUND(abs(e.e{i} - x.x{i}) / nullif(abs(x.x{i}), 0), 4) AS rel_err
     FROM e CROSS JOIN x"""
         for i, q in enumerate((0.5, 0.9, 0.99))
     )
@@ -517,7 +529,7 @@ def q_events_salted_distinct_users(spark: SparkSession, sf_dir: str) -> DataFram
     ), dtoks AS (
       SELECT doc_id, string_split(regexp_replace(lower(trim(text)),
                                                  '\s+', ' ', 'g'), ' ') AS toks
-      FROM deduped
+      FROM deduped WHERE length(trim(text)) > 0
     )
     SELECT doc_id,
            CAST(s // 24 AS BIGINT) AS chunk_idx,
@@ -540,7 +552,10 @@ def q_curation_chunks_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.text import length_outliers
 
     docs = load_table(spark, sf_dir, "documents")
-    scores = bigram_nll_score(docs)
+    # scores feeds BOTH the cutoff aggregate and the keep filter —
+    # cache it so the three corpus-wide LM aggregations run once
+    # (review finding), and release after the result materializes
+    scores = bigram_nll_score(docs).persist()
     cutoff = scores.agg(
         F.round(F.percentile("avg_nll", F.lit(0.75)), 4).alias("__cut")
     )
@@ -556,7 +571,11 @@ def q_curation_chunks_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "text")
     )
     deduped = dedup_exact(kept, ["text"], "doc_id")
-    return chunk_tokens(deduped, window=32, stride=24)
+    from ..operators.dedup import _materialize_release
+
+    return _materialize_release(
+        chunk_tokens(deduped, window=32, stride=24), scores
+    )
 
 
 @register(

@@ -12,13 +12,22 @@ from bootcamp_stackacademy_datalake_minio_airflow_spark.operators.sketches impor
 from bootcamp_stackacademy_datalake_minio_airflow_spark.operators.temporal import rate_anomalies
 
 
-def test_triangle_counts_k4_plus_tail(spark):
+def test_triangle_counts_k4_plus_tail_both_regimes(spark):
     # K4 on {1,2,3,4}: 4 triangles, each node in exactly 3;
-    # node 5 hangs off node 4 -> in no triangle, emits no row
+    # node 5 hangs off node 4 -> in no triangle, emits no row.
+    # budget=0 forces the wedge-join scale path, which must agree
+    # with the default broadcast-intersection path (review finding:
+    # the scale branch previously had zero coverage)
     k4 = [(a, b) for a in range(1, 5) for b in range(1, 5) if a < b]
     edges = spark.createDataFrame(k4 + [(4, 5)], ["src", "dst"])
-    got = {r["node"]: r["n_triangles"] for r in triangle_counts(edges).collect()}
-    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+    for budget in (5_000_000, 0):
+        got = {
+            r["node"]: r["n_triangles"]
+            for r in triangle_counts(
+                edges, broadcast_edge_budget=budget
+            ).collect()
+        }
+        assert got == {1: 3, 2: 3, 3: 3, 4: 3}, budget
 
 
 def test_triangle_counts_tolerates_duplicates_and_direction(spark):
@@ -88,3 +97,24 @@ def test_sampled_quantiles_full_fraction_is_exact(spark):
     df = spark.createDataFrame(rows, ["k", "v"])
     for r in sampled_quantiles(df, "v", "k", fraction=1.0).collect():
         assert r["est"] == r["exact"] and r["rel_err"] == 0.0
+
+
+def test_rate_anomalies_zero_hours_deflate_baseline(spark):
+    """Sparse series: events only every 6th hour. With hour
+    densification the trailing-24h window holds mostly zeros, so a
+    modest burst IS an anomaly; a rows-window over non-empty hours
+    would have compared it against same-sized bursts and stayed
+    silent (review finding)."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    for h in range(0, 144, 6):  # 24 sparse hours over 6 days, 5 events each
+        for i in range(5):
+            rows.append(("a", t0 + dt.timedelta(hours=h, seconds=i)))
+    # hour 150: a burst of 8 — above any non-zero hour ever seen
+    for i in range(8):
+        rows.append(("a", t0 + dt.timedelta(hours=150, seconds=i)))
+    df = spark.createDataFrame(rows, ["event_type", "ts"])
+    got = rate_anomalies(df, lookback=24, z_cutoff=2.5).collect()
+    assert (t0 + dt.timedelta(hours=150)) in [r["hour_ts"] for r in got]

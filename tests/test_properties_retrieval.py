@@ -40,12 +40,17 @@ def _ref_triangles(edges):
 
 
 @settings(max_examples=12, deadline=None)
-@given(_EDGES)
-def test_triangle_counts_matches_bruteforce(spark, edges):
+@given(_EDGES, st.sampled_from([5_000_000, 0]))
+def test_triangle_counts_matches_bruteforce(spark, edges, budget):
+    # budget 0 exercises the wedge-join scale path, the default the
+    # broadcast-intersection fast path — both must match brute force
     if not edges:
         return
     df = spark.createDataFrame(edges, ["src", "dst"])
-    got = {r["node"]: r["n_triangles"] for r in triangle_counts(df).collect()}
+    got = {
+        r["node"]: r["n_triangles"]
+        for r in triangle_counts(df, broadcast_edge_budget=budget).collect()
+    }
     assert got == _ref_triangles(edges)
 
 

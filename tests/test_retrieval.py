@@ -137,3 +137,20 @@ def test_bm25_single_posting_shuffle(corpus):
     plan = bm25_topk(corpus, ["spark"])._jdf.queryExecution().optimizedPlan().toString()
     filter_lines = [ln for ln in plan.splitlines() if "Filter" in ln and "spark" in ln]
     assert filter_lines, plan  # the literal term filter survives optimization
+
+
+def test_blank_docs_emit_no_chunks_and_skip_bm25_stats(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta"), (2, ""), (3, "   ")], ["doc_id", "text"]
+    )
+    assert sorted(
+        r["doc_id"] for r in chunk_tokens(df).select("doc_id").collect()
+    ) == [1]
+    # blank docs must not count toward N/avgdl: with only doc 1 real,
+    # N=1, df=1 -> idf = ln(1 + 0.5/1.5) = ln(4/3); dl == avgdl so the
+    # tf term collapses to exactly 1
+    import math
+
+    got = bm25_topk(df, ["alpha"], k=10).collect()
+    assert [r["doc_id"] for r in got] == [1]
+    assert got[0]["score"] == pytest.approx(round(math.log(4.0 / 3.0), 4))
