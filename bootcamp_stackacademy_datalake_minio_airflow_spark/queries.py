@@ -151,7 +151,9 @@ def _ensure_loaded() -> None:
         # events_salted_distinct_users, unpivot_roundtrip,
         # orders_ntile_quartiles (skew/reshape breadth, late r4),
         # curation_chunks_v2 (operator-composition gate, late r4),
-        # doc_char_entropy (char-level quality signals, late r4).
+        # doc_char_entropy (char-level quality signals, late r4),
+        # basket_association_rules, event_transition_matrix
+        # (market-basket + sequence analytics, late r4).
         "dedup_cross_doc_ngrams",
         "embedding_pq_recall",
         "event_attribution",

@@ -616,3 +616,133 @@ def q_doc_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return char_stats(docs)
+
+
+@register(
+    "basket_association_rules",
+    """
+    WITH baskets AS (
+      SELECT l_orderkey, l_partkey FROM lineitem GROUP BY l_orderkey, l_partkey
+    ), n_orders AS (
+      SELECT CAST(COUNT(DISTINCT l_orderkey) AS DOUBLE) AS n FROM baskets
+    ), item_supp AS (
+      SELECT l_partkey, CAST(COUNT(*) AS DOUBLE) AS c FROM baskets GROUP BY l_partkey
+    ), pair_supp AS (
+      SELECT a.l_partkey AS ante, b.l_partkey AS cons, CAST(COUNT(*) AS DOUBLE) AS c
+      FROM baskets a JOIN baskets b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+      GROUP BY ante, cons
+    )
+    SELECT p.ante, p.cons, CAST(p.c AS BIGINT) AS n_both,
+           ROUND(p.c / ia.c, 4) AS confidence,
+           -- products first, ONE division: both engines then produce
+           -- the bit-identical double, so 4-dp rounding cannot split
+           -- at a boundary (c/ca)/(cc/n) style chains did
+           ROUND(p.c * n_orders.n / (ia.c * ic.c), 4) AS lift
+    FROM pair_supp p
+    JOIN item_supp ia ON p.ante = ia.l_partkey
+    JOIN item_supp ic ON p.cons = ic.l_partkey
+    CROSS JOIN n_orders
+    WHERE p.c >= 3
+    ORDER BY lift DESC, ante, cons
+    LIMIT 50
+    """,
+)
+def q_basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules over order baskets: for part
+    pairs co-bought in >= 3 orders, emit confidence P(cons|ante) and
+    lift against the consequent's base rate; top-50 by lift with
+    deterministic ties. Classic retail analytics the reference's
+    eager-pandas stack never attempts. Plan: one dedup aggregation to
+    baskets, a self-join per shared order (bounded by basket size, <=7
+    in TPC-H shapes), and broadcast joins of the tiny item-support
+    table back onto the pair counts."""
+    li = load_table(spark, sf_dir, "lineitem")
+    baskets = li.select("l_orderkey", "l_partkey").distinct()
+    n_orders = baskets.agg(
+        F.countDistinct("l_orderkey").cast("double").alias("n")
+    )
+    item_supp = baskets.groupBy("l_partkey").agg(
+        F.count("*").cast("double").alias("c")
+    )
+    a = baskets.select(
+        F.col("l_orderkey"), F.col("l_partkey").alias("ante")
+    )
+    b = baskets.select(
+        F.col("l_orderkey"), F.col("l_partkey").alias("cons")
+    )
+    pair_supp = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("ante") != F.col("cons"))
+        .groupBy("ante", "cons")
+        .agg(F.count("*").cast("double").alias("c"))
+        .filter(F.col("c") >= 3)
+    )
+    ia = item_supp.select(F.col("l_partkey").alias("ante"), F.col("c").alias("ca"))
+    ic = item_supp.select(F.col("l_partkey").alias("cons"), F.col("c").alias("cc"))
+    return (
+        pair_supp.join(F.broadcast(ia), "ante")
+        .join(F.broadcast(ic), "cons")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "ante",
+            "cons",
+            F.col("c").cast("long").alias("n_both"),
+            F.round(F.col("c") / F.col("ca"), 4).alias("confidence"),
+            # products first, one division — see oracle comment
+            F.round(
+                F.col("c") * F.col("n") / (F.col("ca") * F.col("cc")), 4
+            ).alias("lift"),
+        )
+        .orderBy(F.col("lift").desc(), "ante", "cons")
+        .limit(50)
+    )
+
+
+@register(
+    "event_transition_matrix",
+    """
+    WITH ordered AS (
+      SELECT user_id, event_type,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_type
+      FROM events
+    ), trans AS (
+      SELECT event_type AS from_type, next_type AS to_type,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM ordered WHERE next_type IS NOT NULL
+      GROUP BY from_type, to_type
+    ), tot AS (
+      SELECT from_type, SUM(n) AS t FROM trans GROUP BY from_type
+    )
+    SELECT tr.from_type, tr.to_type, tr.n,
+           ROUND(tr.n * 1.0 / tot.t, 4) AS p
+    FROM trans tr JOIN tot ON tr.from_type = tot.from_type
+    """,
+)
+def q_event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of event types per user
+    stream (LEAD over each user's time-ordered events, tie-broken by
+    event_id), normalized to row-stochastic probabilities — the
+    sequence-modeling prep / funnel-discovery primitive. One window
+    over user partitions plus two tiny aggregations."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = (
+        ev.select(
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(w).alias("to_type"),
+        )
+        .filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    tot = trans.groupBy("from_type").agg(F.sum("n").alias("t"))
+    return trans.join(F.broadcast(tot), "from_type").select(
+        "from_type",
+        "to_type",
+        "n",
+        F.round(F.col("n") / F.col("t"), 4).alias("p"),
+    )

@@ -93,3 +93,37 @@ def test_no_rowwise_python_udfs_in_plans():
     text = plans.read_text()
     assert "BatchEvalPython" not in text
     assert "## vendas_flagship" in text  # artifact sanity
+
+
+def test_basket_rules_hand_example(spark, sf_dir):
+    """Association-rule math sanity on real testdata: every rule's
+    confidence is in (0, 1], lift > 0, and confidence = n_both /
+    antecedent support recomputed independently."""
+    from bootcamp_stackacademy_datalake_minio_airflow_spark.suites.breadth8 import (
+        q_basket_association_rules,
+    )
+    from bootcamp_stackacademy_datalake_minio_airflow_spark.catalog import load_table
+    from pyspark.sql import functions as F
+
+    rules = q_basket_association_rules(spark, sf_dir).collect()
+    assert rules and all(0 < r["confidence"] <= 1 and r["lift"] > 0 for r in rules)
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = {
+        r["l_partkey"]: r["c"]
+        for r in li.select("l_orderkey", "l_partkey").distinct()
+        .groupBy("l_partkey").agg(F.count("*").alias("c")).collect()
+    }
+    for r in rules[:5]:
+        assert r["confidence"] == round(r["n_both"] / supp[r["ante"]], 4)
+
+
+def test_transition_matrix_rows_are_stochastic(spark, sf_dir):
+    """Per-from_type probabilities must sum to 1 (within rounding)."""
+    from bootcamp_stackacademy_datalake_minio_airflow_spark.suites.breadth8 import (
+        q_event_transition_matrix,
+    )
+    from pyspark.sql import functions as F
+
+    out = q_event_transition_matrix(spark, sf_dir)
+    sums = out.groupBy("from_type").agg(F.sum("p").alias("s")).collect()
+    assert sums and all(abs(r["s"] - 1.0) < 1e-2 for r in sums)
