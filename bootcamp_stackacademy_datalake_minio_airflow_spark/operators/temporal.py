@@ -296,3 +296,35 @@ def rate_anomalies(
             F.round("z", 4).alias("z_score"),
         )
     )
+
+
+def debounce_events(
+    events: DataFrame,
+    *,
+    key_cols: tuple[str, ...] = ("user_id", "event_type"),
+    ts_col: str = "ts",
+    quiet_seconds: int = 300,
+    order_tiebreak: str = "event_id",
+) -> DataFrame:
+    """Collapse bursts: keep only the FIRST event of each burst, where
+    a burst is a run of same-key events each within ``quiet_seconds``
+    of its predecessor (retry storms, double-clicks, at-least-once
+    replays — the standard debounce/throttle prep before funnel or
+    billing analytics).
+
+    One LAG window per key partition; an event survives iff it has no
+    predecessor or the gap to the previous same-key event is >= the
+    quiet period. Gap chaining is deliberate (an hour-long machine-gun
+    burst still collapses to one row, unlike fixed-window throttles
+    that re-emit every window).
+    """
+    from pyspark.sql import Window
+
+    t = F.unix_seconds(F.col(ts_col).cast("timestamp"))
+    w = Window.partitionBy(*key_cols).orderBy(t, F.col(order_tiebreak))
+    gap = t - F.lag(t).over(w)
+    return (
+        events.withColumn("__gap", gap)
+        .filter(F.col("__gap").isNull() | (F.col("__gap") >= quiet_seconds))
+        .drop("__gap")
+    )

@@ -153,7 +153,8 @@ def _ensure_loaded() -> None:
         # curation_chunks_v2 (operator-composition gate, late r4),
         # doc_char_entropy (char-level quality signals, late r4),
         # basket_association_rules, event_transition_matrix
-        # (market-basket + sequence analytics, late r4).
+        # (market-basket + sequence analytics, late r4),
+        # events_debounced (burst-collapse stream prep, late r4).
         "dedup_cross_doc_ngrams",
         "embedding_pq_recall",
         "event_attribution",

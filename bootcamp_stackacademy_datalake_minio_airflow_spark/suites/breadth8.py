@@ -746,3 +746,32 @@ def q_event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round(F.col("n") / F.col("t"), 4).alias("p"),
     )
+
+
+@register(
+    "events_debounced",
+    """
+    WITH g AS (
+      SELECT event_id, user_id, event_type,
+             floor(epoch(ts)) - LAG(floor(epoch(ts))) OVER (
+               PARTITION BY user_id, event_type
+               ORDER BY floor(epoch(ts)), event_id) AS gap
+      FROM events
+    )
+    SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n_kept
+    FROM g WHERE gap IS NULL OR gap >= 300
+    GROUP BY user_id, event_type
+    """,
+)
+def q_events_debounced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burst-collapse (debounce) per (user, type) with a 5-minute
+    quiet period (operators/temporal.py:debounce_events), aggregated
+    to survivor counts per key. One LAG window; gap chaining collapses
+    arbitrarily long bursts to one survivor."""
+    from ..operators.temporal import debounce_events
+
+    ev = load_table(spark, sf_dir, "events")
+    kept = debounce_events(ev, quiet_seconds=300)
+    return kept.groupBy("user_id", "event_type").agg(
+        F.count("*").cast("long").alias("n_kept")
+    )

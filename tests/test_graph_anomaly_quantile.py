@@ -118,3 +118,31 @@ def test_rate_anomalies_zero_hours_deflate_baseline(spark):
     df = spark.createDataFrame(rows, ["event_type", "ts"])
     got = rate_anomalies(df, lookback=24, z_cutoff=2.5).collect()
     assert (t0 + dt.timedelta(hours=150)) in [r["hour_ts"] for r in got]
+
+
+def test_debounce_collapses_chained_bursts(spark):
+    """A machine-gun burst spanning longer than the quiet period still
+    collapses to ONE survivor (gap chaining), and a gap >= quiet
+    starts a new burst."""
+    import datetime as dt
+
+    from bootcamp_stackacademy_datalake_minio_airflow_spark.operators.temporal import (
+        debounce_events,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    # burst: events every 100s for 1000s (chained: every gap < 300)
+    for i in range(11):
+        rows.append((i, 1, "click", t0 + dt.timedelta(seconds=100 * i)))
+    # then silence of 400s -> new burst of 2
+    rows.append((20, 1, "click", t0 + dt.timedelta(seconds=1400)))
+    rows.append((21, 1, "click", t0 + dt.timedelta(seconds=1450)))
+    # different key unaffected
+    rows.append((30, 2, "click", t0 + dt.timedelta(seconds=50)))
+    df = spark.createDataFrame(rows, ["event_id", "user_id", "event_type", "ts"])
+    kept = sorted(
+        r["event_id"]
+        for r in debounce_events(df, quiet_seconds=300).collect()
+    )
+    assert kept == [0, 20, 30]
