@@ -323,8 +323,14 @@ def debounce_events(
     t = F.unix_seconds(F.col(ts_col).cast("timestamp"))
     w = Window.partitionBy(*key_cols).orderBy(t, F.col(order_tiebreak))
     gap = t - F.lag(t).over(w)
+    # window expressions can't sit in a WHERE, so the gap needs a temp
+    # column — pick a name no caller column uses instead of clobbering
+    # a pre-existing one (review finding)
+    tmp = "__gap"
+    while tmp in events.columns:
+        tmp += "_"
     return (
-        events.withColumn("__gap", gap)
-        .filter(F.col("__gap").isNull() | (F.col("__gap") >= quiet_seconds))
-        .drop("__gap")
+        events.withColumn(tmp, gap)
+        .filter(F.col(tmp).isNull() | (F.col(tmp) >= quiet_seconds))
+        .drop(tmp)
     )

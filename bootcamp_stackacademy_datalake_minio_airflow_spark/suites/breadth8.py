@@ -703,9 +703,13 @@ def q_basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     "event_transition_matrix",
     """
     WITH ordered AS (
+      -- integer epoch seconds, not raw ts: Spark reads us-truncated
+      -- timestamps while DuckDB sees the parquet's ns values, so a
+      -- sub-us collision could order differently; second-level
+      -- ordering with the event_id tie-break is identical in both
       SELECT user_id, event_type,
              LEAD(event_type) OVER (PARTITION BY user_id
-                                    ORDER BY ts, event_id) AS next_type
+                                    ORDER BY floor(epoch(ts)), event_id) AS next_type
       FROM events
     ), trans AS (
       SELECT event_type AS from_type, next_type AS to_type,
@@ -729,7 +733,9 @@ def q_event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy(
+        F.unix_seconds(F.col("ts").cast("timestamp")), F.col("event_id")
+    )
     trans = (
         ev.select(
             F.col("event_type").alias("from_type"),

@@ -146,3 +146,20 @@ def test_debounce_collapses_chained_bursts(spark):
         for r in debounce_events(df, quiet_seconds=300).collect()
     )
     assert kept == [0, 20, 30]
+
+
+def test_debounce_preserves_caller_gap_column(spark):
+    import datetime as dt
+
+    from bootcamp_stackacademy_datalake_minio_airflow_spark.operators.temporal import (
+        debounce_events,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [(1, 1, "click", t0, 99), (2, 1, "click", t0 + dt.timedelta(seconds=500), 42)],
+        ["event_id", "user_id", "event_type", "ts", "__gap"],
+    )
+    out = debounce_events(df, quiet_seconds=300)
+    assert "__gap" in out.columns
+    assert sorted(r["__gap"] for r in out.collect()) == [42, 99]
