@@ -123,3 +123,76 @@ def test_salted_distinct_equals_plain(spark, rows, buckets):
     for k, v in rows:
         exp.setdefault(k, set()).add(v)
     assert got == {k: len(vs) for k, vs in exp.items()}
+
+
+_DOCS = st.lists(
+    st.lists(st.sampled_from(["a", "b", "c", "d", "spark"]), min_size=1, max_size=8),
+    min_size=1,
+    max_size=8,
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(_DOCS)
+def test_bm25_matches_python_reference(spark, docs):
+    import math
+
+    from bootcamp_stackacademy_datalake_minio_airflow_spark.operators.retrieval import bm25_topk
+
+    terms, k1, b = ["a", "spark"], 1.2, 0.75
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r["score"] for r in bm25_topk(df, terms, k=100).collect()}
+
+    n = float(len(docs))
+    avgdl = sum(len(ws) for ws in docs) / n
+    dfreq = {t: sum(1 for ws in docs if t in ws) for t in terms}
+    exp = {}
+    for i, ws in enumerate(docs):
+        s = 0.0
+        for t in terms:
+            tf = ws.count(t)
+            if not tf:
+                continue
+            idf = math.log(1 + (n - dfreq[t] + 0.5) / (dfreq[t] + 0.5))
+            s += idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * len(ws) / avgdl))
+        if s:
+            exp[i] = round(s, 4)
+    assert set(got) == set(exp)
+    for i in exp:
+        assert abs(got[i] - exp[i]) <= 1e-4
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(1, 3), st.integers(0, 100_000), st.integers(-50, 50)),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_ewma_matches_python_reference(spark, rows):
+    import datetime as dt
+    import math
+
+    from bootcamp_stackacademy_datalake_minio_airflow_spark.operators.temporal import (
+        ewma_user_scores,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    data = [
+        (u, t0 + dt.timedelta(seconds=s), float(v)) for u, s, v in rows
+    ]
+    df = spark.createDataFrame(data, ["user_id", "ts", "value"])
+    got = {r["user_id"]: r for r in ewma_user_scores(df).collect()}
+
+    ref = max(s for _, s, _ in rows)
+    exp: dict[int, float] = {}
+    cnt: dict[int, int] = {}
+    for u, s, v in rows:
+        exp[u] = exp.get(u, 0.0) + v * math.exp(-(ref - s) / 86400.0)
+        cnt[u] = cnt.get(u, 0) + 1
+    assert set(got) == set(exp)
+    for u in exp:
+        assert got[u]["n_events"] == cnt[u]
+        assert abs(got[u]["ewma_score"] - round(exp[u], 4)) <= 1e-3
