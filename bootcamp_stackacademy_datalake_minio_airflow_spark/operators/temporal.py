@@ -254,8 +254,6 @@ def rate_anomalies(
     (n_events = 0 is never > mu + z·σ for non-negative baselines) but
     they DO deflate the baseline, as a real rate monitor must.
     """
-    from pyspark.sql import Window
-
     sparse = (
         events.select(
             F.col(type_col), F.date_trunc("hour", F.col(ts_col)).alias("hour_ts")
@@ -263,6 +261,24 @@ def rate_anomalies(
         .groupBy(type_col, "hour_ts")
         .agg(F.count("*").cast("long").alias("n_events"))
     )
+    return score_hourly_rates(
+        sparse, type_col=type_col, lookback=lookback, z_cutoff=z_cutoff
+    )
+
+
+def score_hourly_rates(
+    sparse: DataFrame,
+    *,
+    type_col: str = "event_type",
+    lookback: int = 24,
+    z_cutoff: float = 2.5,
+) -> DataFrame:
+    """Score a pre-aggregated (type, hour_ts, n_events) table for rate
+    spikes — the shared core of the batch detector above and the
+    streaming monitor (streaming/monitor.py), which feeds it the
+    windowed-aggregation state each micro-batch."""
+    from pyspark.sql import Window
+
     spans = sparse.groupBy(type_col).agg(
         F.min("hour_ts").alias("__lo"), F.max("hour_ts").alias("__hi")
     )

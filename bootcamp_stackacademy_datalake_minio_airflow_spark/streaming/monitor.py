@@ -1,0 +1,100 @@
+"""Streaming rate monitor — the stream twin of
+operators/temporal.py:rate_anomalies.
+
+Shape: watermarked tumbling hourly counts per event type (bounded
+state, same as windows.py), delivered in UPDATE mode to a foreachBatch
+that maintains the hourly-count table and re-scores it with the SAME
+``score_hourly_rates`` core the batch detector uses — so stream and
+batch verdicts come from one implementation, and the pytest twin
+simply drains the stream and compares against the batch operator on
+identical data.
+
+Scale note, stated honestly: the hourly table is |types| x |hours| BY
+CONSTRUCTION (the corpus collapses in the streaming aggregation before
+anything reaches the driver), so the foreachBatch collect is bounded
+and tiny — it is the aggregation STATE that scales with the stream,
+and the watermark bounds that. For a deployment where even the hourly
+table is large (millions of types x years), swap the in-memory
+accumulator for a parquet/Delta upsert and run the scorer as a batch
+job over it; the scoring core is already shared.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from ..operators.temporal import score_hourly_rates
+from .windows import EVENTS_SCHEMA
+
+HOURLY_SCHEMA = StructType(
+    [
+        StructField("event_type", StringType()),
+        StructField("hour_ts", TimestampType()),
+        StructField("n_events", LongType()),
+    ]
+)
+
+
+def hourly_type_counts(events: DataFrame) -> DataFrame:
+    """Tumbling 1-hour counts per event type (batch or streaming)."""
+    return (
+        events.groupBy("event_type", F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+        .select("event_type", F.col("w.start").alias("hour_ts"), "n_events")
+    )
+
+
+def stream_rate_monitor(
+    spark: SparkSession,
+    source_dir: str,
+    *,
+    watermark: str = "2 hours",
+    lookback: int = 24,
+    z_cutoff: float = 2.5,
+    checkpoint_dir: str | None = None,
+    max_files_per_trigger: int = 8,
+) -> tuple[StreamingQuery, list]:
+    """Start the monitor; returns ``(query, alerts)`` where ``alerts``
+    is re-assigned after every micro-batch with the CURRENT anomaly
+    rows (same schema as the batch detector's output). UPDATE mode
+    re-emits revised windows, so the accumulator converges to the
+    exact hourly table even when a window spans micro-batches.
+    """
+    state: dict[tuple, int] = {}
+    alerts: list = []
+
+    def _apply(batch_df: DataFrame, _batch_id: int) -> None:
+        for r in batch_df.collect():  # bounded: |types| x |hours revised|
+            state[(r["event_type"], r["hour_ts"])] = r["n_events"]
+        snap = spark.createDataFrame(
+            [(t, h, n) for (t, h), n in state.items()], HOURLY_SCHEMA
+        )
+        scored = score_hourly_rates(
+            snap, lookback=lookback, z_cutoff=z_cutoff
+        ).collect()
+        alerts[:] = scored
+
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(source_dir)
+        .withWatermark("ts", watermark)
+    )
+    writer = (
+        hourly_type_counts(stream)
+        .writeStream.outputMode("update")
+        .foreachBatch(_apply)
+        .trigger(availableNow=True)
+    )
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start(), alerts

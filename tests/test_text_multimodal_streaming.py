@@ -513,3 +513,48 @@ def test_decode_fallback_on_undecodable_valid_magic(spark):
     assert len(rows) == 1 and rows[0].codec == "stub"
     with _pytest.raises(Exception):
         audio_features(adf, strict=True).count()
+
+
+def test_stream_rate_monitor_matches_batch(spark, tmp_path):
+    """Drain the streaming rate monitor over the planted-spike series
+    and compare its final alerts against the batch detector on the
+    same events — stream and batch share the scoring core, so this
+    pins the streaming aggregation + accumulator plumbing."""
+    import datetime as dt
+
+    from bootcamp_stackacademy_datalake_minio_airflow_spark.operators.temporal import rate_anomalies
+    from bootcamp_stackacademy_datalake_minio_airflow_spark.streaming.monitor import (
+        stream_rate_monitor,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for h in range(30):
+        n = 50 if h == 28 else (6 if h == 10 else 5)
+        for i in range(n):
+            rows.append(
+                (eid, t0 + dt.timedelta(hours=h, seconds=i), 1, "error", 1.0, "{}")
+            )
+            eid += 1
+    events = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    src = str(tmp_path / "monitor_src")
+    events.repartitionByRange(4, "ts").sortWithinPartitions("ts").write.parquet(src)
+
+    q, alerts = stream_rate_monitor(
+        spark,
+        src,
+        lookback=24,
+        z_cutoff=2.5,
+        checkpoint_dir=str(tmp_path / "monitor_ckpt"),
+        max_files_per_trigger=2,
+    )
+    q.awaitTermination()
+
+    batch = rate_anomalies(events, lookback=24, z_cutoff=2.5).collect()
+    assert {(r["event_type"], r["hour_ts"], r["n_events"], r["z_score"]) for r in alerts} == {
+        (r["event_type"], r["hour_ts"], r["n_events"], r["z_score"]) for r in batch
+    }
+    assert alerts and alerts[0]["hour_ts"] == t0 + dt.timedelta(hours=28)
