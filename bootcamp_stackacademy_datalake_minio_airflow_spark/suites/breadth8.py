@@ -781,3 +781,33 @@ def q_events_debounced(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.groupBy("user_id", "event_type").agg(
         F.count("*").cast("long").alias("n_kept")
     )
+
+
+@register(
+    "fuzzy_name_neighbors",
+    """
+    WITH pairs AS (
+      SELECT a.c_custkey AS id_a, b.c_custkey AS id_b
+      FROM customer a JOIN customer b
+        ON a.c_custkey < b.c_custkey
+       AND levenshtein(a.c_name, b.c_name) <= 1
+    )
+    SELECT id, CAST(COUNT(*) AS BIGINT) AS n_similar
+    FROM (
+      SELECT id_a AS id FROM pairs
+      UNION ALL SELECT id_b FROM pairs
+    )
+    GROUP BY id
+    """,
+)
+def q_fuzzy_name_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy entity matching on customer names: per-customer count of
+    others within 1 Levenshtein edit (operators/fuzzy.py, FastSS
+    deletion-neighborhood blocking — candidates come from an equi-join
+    on single-deletion variants, never an all-pairs scan). The oracle
+    IS the brute-force quadratic join, so a lossy blocking filter
+    would hash-mismatch immediately."""
+    from ..operators.fuzzy import fuzzy_neighbor_counts
+
+    cust = load_table(spark, sf_dir, "customer")
+    return fuzzy_neighbor_counts(cust, "c_custkey", "c_name")
