@@ -47,3 +47,65 @@ def redact(col: str | Column, kinds: list[str] | None = None) -> Column:
         pattern, token = PII_PATTERNS[kind]
         c = F.regexp_replace(c, pattern, token)
     return c
+
+
+def dp_noisy_counts(
+    df,
+    group_col: str,
+    *,
+    epsilon: float = 1.0,
+    salt: str = "dp",
+):
+    """Laplace-mechanism count release per group: count + Lap(1/ε)
+    noise, the standard differentially-private aggregate release.
+
+    HONESTY NOTE: the noise draw here is a DETERMINISTIC function of
+    the group key (md5 uniform → inverse-CDF Laplace), which makes the
+    release replayable by the cross-engine oracle but does NOT provide
+    real DP guarantees — a seeded draw is predictable, and re-running
+    never refreshes the noise. The MECHANISM (sensitivity-1 count +
+    Laplace(1/ε), inverse-CDF transform) is exactly production shape;
+    swap the seeded uniform for a secure RNG to get the guarantee.
+
+    Plan: one map-side-combined count aggregation; the noise is pure
+    codegen math on the |groups|-row result.
+    """
+    from .sampling import _PREFIX_SPACE, _draw
+
+    counts = df.groupBy(group_col).agg(F.count("*").cast("long").alias("true_n"))
+    u_int = F.conv(_draw(F.col(group_col), salt), 16, 10).cast("long")
+    # u in (0, 1), strictly: +0.5 keeps the inverse CDF finite
+    u = (u_int + F.lit(0.5)) / F.lit(float(_PREFIX_SPACE))
+    b = 1.0 / epsilon
+    centered = u - F.lit(0.5)
+    lap = (
+        -F.lit(b)
+        * F.signum(centered)
+        * F.log(F.lit(1.0) - F.lit(2.0) * F.abs(centered))
+    )
+    return counts.select(
+        group_col,
+        "true_n",
+        F.round(F.col("true_n") + lap, 4).alias("noisy_n"),
+    )
+
+
+def k_anonymity_violations(
+    df,
+    quasi_cols: list[str],
+    *,
+    k: int = 5,
+):
+    """Quasi-identifier groups smaller than ``k`` — the k-anonymity
+    audit run before releasing a dataset (any group below k re-
+    identifies its members by the quasi-identifier combination alone).
+
+    Emits (quasi columns..., group_n) for violating groups. One
+    map-side-combined aggregation; NULL quasi-values form their own
+    groups (a NULL combination is just as identifying).
+    """
+    return (
+        df.groupBy(*quasi_cols)
+        .agg(F.count("*").cast("long").alias("group_n"))
+        .filter(F.col("group_n") < k)
+    )

@@ -155,7 +155,8 @@ def _ensure_loaded() -> None:
         # basket_association_rules, event_transition_matrix
         # (market-basket + sequence analytics, late r4),
         # events_debounced (burst-collapse stream prep, late r4),
-        # fuzzy_name_neighbors (FastSS edit-distance join, late r4).
+        # fuzzy_name_neighbors (FastSS edit-distance join, late r4),
+        # dp_source_counts, k_anonymity_audit (privacy release, late r4).
         "dedup_cross_doc_ngrams",
         "embedding_pq_recall",
         "event_attribution",

@@ -811,3 +811,58 @@ def q_fuzzy_name_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cust = load_table(spark, sf_dir, "customer")
     return fuzzy_neighbor_counts(cust, "c_custkey", "c_name")
+
+
+def _dp_oracle() -> str:
+    from .extensions import _hex_fold
+
+    fold = _hex_fold("md5('dp' || source)")
+    return f"""
+    WITH counts AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS true_n
+      FROM documents GROUP BY source
+    ), noise AS (
+      SELECT source, true_n, ({fold} + 0.5) / 4294967296.0 AS u FROM counts
+    )
+    SELECT source, true_n,
+           ROUND(true_n + (-1.0 * sign(u - 0.5) * ln(1.0 - 2.0 * abs(u - 0.5))), 4)
+             AS noisy_n
+    FROM noise
+    """
+
+
+@register("dp_source_counts", _dp_oracle())
+def q_dp_source_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Laplace-mechanism private count release per document source
+    (operators/privacy.py:dp_noisy_counts, epsilon = 1). The noise is
+    a deterministic md5-seeded inverse-CDF Laplace draw so the oracle
+    replays it exactly — an honestly-documented stand-in: the
+    mechanism is production shape, the seeded draw is not a real DP
+    guarantee."""
+    from ..operators.privacy import dp_noisy_counts
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dp_noisy_counts(docs, "source", epsilon=1.0)
+
+
+@register(
+    "k_anonymity_audit",
+    """
+    SELECT c_nationkey, c_mktsegment, CAST(COUNT(*) AS BIGINT) AS group_n
+    FROM customer
+    GROUP BY c_nationkey, c_mktsegment
+    HAVING COUNT(*) < 8
+    """,
+)
+def q_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the (nation, market-segment) quasi-
+    identifier pair: groups smaller than k = 8 re-identify their
+    members and block release
+    (operators/privacy.py:k_anonymity_violations). One map-side-
+    combined aggregation."""
+    from ..operators.privacy import k_anonymity_violations
+
+    cust = load_table(spark, sf_dir, "customer")
+    return k_anonymity_violations(
+        cust, ["c_nationkey", "c_mktsegment"], k=8
+    )

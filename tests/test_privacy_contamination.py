@@ -101,3 +101,43 @@ def test_pii_map_only_plan(spark):
         .toString()
     )
     assert "Exchange" not in plan
+
+
+def test_dp_noisy_counts_mechanism(spark):
+    """Noise is Laplace-shaped and deterministic: same input ->
+    identical release; noisy_n deviates from true_n but stays within
+    a generous Laplace tail bound for eps=1 (|noise| < 15 w.p.
+    ~1-3e-7 per group)."""
+    from bootcamp_stackacademy_datalake_minio_airflow_spark.operators.privacy import dp_noisy_counts
+
+    rows = [(f"s{i % 6}",) for i in range(600)]
+    df = spark.createDataFrame(rows, ["source"])
+    a = {r["source"]: r for r in dp_noisy_counts(df, "source").collect()}
+    b = {r["source"]: r for r in dp_noisy_counts(df, "source").collect()}
+    assert a.keys() == b.keys() and all(
+        a[s]["noisy_n"] == b[s]["noisy_n"] for s in a
+    )
+    for s, r in a.items():
+        assert r["true_n"] == 100
+        assert r["noisy_n"] != r["true_n"]  # noise actually applied
+        assert abs(r["noisy_n"] - r["true_n"]) < 15
+    # epsilon scales the noise down
+    tight = {r["source"]: r for r in dp_noisy_counts(df, "source", epsilon=100.0).collect()}
+    assert all(abs(tight[s]["noisy_n"] - 100) <= abs(a[s]["noisy_n"] - 100) for s in a)
+
+
+def test_k_anonymity_violations(spark):
+    from bootcamp_stackacademy_datalake_minio_airflow_spark.operators.privacy import (
+        k_anonymity_violations,
+    )
+
+    rows = (
+        [("US", "A")] * 10        # safe
+        + [("US", "B")] * 3       # violating
+        + [("DE", "A")] * 1       # violating
+        + [(None, "B")] * 2       # NULL quasi-combo is still a group
+    )
+    df = spark.createDataFrame(rows, ["country", "segment"])
+    got = {(r["country"], r["segment"]): r["group_n"]
+           for r in k_anonymity_violations(df, ["country", "segment"], k=5).collect()}
+    assert got == {("US", "B"): 3, ("DE", "A"): 1, (None, "B"): 2}
