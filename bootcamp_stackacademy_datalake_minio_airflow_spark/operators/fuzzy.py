@@ -71,17 +71,20 @@ def fuzzy_neighbor_counts(
         F.explode(deletion_variants(F.col("__nm"))).alias("__v"),
     ).select("__id", "__nm", F.xxhash64("__v").alias("__vh"))
     l, r = idx.alias("l"), idx.alias("r")
-    cand = (
+    # the DP verify runs BEFORE the dedup exchange: a pair sharing m
+    # variants (plus hash-collision false candidates) would otherwise
+    # shuffle m copies with both name strings through distinct() only
+    # to be discarded after (review finding); post-filter, the
+    # distinct carries surviving id pairs only
+    pairs = (
         l.join(r, (F.col("l.__vh") == F.col("r.__vh")) & (F.col("l.__id") < F.col("r.__id")))
+        .filter(F.levenshtein(F.col("l.__nm"), F.col("r.__nm")) <= max_distance)
         .select(
             F.col("l.__id").alias("id_a"),
-            F.col("l.__nm").alias("nm_a"),
             F.col("r.__id").alias("id_b"),
-            F.col("r.__nm").alias("nm_b"),
         )
         .distinct()
     )
-    pairs = cand.filter(F.levenshtein("nm_a", "nm_b") <= max_distance)
     return (
         pairs.select(F.col("id_a").alias("id"))
         .unionAll(pairs.select(F.col("id_b").alias("id")))

@@ -55,6 +55,7 @@ def dp_noisy_counts(
     *,
     epsilon: float = 1.0,
     salt: str = "dp",
+    include_true: bool = False,
 ):
     """Laplace-mechanism count release per group: count + Lap(1/ε)
     noise, the standard differentially-private aggregate release.
@@ -67,13 +68,22 @@ def dp_noisy_counts(
     Laplace(1/ε), inverse-CDF transform) is exactly production shape;
     swap the seeded uniform for a secure RNG to get the guarantee.
 
+    ``include_true`` keeps the exact count alongside the noisy one —
+    for the verification/audit path ONLY. The default release schema
+    deliberately omits it: publishing true_n next to noisy_n makes
+    epsilon infinite no matter how good the noise is (review finding).
+
     Plan: one map-side-combined count aggregation; the noise is pure
     codegen math on the |groups|-row result.
     """
     from .sampling import _PREFIX_SPACE, _draw
 
     counts = df.groupBy(group_col).agg(F.count("*").cast("long").alias("true_n"))
-    u_int = F.conv(_draw(F.col(group_col), salt), 16, 10).cast("long")
+    # NULL group keys still deserve a noisy count: md5(NULL) is NULL
+    # and would otherwise leak the exact count with NULL noise —
+    # draw from a sentinel the cast can never produce
+    draw_key = F.coalesce(F.col(group_col).cast("string"), F.lit("\x00null"))
+    u_int = F.conv(_draw(draw_key, salt), 16, 10).cast("long")
     # u in (0, 1), strictly: +0.5 keeps the inverse CDF finite
     u = (u_int + F.lit(0.5)) / F.lit(float(_PREFIX_SPACE))
     b = 1.0 / epsilon
@@ -83,10 +93,11 @@ def dp_noisy_counts(
         * F.signum(centered)
         * F.log(F.lit(1.0) - F.lit(2.0) * F.abs(centered))
     )
+    cols = [group_col]
+    if include_true:
+        cols.append("true_n")
     return counts.select(
-        group_col,
-        "true_n",
-        F.round(F.col("true_n") + lap, 4).alias("noisy_n"),
+        *cols, F.round(F.col("true_n") + lap, 4).alias("noisy_n")
     )
 
 

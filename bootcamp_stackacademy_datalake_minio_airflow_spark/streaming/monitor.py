@@ -45,11 +45,17 @@ HOURLY_SCHEMA = StructType(
 
 
 def hourly_type_counts(events: DataFrame) -> DataFrame:
-    """Tumbling 1-hour counts per event type (batch or streaming)."""
-    return (
-        events.groupBy("event_type", F.window("ts", "1 hour").alias("w"))
-        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
-        .select("event_type", F.col("w.start").alias("hour_ts"), "n_events")
+    """Tumbling 1-hour counts per event type (batch or streaming) —
+    a rename over windows.tumbling_counts so the one windowed
+    aggregation implementation serves both the windows suite and this
+    monitor (review finding: a second near-identical groupBy-window
+    here would fork future fixes)."""
+    from .windows import tumbling_counts
+
+    return tumbling_counts(events, "1 hour").select(
+        "event_type",
+        F.col("window_start").alias("hour_ts"),
+        F.col("n_events").cast("long").alias("n_events"),
     )
 
 
@@ -57,10 +63,9 @@ def stream_rate_monitor(
     spark: SparkSession,
     source_dir: str,
     *,
-    watermark: str = "2 hours",
+    watermark: str = "30 days",
     lookback: int = 24,
     z_cutoff: float = 2.5,
-    checkpoint_dir: str | None = None,
     max_files_per_trigger: int = 8,
 ) -> tuple[StreamingQuery, list]:
     """Start the monitor; returns ``(query, alerts)`` where ``alerts``
@@ -68,6 +73,21 @@ def stream_rate_monitor(
     rows (same schema as the batch detector's output). UPDATE mode
     re-emits revised windows, so the accumulator converges to the
     exact hourly table even when a window spans micro-batches.
+
+    The default watermark is deliberately LONG (30 days): a file
+    source replays history in modification-time order, not event-time
+    order, so a short watermark can silently discard whole spans of
+    out-of-order history (review finding). The monitor's streaming
+    state is hourly counts — |types| x |watermark hours| rows — so a
+    month of tolerance costs almost nothing; tighten it only for a
+    live feed whose arrival order is genuinely near-event-time.
+
+    No checkpoint parameter on purpose: the alert accumulator lives in
+    this call, so resuming a checkpointed query in a NEW call would
+    skip already-processed files while starting from an EMPTY
+    accumulator — silently wrong alerts. A durable deployment swaps
+    the in-memory dict for a parquet/Delta upsert (see module note)
+    and only then adds a checkpoint.
     """
     state: dict[tuple, int] = {}
     alerts: list = []
@@ -95,6 +115,4 @@ def stream_rate_monitor(
         .foreachBatch(_apply)
         .trigger(availableNow=True)
     )
-    if checkpoint_dir:
-        writer = writer.option("checkpointLocation", checkpoint_dir)
     return writer.start(), alerts

@@ -842,7 +842,9 @@ def q_dp_source_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.privacy import dp_noisy_counts
 
     docs = load_table(spark, sf_dir, "documents")
-    return dp_noisy_counts(docs, "source", epsilon=1.0)
+    # include_true=True is the VERIFICATION configuration: the oracle
+    # gates noise against the exact count; a real release omits true_n
+    return dp_noisy_counts(docs, "source", epsilon=1.0, include_true=True)
 
 
 @register(

@@ -112,8 +112,8 @@ def test_dp_noisy_counts_mechanism(spark):
 
     rows = [(f"s{i % 6}",) for i in range(600)]
     df = spark.createDataFrame(rows, ["source"])
-    a = {r["source"]: r for r in dp_noisy_counts(df, "source").collect()}
-    b = {r["source"]: r for r in dp_noisy_counts(df, "source").collect()}
+    a = {r["source"]: r for r in dp_noisy_counts(df, "source", include_true=True).collect()}
+    b = {r["source"]: r for r in dp_noisy_counts(df, "source", include_true=True).collect()}
     assert a.keys() == b.keys() and all(
         a[s]["noisy_n"] == b[s]["noisy_n"] for s in a
     )
@@ -122,7 +122,7 @@ def test_dp_noisy_counts_mechanism(spark):
         assert r["noisy_n"] != r["true_n"]  # noise actually applied
         assert abs(r["noisy_n"] - r["true_n"]) < 15
     # epsilon scales the noise down
-    tight = {r["source"]: r for r in dp_noisy_counts(df, "source", epsilon=100.0).collect()}
+    tight = {r["source"]: r for r in dp_noisy_counts(df, "source", epsilon=100.0, include_true=True).collect()}
     assert all(abs(tight[s]["noisy_n"] - 100) <= abs(a[s]["noisy_n"] - 100) for s in a)
 
 
@@ -141,3 +141,19 @@ def test_k_anonymity_violations(spark):
     got = {(r["country"], r["segment"]): r["group_n"]
            for r in k_anonymity_violations(df, ["country", "segment"], k=5).collect()}
     assert got == {("US", "B"): 3, ("DE", "A"): 1, (None, "B"): 2}
+
+
+def test_dp_release_schema_omits_true_count_and_handles_null_key(spark):
+    """Default release schema must NOT carry the exact count (that
+    would make epsilon infinite), and a NULL group key still gets a
+    usable noisy count instead of leaking (NULL noise + exact n)."""
+    from bootcamp_stackacademy_datalake_minio_airflow_spark.operators.privacy import dp_noisy_counts
+
+    df = spark.createDataFrame(
+        [("a",)] * 10 + [(None,)] * 7, ["source"]
+    )
+    out = dp_noisy_counts(df, "source")
+    assert out.columns == ["source", "noisy_n"]
+    rows = {r["source"]: r["noisy_n"] for r in out.collect()}
+    assert set(rows) == {"a", None}
+    assert rows[None] is not None and rows[None] != 7

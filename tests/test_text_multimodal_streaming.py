@@ -548,7 +548,6 @@ def test_stream_rate_monitor_matches_batch(spark, tmp_path):
         src,
         lookback=24,
         z_cutoff=2.5,
-        checkpoint_dir=str(tmp_path / "monitor_ckpt"),
         max_files_per_trigger=2,
     )
     q.awaitTermination()
