@@ -135,28 +135,32 @@ def _ensure_loaded() -> None:
         # same 50. Displaced queries (sort_limit_topk, stats_aggregates,
         # json_extract_events, array_collect_orders,
         # events_tumbling_window) went green in r1-r3 windows and their
-        # families stay represented above. r4 rotates in the operator
-        # families new this round (all hash-gated, never
-        # driver-checked). r5 queue, in priority order:
-        # multimodal_wav_roundtrip, table_change_feed,
-        # token_cms_heavy_hitters, events_distinct_users_hll,
-        # bpe_merge_table, source_overlap_kmv, tpch_q21_shaped,
-        # bigram_pmi, events_sliding_exact, ann_batch_topk,
-        # bm25_search_topk, lm_bigram_nll, token_chunks,
-        # phrase_search (retrieval family, added late r4),
-        # sample_weighted_reservoir, events_ewma_scores,
-        # doc_length_outliers (scoring/sampling additions, late r4),
-        # graph_triangle_counts, events_rate_anomaly,
-        # orders_sampled_quantiles (graph/anomaly/sketch, late r4),
-        # events_salted_distinct_users, unpivot_roundtrip,
-        # orders_ntile_quartiles (skew/reshape breadth, late r4),
-        # curation_chunks_v2 (operator-composition gate, late r4),
-        # doc_char_entropy (char-level quality signals, late r4),
-        # basket_association_rules, event_transition_matrix
-        # (market-basket + sequence analytics, late r4),
-        # events_debounced (burst-collapse stream prep, late r4),
-        # fuzzy_name_neighbors (FastSS edit-distance join, late r4),
-        # dp_source_counts, k_anonymity_audit (privacy release, late r4).
+        # families stay represented above. r4 rotates in the six
+        # operator families new this round (below); every late-r4
+        # addition is hash-gated by the local 130/130 replica and
+        # queued for r5.
+        #
+        # r5 rotation queue, in priority order (one representative per
+        # never-window-checked family first, second variants later):
+        #   1. lm_bigram_nll          (bigram-LM quality scoring)
+        #   2. bm25_search_topk       (ranked retrieval)
+        #   3. graph_triangle_counts  (degree-oriented triangles)
+        #   4. curation_chunks_v2     (operator-composition gate)
+        #   5. sample_weighted_reservoir (weighted sampling w/o repl.)
+        #   6. events_rate_anomaly    (dense-window spike alarm)
+        #   7. fuzzy_name_neighbors   (FastSS edit-distance join)
+        #   8. events_salted_distinct_users (skew-safe distinct)
+        #   9. dp_source_counts       (seeded Laplace release)
+        #  10. multimodal_wav_roundtrip / table_change_feed /
+        #      token_cms_heavy_hitters / events_distinct_users_hll /
+        #      bpe_merge_table / source_overlap_kmv (mid-r4 families
+        #      still unchecked), then token_chunks, phrase_search,
+        #      events_ewma_scores, doc_length_outliers,
+        #      orders_sampled_quantiles, unpivot_roundtrip,
+        #      orders_ntile_quartiles, doc_char_entropy,
+        #      basket_association_rules, event_transition_matrix,
+        #      events_debounced, k_anonymity_audit, tpch_q21_shaped,
+        #      bigram_pmi, events_sliding_exact, ann_batch_topk.
         "dedup_cross_doc_ngrams",
         "embedding_pq_recall",
         "event_attribution",
