@@ -41,3 +41,44 @@ def duplicate_keys(df: DataFrame, key_cols: list[str]) -> DataFrame:
 def out_of_range(df: DataFrame, col: str, lo: float, hi: float) -> DataFrame:
     """Rows whose value falls outside [lo, hi] (NULLs not flagged)."""
     return df.filter(F.col(col).isNotNull() & ~F.col(col).between(lo, hi))
+
+
+def expectation_report(
+    df: DataFrame, expectations: dict[str, "F.Column"]
+) -> DataFrame:
+    """Declarative data-contract check (the Great-Expectations shape):
+    ``expectations`` maps a name to a boolean Column that must hold
+    per row; the report emits one row per expectation with total /
+    violating / passing counts. NULL predicate results count as
+    VIOLATIONS (an unevaluable contract is a broken contract).
+
+    ONE pass over the data: every expectation compiles to a
+    SUM(CASE ...) in a single map-side-combined aggregate — adding an
+    expectation never adds a scan. The wide 1-row aggregate unpivots
+    to the per-expectation report via a literal-array explode (no
+    second pass).
+    """
+    aggs = [F.count(F.lit(1)).cast("long").alias("__n")]
+    for name, cond in expectations.items():
+        aggs.append(
+            F.sum(
+                F.when(F.coalesce(cond, F.lit(False)), 0).otherwise(1)
+            ).cast("long").alias(f"__v_{name}")
+        )
+    wide = df.agg(*aggs)
+    packed = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("expectation"),
+                F.col("__n").alias("n_rows"),
+                F.col(f"__v_{name}").alias("n_violations"),
+            )
+            for name in expectations
+        ]
+    )
+    return wide.select(F.explode(packed).alias("r")).select(
+        F.col("r.expectation").alias("expectation"),
+        F.col("r.n_rows").alias("n_rows"),
+        F.col("r.n_violations").alias("n_violations"),
+        (F.col("r.n_rows") - F.col("r.n_violations")).alias("n_passing"),
+    )

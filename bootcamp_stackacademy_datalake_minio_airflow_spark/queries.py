@@ -159,7 +159,8 @@ def _ensure_loaded() -> None:
         #      orders_sampled_quantiles, unpivot_roundtrip,
         #      orders_ntile_quartiles, doc_char_entropy,
         #      basket_association_rules, event_transition_matrix,
-        #      events_debounced, k_anonymity_audit, tpch_q21_shaped,
+        #      events_debounced, k_anonymity_audit,
+        #      dq_expectations_lineitem, tpch_q21_shaped,
         #      bigram_pmi, events_sliding_exact, ann_batch_topk.
         "dedup_cross_doc_ngrams",
         "embedding_pq_recall",

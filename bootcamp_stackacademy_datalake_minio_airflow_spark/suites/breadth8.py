@@ -868,3 +868,53 @@ def q_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return k_anonymity_violations(
         cust, ["c_nationkey", "c_mktsegment"], k=8
     )
+
+
+@register(
+    "dq_expectations_lineitem",
+    """
+    WITH wide AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN COALESCE(l_extendedprice >= 0, FALSE)
+                           THEN 0 ELSE 1 END) AS BIGINT) AS v_price,
+             CAST(SUM(CASE WHEN COALESCE(l_discount BETWEEN 0 AND 0.6, FALSE)
+                           THEN 0 ELSE 1 END) AS BIGINT) AS v_discount,
+             CAST(SUM(CASE WHEN COALESCE(l_quantity BETWEEN 1 AND 50, FALSE)
+                           THEN 0 ELSE 1 END) AS BIGINT) AS v_quantity,
+             CAST(SUM(CASE WHEN COALESCE(l_shipdate IS NOT NULL, FALSE)
+                           THEN 0 ELSE 1 END) AS BIGINT) AS v_dates_known,
+             CAST(SUM(CASE WHEN COALESCE(l_returnflag IN ('A','N','R'), FALSE)
+                           THEN 0 ELSE 1 END) AS BIGINT) AS v_flag
+      FROM lineitem
+    )
+    SELECT 'price_non_negative' AS expectation, n AS n_rows,
+           v_price AS n_violations, n - v_price AS n_passing FROM wide
+    UNION ALL
+    SELECT 'discount_in_range', n, v_discount, n - v_discount FROM wide
+    UNION ALL
+    SELECT 'quantity_in_range', n, v_quantity, n - v_quantity FROM wide
+    UNION ALL
+    SELECT 'shipdate_known', n, v_dates_known, n - v_dates_known FROM wide
+    UNION ALL
+    SELECT 'returnflag_in_domain', n, v_flag, n - v_flag FROM wide
+    """,
+)
+def q_dq_expectations_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-contract report over lineitem
+    (functions/quality.py:expectation_report): five expectations
+    compile into ONE map-side-combined aggregate pass (n, violations,
+    passing per expectation; NULL predicate = violation). The
+    Great-Expectations shape as a single Spark job."""
+    from ..functions.quality import expectation_report
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return expectation_report(
+        li,
+        {
+            "price_non_negative": F.col("l_extendedprice") >= 0,
+            "discount_in_range": F.col("l_discount").between(0, 0.6),
+            "quantity_in_range": F.col("l_quantity").between(1, 50),
+            "shipdate_known": F.col("l_shipdate").isNotNull(),
+            "returnflag_in_domain": F.col("l_returnflag").isin("A", "N", "R"),
+        },
+    )

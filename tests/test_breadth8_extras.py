@@ -129,3 +129,31 @@ def test_transition_matrix_rows_are_stochastic(spark, sf_dir):
     out = q_event_transition_matrix(spark, sf_dir)
     sums = out.groupBy("from_type").agg(F.sum("p").alias("s")).collect()
     assert sums and all(abs(r["s"] - 1.0) < 1e-2 for r in sums)
+
+
+def test_expectation_report_single_pass_and_null_semantics(spark):
+    """Violations count correctly, NULL predicate results are
+    violations, and the whole report is ONE aggregation (no Exchange
+    per expectation)."""
+    from bootcamp_stackacademy_datalake_minio_airflow_spark.functions.quality import (
+        expectation_report,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, -5.0), (3, None)], ["id", "v"]
+    )
+    got = {r["expectation"]: r for r in expectation_report(
+        df, {"v_positive": F.col("v") > 0, "id_known": F.col("id").isNotNull()}
+    ).collect()}
+    # v > 0 is NULL for row 3 -> violation; -5 -> violation
+    assert got["v_positive"]["n_violations"] == 2
+    assert got["v_positive"]["n_passing"] == 1
+    assert got["id_known"]["n_violations"] == 0
+    assert all(r["n_rows"] == 3 for r in got.values())
+    plan = expectation_report(
+        df, {"a": F.col("v") > 0, "b": F.col("v") < 100}
+    )._jdf.queryExecution().executedPlan().toString()
+    # single-partition local input -> the two expectations must not
+    # introduce more than the one final aggregation exchange
+    assert plan.count("Exchange") <= 1
