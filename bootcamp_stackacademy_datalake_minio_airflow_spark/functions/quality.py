@@ -58,12 +58,37 @@ def expectation_report(
     to the per-expectation report via a literal-array explode (no
     second pass).
     """
+    if not expectations:
+        # degenerate-but-legal: an empty contract yields an empty
+        # report (F.array() of zero structs would fail analysis)
+        from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+        return df.sparkSession.createDataFrame(
+            [],
+            StructType(
+                [
+                    StructField("expectation", StringType()),
+                    StructField("n_rows", LongType()),
+                    StructField("n_violations", LongType()),
+                    StructField("n_passing", LongType()),
+                ]
+            ),
+        )
+    # internal aliases key by INDEX: a free-form expectation name may
+    # contain '.'/backticks, which F.col() would parse as nested-field
+    # access; the display name rides only as a literal
+    names = list(expectations)
     aggs = [F.count(F.lit(1)).cast("long").alias("__n")]
-    for name, cond in expectations.items():
+    for i, name in enumerate(names):
+        cond = expectations[name]
         aggs.append(
-            F.sum(
-                F.when(F.coalesce(cond, F.lit(False)), 0).otherwise(1)
-            ).cast("long").alias(f"__v_{name}")
+            # coalesce: SUM over zero rows is NULL, and an empty table
+            # must report 0 violations (a vacuously passing contract),
+            # not NULL
+            F.coalesce(
+                F.sum(F.when(F.coalesce(cond, F.lit(False)), 0).otherwise(1)),
+                F.lit(0),
+            ).cast("long").alias(f"__v_{i}")
         )
     wide = df.agg(*aggs)
     packed = F.array(
@@ -71,9 +96,9 @@ def expectation_report(
             F.struct(
                 F.lit(name).alias("expectation"),
                 F.col("__n").alias("n_rows"),
-                F.col(f"__v_{name}").alias("n_violations"),
+                F.col(f"__v_{i}").alias("n_violations"),
             )
-            for name in expectations
+            for i, name in enumerate(names)
         ]
     )
     return wide.select(F.explode(packed).alias("r")).select(

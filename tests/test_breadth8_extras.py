@@ -157,3 +157,20 @@ def test_expectation_report_single_pass_and_null_semantics(spark):
     # single-partition local input -> the two expectations must not
     # introduce more than the one final aggregation exchange
     assert plan.count("Exchange") <= 1
+
+
+def test_expectation_report_edge_cases(spark):
+    """Empty input -> 0 violations (vacuously passing), dotted names
+    survive, empty contract -> empty report (review findings)."""
+    from bootcamp_stackacademy_datalake_minio_airflow_spark.functions.quality import (
+        expectation_report,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(1, 2.0)], ["id", "v"]).filter(F.lit(False))
+    got = expectation_report(df, {"price.non_negative": F.col("v") >= 0}).collect()
+    assert [(r["expectation"], r["n_rows"], r["n_violations"], r["n_passing"])
+            for r in got] == [("price.non_negative", 0, 0, 0)]
+    empty = expectation_report(df, {})
+    assert empty.columns == ["expectation", "n_rows", "n_violations", "n_passing"]
+    assert empty.count() == 0
