@@ -146,3 +146,66 @@ def salted_distinct_count(
     return per_shard.groupBy(key).agg(
         F.sum("__d").cast("long").alias("n_distinct")
     )
+
+
+def winsorize(
+    df: DataFrame,
+    col: str,
+    *,
+    lower_q: float = 0.01,
+    upper_q: float = 0.99,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Clip ``col`` to its [lower_q, upper_q] quantile band — the
+    standard outlier-taming transform before statistics or model
+    features (extreme values saturate at the band edges instead of
+    dominating means/sums).
+
+    Plan: one exact-percentile aggregate (two scalars), broadcast
+    back, then a map-side clamp. NULLs pass through unclipped.
+    """
+    out = out_col or f"{col}_winsorized"
+    bounds = df.agg(
+        F.percentile(col, F.lit(lower_q)).alias("__lo"),
+        F.percentile(col, F.lit(upper_q)).alias("__hi"),
+    )
+    # explicit NULL guard: greatest/least IGNORE nulls (Postgres
+    # semantics in both Spark and DuckDB), so an unguarded clamp would
+    # turn NULL into the lower bound instead of passing it through
+    clamp = F.when(
+        F.col(col).isNotNull(),
+        F.least(F.greatest(F.col(col), F.col("__lo")), F.col("__hi")),
+    )
+    return (
+        df.crossJoin(F.broadcast(bounds))
+        .withColumn(out, clamp)
+        .drop("__lo", "__hi")
+    )
+
+
+def impute_group_mean(
+    df: DataFrame,
+    col: str,
+    group_col: str,
+    *,
+    out_col: str | None = None,
+    round_to: int = 4,
+) -> DataFrame:
+    """Fill NULLs in ``col`` with the MEAN of the row's group (the
+    group-aware imputation used in feature engineering; a group whose
+    values are all NULL stays NULL — inventing a global fallback is
+    the caller's policy decision, not this operator's).
+
+    Plan: per-group means are a tiny aggregate broadcast back; the
+    fill is map-side. Means round to ``round_to`` so imputed values
+    are reproducible cross-engine.
+    """
+    out = out_col or f"{col}_imputed"
+    means = df.groupBy(group_col).agg(
+        F.round(F.avg(col), round_to).alias("__mu")
+    )
+    return (
+        df.join(F.broadcast(means), group_col, "left")
+        .withColumn(out, F.coalesce(F.col(col), F.col("__mu")))
+        .drop("__mu")
+    )

@@ -160,8 +160,9 @@ def _ensure_loaded() -> None:
         #      orders_ntile_quartiles, doc_char_entropy,
         #      basket_association_rules, event_transition_matrix,
         #      events_debounced, k_anonymity_audit,
-        #      dq_expectations_lineitem, tpch_q21_shaped,
-        #      bigram_pmi, events_sliding_exact, ann_batch_topk.
+        #      dq_expectations_lineitem, orders_winsorized_stats,
+        #      tpch_q21_shaped, bigram_pmi, events_sliding_exact,
+        #      ann_batch_topk.
         "dedup_cross_doc_ngrams",
         "embedding_pq_recall",
         "event_attribution",

@@ -918,3 +918,36 @@ def q_dq_expectations_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
             "returnflag_in_domain": F.col("l_returnflag").isin("A", "N", "R"),
         },
     )
+
+
+@register(
+    "orders_winsorized_stats",
+    """
+    WITH bounds AS (
+      SELECT quantile_cont(o_totalprice, 0.01) AS lo,
+             quantile_cont(o_totalprice, 0.99) AS hi
+      FROM orders
+    )
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(AVG(o_totalprice), 2) AS raw_mean,
+           ROUND(AVG(least(greatest(o_totalprice, bounds.lo), bounds.hi)), 2)
+             AS winsorized_mean
+    FROM orders CROSS JOIN bounds
+    GROUP BY o_orderpriority
+    """,
+)
+def q_orders_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized vs raw mean order value per priority
+    (operators/maintenance.py:winsorize, p1/p99 band): the outlier-
+    taming transform of feature pipelines, as one percentile scalar
+    broadcast + map-side clamp + one aggregation."""
+    from ..operators.maintenance import winsorize
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = winsorize(orders, "o_totalprice", out_col="w_price")
+    return w.groupBy("o_orderpriority").agg(
+        F.count("*").cast("long").alias("n"),
+        F.round(F.avg("o_totalprice"), 2).alias("raw_mean"),
+        F.round(F.avg("w_price"), 2).alias("winsorized_mean"),
+    )

@@ -174,3 +174,36 @@ def test_expectation_report_edge_cases(spark):
     empty = expectation_report(df, {})
     assert empty.columns == ["expectation", "n_rows", "n_violations", "n_passing"]
     assert empty.count() == 0
+
+
+def test_winsorize_clamps_to_band(spark):
+    from bootcamp_stackacademy_datalake_minio_airflow_spark.operators.maintenance import winsorize
+
+    rows = [(i, float(i)) for i in range(1, 101)] + [(200, 10_000.0), (201, None)]
+    df = spark.createDataFrame(rows, ["id", "v"])
+    out = {r["id"]: r["v_winsorized"] for r in
+           winsorize(df, "v", lower_q=0.05, upper_q=0.95).collect()}
+    lo = min(x for x in out.values() if x is not None)
+    hi = max(x for x in out.values() if x is not None)
+    assert out[200] == hi and hi < 10_000.0  # outlier clamped
+    assert out[50] == 50.0                   # interior untouched
+    assert out[201] is None                  # NULL passes through
+    assert lo >= 1.0
+
+
+def test_impute_group_mean_semantics(spark):
+    from bootcamp_stackacademy_datalake_minio_airflow_spark.operators.maintenance import (
+        impute_group_mean,
+    )
+
+    rows = [
+        ("a", 10.0), ("a", 20.0), ("a", None),
+        ("b", None), ("b", None),   # all-NULL group stays NULL
+        ("c", 7.0),
+    ]
+    df = spark.createDataFrame(rows, ["g", "v"])
+    got = [(r["g"], r["v"], r["v_imputed"]) for r in
+           impute_group_mean(df, "v", "g").orderBy("g", "v").collect()]
+    assert ("a", None, 15.0) in got
+    assert ("b", None, None) in got
+    assert ("c", 7.0, 7.0) in got
