@@ -161,8 +161,8 @@ def _ensure_loaded() -> None:
         #      basket_association_rules, event_transition_matrix,
         #      events_debounced, k_anonymity_audit,
         #      dq_expectations_lineitem, orders_winsorized_stats,
-        #      tpch_q21_shaped, bigram_pmi, events_sliding_exact,
-        #      ann_batch_topk.
+        #      events_imputed_values, tpch_q21_shaped, bigram_pmi,
+        #      events_sliding_exact, ann_batch_topk.
         "dedup_cross_doc_ngrams",
         "embedding_pq_recall",
         "event_attribution",

@@ -951,3 +951,49 @@ def q_orders_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("o_totalprice"), 2).alias("raw_mean"),
         F.round(F.avg("w_price"), 2).alias("winsorized_mean"),
     )
+
+
+def _impute_oracle() -> str:
+    from .extensions import _hex_fold
+
+    fold = _hex_fold("md5('mask' || CAST(event_id AS VARCHAR))")
+    return f"""
+    WITH masked AS (
+      SELECT event_type,
+             CASE WHEN {fold} < 429496729 THEN NULL ELSE value END AS v
+      FROM events
+    ), mu AS (
+      SELECT event_type, ROUND(AVG(v), 4) AS mu FROM masked GROUP BY event_type
+    )
+    SELECT m.event_type,
+           CAST(SUM(CASE WHEN m.v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_masked,
+           ROUND(AVG(COALESCE(m.v, mu.mu)), 4) AS mean_imputed
+    FROM masked m JOIN mu ON m.event_type = mu.event_type
+    GROUP BY m.event_type
+    """
+
+
+@register("events_imputed_values", _impute_oracle())
+def q_events_imputed_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-mean imputation hard-gated end to end
+    (operators/maintenance.py:impute_group_mean): ~10% of event values
+    are masked to NULL by a deterministic md5 draw (replayable in the
+    oracle), imputed with their event type's mean, and the per-type
+    masked-count + post-imputation mean must hash-match DuckDB's
+    replay of the same mask + fill."""
+    from ..operators.maintenance import impute_group_mean
+    from ..operators.sampling import _draw
+
+    ev = load_table(spark, sf_dir, "events")
+    u_int = F.conv(_draw(F.col("event_id"), "mask"), 16, 10).cast("long")
+    masked = ev.select(
+        "event_type",
+        F.when(u_int < 429496729, F.lit(None)).otherwise(F.col("value")).alias("v"),
+    )
+    imp = impute_group_mean(masked, "v", "event_type")
+    return imp.groupBy("event_type").agg(
+        F.sum(F.when(F.col("v").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_masked"),
+        F.round(F.avg("v_imputed"), 4).alias("mean_imputed"),
+    )
