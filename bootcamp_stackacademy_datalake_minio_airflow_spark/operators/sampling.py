@@ -176,6 +176,11 @@ def weighted_reservoir_topn(
 
     Rows with weight <= 0 are excluded (zero-weight rows cannot be
     sampled; ln(u)/w flips sign for negatives).
+
+    The emitted ``weight`` column keeps the source column's NATIVE
+    type (the ranking key uses a double internally) — an earlier
+    revision cast it to long, silently truncating fractional weights
+    in the output while ranking by the true value (ADVICE r4).
     """
     u_int = F.conv(_draw(F.col(key_col), salt), 16, 10).cast("long")
     u = (u_int + F.lit(1.0)) / F.lit(float(_PREFIX_SPACE))  # (0, 1]
@@ -185,7 +190,7 @@ def weighted_reservoir_topn(
         df.filter(w > 0)
         .select(
             F.col(key_col),
-            w.cast("long").alias("weight"),
+            F.col(weight_col).alias("weight"),
             key.alias("_k"),
         )
         .orderBy(F.col("_k").desc(), F.col(key_col))

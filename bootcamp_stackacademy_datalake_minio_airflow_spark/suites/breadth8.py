@@ -4,9 +4,15 @@ scoring (the CCNet-style perplexity-filter shape), fixed-window token
 chunking for training sequences, and positional phrase search.
 
 Oracle notes:
-- Scores are ROUNDed to 4 on both sides before any sort/compare so
-  double summation order cannot flip a hash; BM25's LIMIT ties break
-  on doc_id in both engines.
+- Scores are ROUNDed to 4 on both sides before any sort/compare,
+  which makes a hash flip from double summation order UNLIKELY, not
+  impossible: sums accumulated in different orders can still land on
+  opposite sides of a 4dp rounding boundary (ADVICE r4). Accepted
+  residual risk — the summand counts here are small (≤ a few hundred
+  per group at gate SF) and the gate has never flipped across r1-r5;
+  a flip would show as a one-off hash_match=false with rows/schema
+  green, and the fix is sorting summands deterministically for that
+  query. BM25's LIMIT ties break on doc_id in both engines.
 - DuckDB lists are 1-based and ``t[i:j]`` slices are inclusive;
   Spark arrays are 0-based with 1-based ``slice``/``element_at`` —
   each oracle below mirrors the exact offset convention of its Spark
@@ -190,7 +196,7 @@ def _wrs_oracle() -> str:
     fold = _hex_fold("md5('wrs' || CAST(doc_id AS VARCHAR))")
     return f"""
     WITH keyed AS (
-      SELECT doc_id, CAST(n_chars AS BIGINT) AS weight,
+      SELECT doc_id, n_chars AS weight,
              ln(({fold} + 1.0) / 4294967296.0) / n_chars AS k
       FROM documents WHERE n_chars > 0
     )
@@ -816,7 +822,13 @@ def q_fuzzy_name_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _dp_oracle() -> str:
     from .extensions import _hex_fold
 
-    fold = _hex_fold("md5('dp' || source)")
+    # mirror dp_noisy_counts' NULL-group sentinel ('\x00null'): a bare
+    # md5('dp' || source) is NULL for NULL source, which would emit
+    # NULL noisy_n and cross-engine-mismatch the Spark side's sentinel
+    # draw (ADVICE r4)
+    fold = _hex_fold(
+        "md5('dp' || COALESCE(CAST(source AS VARCHAR), chr(0) || 'null'))"
+    )
     return f"""
     WITH counts AS (
       SELECT source, CAST(COUNT(*) AS BIGINT) AS true_n

@@ -51,3 +51,24 @@ def test_value_hash_sensitive_to_duplicates_and_nulls():
     assert vh([(1,), (1,)], order) != vh([(1,)], order), "multiset, not set"
     assert vh([(None,)], order) != vh([(0,)], order)
     assert vh([("",)], order) != vh([(None,)], order)
+
+
+def test_priority_window_guard():
+    """VERDICT r4 ask #3: the 50-slot driver window is hand-maintained;
+    a typo'd rotation would silently sort a family out of the window
+    with no failure. Pin: exactly 50 entries, every name resolves in
+    the registry, no duplicates, and the registry iteration order
+    actually starts with the priority block."""
+    from bootcamp_stackacademy_datalake_minio_airflow_spark import queries as q
+
+    names = list(q.queries())
+    assert len(q.PRIORITY) == 50
+    assert len(set(q.PRIORITY)) == 50, "duplicate name in PRIORITY"
+    dangling = [n for n in q.PRIORITY if n not in names]
+    assert not dangling, f"PRIORITY names missing from registry: {dangling}"
+    assert names[:50] == q.PRIORITY, "registry prefix != PRIORITY"
+    # every in-window query must be hash-gated (oracle-bearing): a
+    # rows-only query in the window wastes a hard-gate slot
+    oracles = q.oracle_sql()
+    rows_only = [n for n in q.PRIORITY if n not in oracles]
+    assert not rows_only, f"rows-only queries occupy window slots: {rows_only}"
