@@ -160,7 +160,10 @@ def pagerank(
 
 
 def triangle_counts(
-    edges: DataFrame, broadcast_edge_budget: int = 5_000_000
+    edges: DataFrame,
+    broadcast_edge_budget: int = 5_000_000,
+    edges_canonical: bool = False,
+    edge_count_hint: int | None = None,
 ) -> DataFrame:
     """Per-node triangle counts over an undirected graph given as a
     (src, dst) edge list (either or both directions; self-loops and
@@ -200,14 +203,21 @@ def triangle_counts(
     # both so the co-occurrence build (the expensive part) runs once,
     # not five times. The degree table is |V| rows — broadcast it so
     # orientation adds no exchange.
-    und = (
-        edges.select(
+    #
+    # ``edges_canonical``: a caller that KNOWS its edge stream already
+    # carries each undirected edge in one orientation only (e.g. a
+    # src<dst pre-filter on a symmetric co-occurrence stream) skips
+    # the least/greatest canonicalization — and, more importantly, has
+    # already HALVED the dedup exchange's input map-side. For a
+    # both-directions stream the distinct otherwise shuffles 2|E| rows
+    # to keep |E|.
+    if edges_canonical:
+        canon = edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+    else:
+        canon = edges.select(
             F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
         )
-        .filter(F.col("u") < F.col("v"))
-        .distinct()
-        .cache()
-    )
+    und = canon.filter(F.col("u") < F.col("v")).distinct().cache()
     # regime decision up front (the count fills und's cache): the
     # broadcast hints — degree table for orientation, adjacency for
     # the intersection — are only legal under the budget. |V| <= 2|E|,
@@ -216,7 +226,16 @@ def triangle_counts(
     # spillable shuffle joins (found in review: the degree broadcast
     # used to be unconditional, collecting |V| rows to the driver on
     # the very graphs the scale path exists for).
-    small = und.count() <= broadcast_edge_budget
+    # ``edge_count_hint`` must be a true UPPER bound on |E| (callers
+    # can assert one cheaply, e.g. rows-in x max-group-size for a
+    # bounded-group co-occurrence build). When the bound already fits
+    # the budget the probe job is skipped and the cache fills under
+    # the first real consumer; an over-estimate merely falls back to
+    # the probe, so a conservative bound is always safe.
+    if edge_count_hint is not None and edge_count_hint <= broadcast_edge_budget:
+        small = True
+    else:
+        small = und.count() <= broadcast_edge_budget
     hint = F.broadcast if small else (lambda df: df)
     deg = (
         und.select(F.col("u").alias("n"))

@@ -302,8 +302,18 @@ def q_graph_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.graph import cooccurrence_edges, triangle_counts
 
     li = load_table(spark, sf_dir, "lineitem")
+    # src<dst keeps one orientation of the symmetric co-occurrence
+    # stream map-side, halving the dedup exchange (edges_canonical
+    # skips the then-redundant least/greatest). The edge-count hint is
+    # a true upper bound — sum over orders of C(items,2) <= rows * 3
+    # for <=7-item orders — computed from the parquet metadata count,
+    # and skips triangle_counts' regime-probe job when it fits the
+    # broadcast budget.
+    edges = cooccurrence_edges(li, "l_orderkey", "l_partkey", dedup=False)
     return triangle_counts(
-        cooccurrence_edges(li, "l_orderkey", "l_partkey", dedup=False)
+        edges.filter(F.col("src") < F.col("dst")),
+        edges_canonical=True,
+        edge_count_hint=li.count() * 3,
     )
 
 
