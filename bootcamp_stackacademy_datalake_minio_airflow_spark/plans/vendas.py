@@ -58,6 +58,7 @@ def build_vendas(
     renames: Mapping[str, str] = VENDAS_RENAMES,
     round_payments_to: int | None = None,
     broadcast_dims: bool = True,
+    strict_payment_types: bool = True,
 ) -> DataFrame:
     """Star denormalization with the reference's exact semantics.
 
@@ -76,6 +77,32 @@ def build_vendas(
     products_p = products.select("product_id", "product_category_name")
     customers_p = customers.select("customer_id", "customer_city", "customer_state")
     payments_p = order_payments.select("order_id", "payment_type", "payment_value")
+
+    # SURVEY §7.3 "fail loudly on new payment types": a pinned pivot
+    # silently DROPS rows whose type isn't in the value list — a new
+    # payment method would vanish from revenue totals with no signal.
+    # The guard is a lazy poison pill (raise_error in the pivot input
+    # expression): zero extra passes, evaluated row-by-row on the
+    # executors, so ANY task that meets an unknown (or NULL) type
+    # fails the job with the offending value in the message.
+    if strict_payment_types:
+        payments_p = payments_p.withColumn(
+            "payment_type",
+            F.when(
+                F.col("payment_type").isin(list(payment_types)),
+                F.col("payment_type"),
+            ).otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            "unknown payment_type (not in pinned pivot "
+                            "values): "
+                        ),
+                        F.coalesce(F.col("payment_type"), F.lit("NULL")),
+                    )
+                )
+            ),
+        )
 
     # pivot-sum (reference :91-92) with pinned value list
     pay_pivot = pivot_sum(

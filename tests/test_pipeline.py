@@ -264,3 +264,78 @@ def test_all_eight_tables_ingest(spark, lake):
     # geolocation types survived: lat/lng are doubles
     geo = read_parquet(spark, f"{lake}/silver/olist/geolocation/")
     assert dict(geo.dtypes)["geolocation_lat"] == "double"
+
+
+# --- negative paths (VERDICT r4 ask #7: pin the loud-failure behavior
+# the reference mishandles, SURVEY §7.3) ------------------------------
+
+# r3 has a non-integer review_score: the pinned schema can't parse it,
+# so the WHOLE raw line must land in quarantine, not be silently
+# nulled into silver. r4 is clean and must survive.
+BAD_REVIEWS_CSV = '''review_id,order_id,review_score,review_comment_title,review_comment_message,review_creation_date,review_answer_timestamp
+r1,o1,5,"otimo","chegou antes do prazo,
+recomendo",2017-10-11 00:00:00,2017-10-12 03:43:48
+r3,o2,five stars,,,2018-08-15 00:00:00,2018-08-15 04:10:00
+r4,o2,4,,,2018-08-16 00:00:00,2018-08-16 04:10:00
+'''
+
+
+def test_corrupt_review_line_quarantined(spark, tmp_path):
+    d = tmp_path / "bronze" / "olist" / "order_reviews"
+    os.makedirs(d)
+    (d / "order_reviews.csv").write_text(BAD_REVIEWS_CSV)
+    qdir = str(tmp_path / "quarantine" / "order_reviews")
+
+    clean = bronze_to_silver(
+        spark,
+        "order_reviews",
+        base=str(tmp_path),
+        quarantine_path=qdir,
+    )
+    silver = read_parquet(spark, f"{tmp_path}/silver/olist/order_reviews/")
+    assert {r.review_id for r in silver.collect()} == {"r1", "r4"}
+    assert clean.count() == 2
+    # the reject table holds exactly the corrupt raw line, uncut
+    quarantined = read_parquet(spark, qdir).collect()
+    assert len(quarantined) == 1
+    assert "five stars" in quarantined[0].raw_line
+
+
+def test_unknown_payment_type_fails_loudly(spark):
+    """A pinned pivot silently drops unlisted types; build_vendas'
+    strict guard must instead fail the job with the offending value
+    in the message (SURVEY §7.3 'fail loudly on new ones')."""
+    from bootcamp_stackacademy_datalake_minio_airflow_spark.plans.vendas import build_vendas
+
+    items = spark.createDataFrame(
+        [("o1", "p1", 10.0, 1.0)],
+        "order_id string, product_id string, price double, freight_value double",
+    )
+    orders = spark.createDataFrame(
+        [("o1", "c1", datetime.datetime(2017, 10, 2))],
+        "order_id string, customer_id string, order_purchase_timestamp timestamp",
+    )
+    products = spark.createDataFrame(
+        [("p1", "cool_stuff")], "product_id string, product_category_name string"
+    )
+    customers = spark.createDataFrame(
+        [("c1", "sp", "SP")],
+        "customer_id string, customer_city string, customer_state string",
+    )
+    payments = spark.createDataFrame(
+        [("o1", "pix", 10.0)],  # 'pix' is not a pinned payment type
+        "order_id string, payment_type string, payment_value double",
+    )
+
+    df = build_vendas(items, orders, products, customers, payments)
+    with pytest.raises(Exception, match="unknown payment_type.*pix"):
+        df.collect()
+
+    # contrast pin: with the guard off, the row vanishes SILENTLY from
+    # every payment column — the failure mode the guard exists to stop
+    lax = build_vendas(
+        items, orders, products, customers, payments,
+        strict_payment_types=False,
+    ).collect()
+    assert len(lax) == 1
+    assert lax[0].VALOR_BOLETO == 0.0 and lax[0].VALOR_CREDITO == 0.0
