@@ -855,3 +855,29 @@ def cross_doc_ngram_stats(
             F.round(F.col("n_shared") / F.col("n_grams"), 4).alias("shared_ratio"),
         )
     )
+
+
+def incremental_dedup_new(
+    new_df,
+    corpus_df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Incremental ingest dedup: keep only the NEW batch's docs whose
+    normalized-content fingerprint does not already exist in the
+    corpus — the daily-crawl-vs-lake operation (full-corpus re-dedup
+    per ingest is the thing that does NOT survive 100 TB; an anti-join
+    of |batch| against a fingerprint index does).
+
+    Emits the surviving new rows as ``(id, fp)``. LEFT ANTI join on
+    the md5 fingerprint: the corpus side projects to the single
+    fingerprint column (column pruning reaches the scan), and at scale
+    the fingerprint index would be a bucketed table so the anti-join
+    is exchange-free on the batch side only. Batch-internal
+    duplicates are kept (dedup within the batch is exact_dedup's job;
+    this operator answers only "is it already in the lake").
+    """
+    fp = F.md5(normalize_text(text_col)).alias("fp")
+    new_fps = new_df.select(F.col(id_col).alias("id"), fp)
+    corpus_fps = corpus_df.select(fp)
+    return new_fps.join(corpus_fps, "fp", "left_anti").select("id", "fp")

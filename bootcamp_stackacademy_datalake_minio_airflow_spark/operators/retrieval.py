@@ -25,7 +25,7 @@ Scale design (100 TB posture):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .dedup import normalize_text
@@ -307,4 +307,60 @@ def phrase_positions(
             F.size("ps").cast("long").alias("n_matches"),
             F.element_at("ps", 1).cast("long").alias("first_pos"),
         )
+    )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    k: int = 5,
+    round_to: int = 4,
+) -> DataFrame:
+    """Top-k characteristic terms per group by tf-idf (tf = term
+    occurrences in the group's docs, idf = ln(N / df) over documents)
+    — the classic "what is this source about" curation summary,
+    complementing BM25 (per-query ranking) and term-lift (frequency
+    ratio).
+
+    Emits ``(group, term, tf, score)``, k rows per group, ties broken
+    on term. Shape: explode once, aggregate (group, term) tf and
+    per-term doc frequency from the SAME exploded pass via two
+    cascaded aggs, join on term (tf table and df table are both
+    vocabulary-sized — orders of magnitude smaller than the corpus),
+    then one window top-k per group. ln(N/df) divides inside the log
+    on both engines; score multiplies tf AFTER, so the double is
+    bit-identical before ROUND.
+    """
+    pairs = (
+        df.select(
+            F.col(id_col).alias("__id"),
+            F.col(group_col).alias("grp"),
+            F.explode(_toks(text_col)).alias("term"),
+        )
+        .filter(F.col("term") != "")
+    )
+    n_docs = df.select(F.count("*").cast("double").alias("__n"))
+    tf = pairs.groupBy("grp", "term").agg(
+        F.count("*").cast("long").alias("tf")
+    )
+    dfreq = pairs.groupBy("term").agg(
+        F.count_distinct("__id").cast("double").alias("__df")
+    )
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "grp",
+            "term",
+            "tf",
+            (F.col("tf") * F.log(F.col("__n") / F.col("__df"))).alias("__s"),
+        )
+    )
+    w = Window.partitionBy("grp").orderBy(F.desc("__s"), F.col("term"))
+    return (
+        scored.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .select("grp", "term", "tf", F.round("__s", round_to).alias("score"))
     )

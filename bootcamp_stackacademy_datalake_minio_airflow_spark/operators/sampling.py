@@ -204,3 +204,78 @@ def weighted_reservoir_topn(
             (F.round(F.col("_k"), 4) + F.lit(0.0)).alias("sample_key"),
         )
     )
+
+
+def mixture_temperature_rates(
+    df: DataFrame,
+    group_col: str,
+    *,
+    alpha: float = 0.5,
+    round_to: int = 6,
+) -> DataFrame:
+    """Temperature-scaled mixture weights per group — the standard
+    multilingual/multi-source training-mix recipe (sample source s
+    with probability proportional to ``n_s^alpha``; alpha < 1 upweights
+    small sources, alpha = 1 is natural sampling).
+
+    Emits ``(group, n_docs, weight)`` with weights summing to 1.
+    Shape: one map-side-combined count aggregation, then the
+    normalizing constant joins back as a broadcast scalar — the
+    |groups|-row table never leaves the executors, no window over the
+    full corpus. The downstream consumer pairs this with
+    ``hash_sample(df, key, rate_of_group)`` per group for the actual
+    draw.
+    """
+    counts = df.groupBy(group_col).agg(F.count("*").cast("long").alias("n_docs"))
+    scaled = counts.withColumn("__s", F.pow(F.col("n_docs").cast("double"), alpha))
+    total = scaled.agg(F.sum("__s").alias("__z"))
+    return (
+        scaled.crossJoin(F.broadcast(total))
+        .select(
+            group_col,
+            "n_docs",
+            F.round(F.col("__s") / F.col("__z"), round_to).alias("weight"),
+        )
+    )
+
+
+def shuffle_order_topk(
+    df: DataFrame,
+    key_col: str,
+    n: int,
+    *,
+    salt: str = "shuf",
+) -> DataFrame:
+    """First ``n`` rows of a deterministic GLOBAL training shuffle:
+    every row's epoch position is rank-by-md5(salt ‖ key) — the
+    standard "shuffle the corpus once per epoch" operation, but
+    reproducible across runs, engines, and partitionings (unlike
+    ``df.orderBy(rand())``).
+
+    Emits ``(key, position)`` (1-based) for the first n rows. The
+    registered top-n form executes as TakeOrderedAndProject (partial
+    top-n per partition, single n-row merge — no full sort); a full
+    epoch materialization at scale would instead range-partition on
+    the same draw and write sorted-within-partition files, which is
+    one total-sort shuffle — still the minimum possible.
+
+    Ties (two keys with equal 8-hex draws) break on the key itself, so
+    the order is total on distinct keys.
+
+    Order of operations matters at scale: the LIMIT runs FIRST
+    (TakeOrderedAndProject — per-partition partial top-n, one n-row
+    merge), and only the n survivors see the global row_number window
+    — a row_number over the un-limited order would single-partition
+    the whole corpus.
+    """
+    d = _draw(F.col(key_col), salt)
+    top = (
+        df.select(F.col(key_col), d.alias("__d"))
+        .orderBy("__d", key_col)
+        .limit(n)
+    )
+    w = Window.orderBy("__d", F.col(key_col))
+    return (
+        top.withColumn("position", F.row_number().over(w).cast("long"))
+        .select(key_col, "position")
+    )

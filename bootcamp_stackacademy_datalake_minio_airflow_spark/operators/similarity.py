@@ -837,3 +837,99 @@ def pq_seeded_recall(
             "recall",
         )
     )
+
+
+def int8_quantize_stats(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Per-vector symmetric int8 quantization audit — the 4x storage
+    reduction step of an embedding lake (float32 -> int8 with one
+    fp scale per vector).
+
+    Emits ``(id, scale, q_sum, q_l2)``: the dequantization scale
+    (max|x| / 127) and two integer checksums of the quantized codes,
+    enough for an independent engine to verify every code path
+    bit-for-bit without hashing an array cell. Quantization uses
+    floor(x/scale + 0.5) — written EXACTLY that way on both engines so
+    the rounding convention is the bit-identical double expression,
+    not each engine's round() tie rule. Pure map-side codegen: no
+    shuffle, no UDF; zero vectors emit scale 0 with all-zero codes
+    (guarded division).
+    """
+    v = F.col(vec_col)
+    amax = F.array_max(F.transform(v, lambda x: F.abs(x.cast("double"))))
+    scale = amax / F.lit(127.0)
+    q = F.transform(
+        v,
+        lambda x: F.when(amax == 0, F.lit(0.0)).otherwise(
+            F.floor(x.cast("double") / scale + F.lit(0.5))
+        ),
+    )
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.round(scale, 8).alias("scale"),
+        F.aggregate(q, F.lit(0.0), lambda a, x: a + x)
+        .cast("long")
+        .alias("q_sum"),
+        F.aggregate(q, F.lit(0.0), lambda a, x: a + x * x)
+        .cast("long")
+        .alias("q_l2"),
+    )
+
+
+def _jl_signs(out_dims: int, in_dims: int, seed: str = "jl") -> list[list[int]]:
+    """Deterministic ±1 Johnson–Lindenstrauss projection matrix from
+    md5 — generated DRIVER-side at plan-build time (hashlib md5 is
+    engine-independent), embedded as literals, so any engine replays
+    the projection from (seed, dims) alone."""
+    import hashlib
+
+    return [
+        [
+            1 if hashlib.md5(f"{seed}:{j}:{i}".encode()).digest()[0] % 2 == 0 else -1
+            for i in range(in_dims)
+        ]
+        for j in range(out_dims)
+    ]
+
+
+def random_projection(
+    df: DataFrame,
+    in_dims: int,
+    out_dims: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: str = "jl",
+    round_to: int = 4,
+) -> DataFrame:
+    """Johnson–Lindenstrauss random projection to ``out_dims``
+    dimensions with a seeded ±1 matrix (Achlioptas' database-friendly
+    variant, public knowledge): distances are preserved within
+    (1 ± eps) with high probability, and a ±1 matrix needs no float
+    matrix storage — the whole transform is add/subtract codegen.
+
+    Emits ``(id, p0..p{out_dims-1})`` as rounded doubles, one flat
+    column per output dim (array cells don't cross the value-hash
+    gate; columns do). Each p_j is a chained left-to-right ±x_i sum —
+    the SAME association order an oracle writes down, so the doubles
+    are bit-identical before ROUND. Map-only: no shuffle, no UDF, and
+    at 100 TB this is the cheapest way to shrink an embedding lake
+    before LSH/IVF indexing.
+    """
+    signs = _jl_signs(out_dims, in_dims, seed)
+    inv = 1.0 / math.sqrt(float(out_dims))
+    cols = [F.col(id_col).alias("id")]
+    for j in range(out_dims):
+        expr = None
+        for i, s in enumerate(signs[j]):
+            term = F.element_at(F.col(vec_col), i + 1).cast("double")
+            term = term if s > 0 else (-term)
+            expr = term if expr is None else expr + term
+        # + 0.0 normalizes IEEE negative zero after rounding (a
+        # projection in (-5e-5, 0] rounds to -0.0 vs 0.0 per engine)
+        cols.append(
+            (F.round(expr * F.lit(inv), round_to) + F.lit(0.0)).alias(f"p{j}")
+        )
+    return df.select(*cols)

@@ -350,3 +350,112 @@ def debounce_events(
         .filter(F.col(tmp).isNull() | (F.col(tmp) >= quiet_seconds))
         .drop(tmp)
     )
+
+
+def funnel_stage_counts(
+    events: DataFrame,
+    stages: list[str],
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered-funnel analysis: how many users reached stage k — i.e.
+    performed stages[0], then STRICTLY LATER stages[1], then strictly
+    later stages[2], ... (the classic view -> click -> purchase
+    conversion funnel).
+
+    Emits ``(stage_idx, stage, n_users)``, one row per stage.
+
+    Shape: one aggregation per stage, each co-partitioned on the user
+    key — after the first groupBy establishes hash(user) partitioning,
+    every later join + groupBy reuses that exchange, so k stages cost
+    one corpus shuffle plus (k-1) |users|-row joins, not k corpus
+    shuffles. Timestamps compare at SECOND granularity ("strictly
+    later" = a later epoch second): cross-engine sub-second tie
+    semantics differ (parquet ns vs Spark µs truncation), and funnel
+    causality below one second is noise anyway.
+    """
+    ev = events.select(
+        F.col(user_col).alias("__u"),
+        F.unix_seconds(F.col(ts_col).cast("timestamp")).alias("__s"),
+        F.col(type_col).alias("__t"),
+    )
+    reached = ev.filter(F.col("__t") == stages[0]).groupBy("__u").agg(
+        F.min("__s").alias("__prev")
+    )
+
+    def stage_row(i: int, stage: str, users: DataFrame) -> DataFrame:
+        return users.agg(F.count("*").cast("long").alias("n_users")).select(
+            F.lit(i).cast("long").alias("stage_idx"),
+            F.lit(stage).alias("stage"),
+            "n_users",
+        )
+
+    # fully lazy: one plan, no driver-side counting loop. Each stage's
+    # branch shares the previous stages' subplan, which Spark
+    # deduplicates via exchange reuse (identical child plans -> one
+    # shuffle write, k reads).
+    out = stage_row(0, stages[0], reached)
+    for i, stage in enumerate(stages[1:], start=1):
+        reached = (
+            ev.filter(F.col("__t") == stage)
+            .join(reached, "__u")
+            .filter(F.col("__s") > F.col("__prev"))
+            .groupBy("__u")
+            .agg(F.min("__s").alias("__prev"))
+        )
+        out = out.unionAll(stage_row(i, stage, reached))
+    return out
+
+
+def hour_of_day_baseline(
+    events: DataFrame,
+    *,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    round_to: int = 4,
+) -> DataFrame:
+    """Seasonal (hour-of-day) traffic baseline per event type: the
+    mean hourly event count for each (type, hour-of-day) cell and its
+    lift over the type's all-hours mean — the denominator a
+    rate-anomaly monitor needs to avoid paging on the 9am ramp every
+    day.
+
+    Emits ``(event_type, hod, n_hours, avg_n, lift)``. Two cascaded
+    aggregations (hourly counts -> hod means); the second input is
+    |types| x |hours| rows, so everything past the first shuffle is
+    trivial. Hours with zero events are absent from the hourly counts
+    and therefore from the baseline's denominator — callers needing
+    dense baselines should densify first (see rate_anomalies'
+    generate_series pattern).
+    """
+    hourly = events.groupBy(
+        F.col(type_col).alias("event_type"),
+        F.date_trunc("hour", F.col(ts_col)).alias("__h"),
+    ).agg(F.count("*").cast("long").alias("__n"))
+    by_hod = hourly.groupBy(
+        "event_type", F.hour("__h").cast("long").alias("hod")
+    ).agg(
+        F.count("*").cast("long").alias("n_hours"),
+        F.sum("__n").alias("__tot"),
+    )
+    # per-type mean hourly volume: the lift denominator. One more agg
+    # over the tiny by-hod table, broadcast back.
+    overall = by_hod.groupBy("event_type").agg(
+        (F.sum("__tot") / F.sum("n_hours")).alias("__mean")
+    )
+    # multiply-then-single-divide so both engines produce the
+    # bit-identical double before ROUND (cross-engine float split)
+    return (
+        by_hod.join(F.broadcast(overall), "event_type")
+        .select(
+            "event_type",
+            "hod",
+            "n_hours",
+            F.round(F.col("__tot") / F.col("n_hours"), round_to).alias("avg_n"),
+            F.round(
+                F.col("__tot") / (F.col("n_hours") * F.col("__mean")), round_to
+            ).alias("lift"),
+        )
+    )

@@ -381,3 +381,36 @@ def char_stats(
         ).alias("space_ratio"),
     )
     return ratios.join(ent, id_col, "left")
+
+
+def blocklist_stats(
+    df,
+    text_col: str,
+    group_col: str,
+    blocklist: list[str],
+) -> "DataFrame":
+    """C4-style blocklist filtering audit: per group, how many docs
+    contain >= 1 blocklisted token and how many blocked-token hits
+    occur in total (the keep/drop accounting a curation run reports
+    before committing a filter).
+
+    Token-level matching (not substring): "class" must not trip a
+    blocklist entry "ass". One map-side pass — tokenize once, count
+    membership with a literal-array filter, aggregate; zero joins,
+    zero shuffles beyond the final group agg, blocklist lives in the
+    codegen'd plan (fine for word lists; a million-entry blocklist
+    would broadcast-join a lookup table instead).
+    """
+    toks = tokens(text_col)
+    hits = F.size(F.filter(toks, lambda t: t.isin(*blocklist)))
+    per_doc = df.select(
+        F.col(group_col),
+        F.when(F.length(F.trim(F.col(text_col))) == 0, F.lit(0))
+        .otherwise(hits)
+        .alias("__hits"),
+    )
+    return per_doc.groupBy(group_col).agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum((F.col("__hits") > 0).cast("long")).cast("long").alias("n_blocked_docs"),
+        F.sum("__hits").cast("long").alias("n_hits"),
+    )

@@ -71,8 +71,13 @@ def oracle_sql() -> dict[str, str]:
 #: basket_association_rules, event_transition_matrix,
 #: events_debounced, k_anonymity_audit, dq_expectations_lineitem,
 #: orders_winsorized_stats, events_imputed_values, tpch_q21_shaped,
-#: bigram_pmi, events_sliding_exact, ann_batch_topk, plus anything
-#: registered new in r5.
+#: bigram_pmi, events_sliding_exact, ann_batch_topk, plus the ten
+#: families registered new in r5: fuzzy_name_neighbors_k2,
+#: mixture_temperature_weights, training_shuffle_topk,
+#: blocklist_filter_stats, incremental_dedup_new_batch,
+#: embedding_int8_quantize, embedding_random_projection,
+#: tfidf_top_source_terms, events_funnel_conversion,
+#: events_hour_baseline.
 PRIORITY = [
     # -- reference parity (the deliverable) --
     "vendas_flagship",
@@ -155,6 +160,7 @@ def _ensure_loaded() -> None:
         breadth6,
         breadth7,
         breadth8,
+        breadth9,
         extensions,
     )
 
