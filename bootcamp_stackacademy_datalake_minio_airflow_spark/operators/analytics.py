@@ -1,0 +1,115 @@
+"""Analytical operators with no reference counterpart (the reference,
+DavidSLeite/Bootcamp_StackAcademy_Datalake_Minio_Airflow, is a medallion ETL over Olist CSVs —
+src/ingestion_*.py — and has no skyline or change-point support):
+2-D Pareto-front (skyline) extraction and binary-segmentation
+change-point detection, both expressed as sort + window plans so
+Catalyst keeps them in whole-stage codegen with a single shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def pareto_front_2d(df: DataFrame, cost_col: str, gain_col: str) -> DataFrame:
+    """Rows NOT dominated in the (minimize ``cost_col``, maximize
+    ``gain_col``) sense: a row is dominated iff another row has
+    cost <= its cost AND gain >= its gain with at least one strict.
+    Ties on both axes survive together (neither dominates).
+
+    Classic skyline operator, reduced to sort + prefix-max instead of
+    the O(n^2) dominance test:
+
+    1. per distinct cost keep the max gain (anything below the max at
+       the same cost is dominated by it) — a distributed hash agg;
+    2. over distinct costs ascending, a point survives iff its max
+       gain strictly exceeds the running max over all STRICTLY
+       cheaper costs (rows frame ending 1 PRECEDING on the
+       one-row-per-cost table = strict prefix);
+    3. semi-join the tiny surviving front back to the full table on
+       (cost, gain) to recover every tied original row.
+
+    Scale: the only global step is the window over DISTINCT costs,
+    which step 1 has already collapsed (and at 100 TB a local
+    per-partition skyline would shrink further before the agg); the
+    back-join broadcasts the front, which is at most
+    |distinct costs| rows.
+    """
+    per_cost = df.groupBy(cost_col).agg(F.max(gain_col).alias("__best"))
+    w = (
+        Window.orderBy(cost_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    front = (
+        per_cost.withColumn("__prev", F.max("__best").over(w))
+        .filter(F.col("__prev").isNull() | (F.col("__best") > F.col("__prev")))
+        .select(F.col(cost_col), F.col("__best").alias(gain_col))
+    )
+    return df.join(F.broadcast(front), [cost_col, gain_col], "left_semi")
+
+
+def changepoint_binary_split(
+    df: DataFrame,
+    group_col: str,
+    ts_col: str = "ts",
+    round_to: int = 4,
+) -> DataFrame:
+    """First-split binary-segmentation change-point per group over the
+    HOURLY event-count series: the boundary t maximizing
+    |mean(counts[..t]) - mean(counts[t+1..])|. The standard first step
+    of binary segmentation (public knowledge; CUSUM's recursive form
+    is not window-expressible, this split-score form is).
+
+    Emits one row per group: ``(group, split_epoch, n_pre, n_post,
+    pre_mean, post_mean, delta)`` where ``split_epoch`` is the last
+    hour of the pre-segment (epoch seconds).
+
+    All inputs to the ranking key are integer prefix sums divided
+    once, so the doubles are bit-identical across engines and the
+    argmax is deterministic (ties broken by earlier hour). Scale: one
+    shuffle to (group, hour) counts, then windows over the per-group
+    hourly series — |groups| x |hours| rows, tiny next to the raw
+    events.
+    """
+    g = F.col(group_col)
+    hourly = (
+        df.groupBy(g.alias("grp"), F.date_trunc("hour", F.col(ts_col)).alias("h"))
+        .agg(F.count("*").alias("n"))
+    )
+    wo = Window.partitionBy("grp").orderBy("h")
+    wall = Window.partitionBy("grp")
+    scored = (
+        hourly.withColumn("pre_cnt", F.row_number().over(wo))
+        .withColumn(
+            "pre_sum",
+            F.sum("n").over(wo.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .withColumn("tot_cnt", F.count("*").over(wall))
+        .withColumn("tot_sum", F.sum("n").over(wall))
+        .filter(F.col("pre_cnt") < F.col("tot_cnt"))
+        .withColumn(
+            "pre_mean",
+            F.col("pre_sum").cast("double") / F.col("pre_cnt"),
+        )
+        .withColumn(
+            "post_mean",
+            (F.col("tot_sum") - F.col("pre_sum")).cast("double")
+            / (F.col("tot_cnt") - F.col("pre_cnt")),
+        )
+        .withColumn("delta", F.abs(F.col("pre_mean") - F.col("post_mean")))
+    )
+    pick = Window.partitionBy("grp").orderBy(F.col("delta").desc(), F.col("h"))
+    return (
+        scored.withColumn("__rk", F.row_number().over(pick))
+        .filter(F.col("__rk") == 1)
+        .select(
+            F.col("grp"),
+            F.col("h").cast("long").alias("split_epoch"),
+            F.col("pre_cnt").cast("long").alias("n_pre"),
+            (F.col("tot_cnt") - F.col("pre_cnt")).cast("long").alias("n_post"),
+            (F.round("pre_mean", round_to) + F.lit(0.0)).alias("pre_mean"),
+            (F.round("post_mean", round_to) + F.lit(0.0)).alias("post_mean"),
+            (F.round("delta", round_to) + F.lit(0.0)).alias("delta"),
+        )
+    )

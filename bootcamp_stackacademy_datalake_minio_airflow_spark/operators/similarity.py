@@ -933,3 +933,156 @@ def random_projection(
             (F.round(expr * F.lit(inv), round_to) + F.lit(0.0)).alias(f"p{j}")
         )
     return df.select(*cols)
+
+
+def dim_stats(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    round_to: int = 4,
+) -> DataFrame:
+    """Per-dimension moments of an embedding lake — ``(dim, n, mean,
+    var, mn, mx)`` — the profiling pass that precedes whitening,
+    quantizer training, or drift monitoring.
+
+    One ``posexplode`` + one hash agg over |dims| groups; the shuffle
+    carries |partitions| x |dims| partial rows (map-side combine), so
+    the cost at 100 TB is a single scan. Variance is computed from
+    SUM(x)/SUM(x^2) with the same expression an oracle writes
+    (sum2/n - mean*mean) rather than each engine's internal Welford
+    state, so only float summation order is left to the ROUND."""
+    e = (
+        df.select(F.posexplode(vec_col).alias("dim", "__x"))
+        .select("dim", F.col("__x").cast("double").alias("x"))
+    )
+    agg = e.groupBy("dim").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").alias("s"),
+        F.sum(F.col("x") * F.col("x")).alias("s2"),
+        F.min("x").alias("mn"),
+        F.max("x").alias("mx"),
+    )
+    mean = F.col("s") / F.col("n")
+    return agg.select(
+        F.col("dim").cast("long").alias("dim"),
+        "n",
+        (F.round(mean, round_to) + F.lit(0.0)).alias("mean"),
+        (
+            F.round(F.col("s2") / F.col("n") - mean * mean, round_to)
+            + F.lit(0.0)
+        ).alias("var"),
+        (F.round("mn", round_to) + F.lit(0.0)).alias("mn"),
+        (F.round("mx", round_to) + F.lit(0.0)).alias("mx"),
+    )
+
+
+def _pi_v0(dims: int, seed: str = "pi") -> list[float]:
+    """Seeded ±1/sqrt(d) start vector for power iteration, md5-derived
+    driver-side (engine-independent) like _jl_signs."""
+    import hashlib
+
+    inv = 1.0 / math.sqrt(float(dims))
+    return [
+        inv if hashlib.md5(f"{seed}:{i}".encode()).digest()[0] % 2 == 0 else -inv
+        for i in range(dims)
+    ]
+
+
+def power_iteration_step(
+    df: DataFrame,
+    dims: int,
+    vec_col: str = "embedding",
+    seed: str = "pi",
+    round_to: int = 4,
+) -> DataFrame:
+    """One power-iteration step toward the top eigenvector of the
+    (uncentered) second-moment matrix S = X^T X: w = S v0 for the
+    seeded start vector v0, emitted L2-normalized as ``(dim,
+    component)`` rows. Full PCA is this same kernel iterated
+    (pca_top_component below); this single step is the
+    SQL-replayable unit the oracle gates — the dot products never
+    materialize S, so the pass is O(rows x dims) with one scalar-ish
+    shuffle of |dims| partial sums. 100 TB: exactly one scan per
+    iteration, no driver data motion beyond the d-vector itself.
+
+    The dot product x·v0 is a left-to-right ±x_i chain scaled once
+    (v0 is ±1/sqrt(d)), written identically in the SQL oracle, so
+    per-row doubles are bit-identical and only SUM order is left to
+    the ROUND."""
+    v0 = _pi_v0(dims, seed)
+    inv = abs(v0[0])
+    chain = None
+    for i, v in enumerate(v0):
+        term = F.element_at(F.col(vec_col), i + 1).cast("double")
+        term = term if v > 0 else (-term)
+        chain = term if chain is None else chain + term
+    d = df.select((chain * F.lit(inv)).alias("dv"), F.col(vec_col).alias("e"))
+    sums = d.agg(
+        *[
+            F.sum(F.element_at(F.col("e"), j + 1).cast("double") * F.col("dv")).alias(
+                f"w{j}"
+            )
+            for j in range(dims)
+        ]
+    )
+    norm = None
+    for j in range(dims):
+        sq = F.col(f"w{j}") * F.col(f"w{j}")
+        norm = sq if norm is None else norm + sq
+    packed = sums.select(
+        F.sqrt(norm).alias("nrm"), *[F.col(f"w{j}") for j in range(dims)]
+    ).select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).cast("long").alias("dim"),
+                        (
+                            F.round(F.col(f"w{j}") / F.col("nrm"), round_to)
+                            + F.lit(0.0)
+                        ).alias("component"),
+                    )
+                    for j in range(dims)
+                ]
+            )
+        ).alias("r")
+    )
+    return packed.select(F.col("r.dim").alias("dim"), F.col("r.component").alias("component"))
+
+
+def pca_top_component(
+    df: DataFrame,
+    dims: int,
+    vec_col: str = "embedding",
+    iterations: int = 10,
+    seed: str = "pi",
+) -> list[float]:
+    """Top eigenvector of the uncentered second-moment matrix by
+    driver-side power iteration over DISTRIBUTED matrix-vector
+    products: each iteration is one scan computing w = X^T (X v)
+    (never materializing X^T X), then the d-vector is normalized on
+    the driver and fed back as literals. The only driver data motion
+    is the d-float vector per iteration — the pattern that scales to
+    100 TB (cache df; iterations are scans of the cached columnar
+    batch). Pytest-gated against numpy's eigh; the per-step kernel is
+    oracle-gated via power_iteration_step."""
+    import math as _math
+
+    v = _pi_v0(dims, seed)
+    for _ in range(iterations):
+        chain = None
+        for i, vi in enumerate(v):
+            term = F.element_at(F.col(vec_col), i + 1).cast("double") * F.lit(vi)
+            chain = term if chain is None else chain + term
+        d = df.select(chain.alias("dv"), F.col(vec_col).alias("e"))
+        row = d.agg(
+            *[
+                F.sum(
+                    F.element_at(F.col("e"), j + 1).cast("double") * F.col("dv")
+                ).alias(f"w{j}")
+                for j in range(dims)
+            ]
+        ).collect()[0]
+        w = [row[f"w{j}"] for j in range(dims)]
+        nrm = _math.sqrt(sum(x * x for x in w)) or 1.0
+        v = [x / nrm for x in w]
+    return v

@@ -71,13 +71,15 @@ def oracle_sql() -> dict[str, str]:
 #: basket_association_rules, event_transition_matrix,
 #: events_debounced, k_anonymity_audit, dq_expectations_lineitem,
 #: orders_winsorized_stats, events_imputed_values, tpch_q21_shaped,
-#: bigram_pmi, events_sliding_exact, ann_batch_topk, plus the ten
+#: bigram_pmi, events_sliding_exact, ann_batch_topk, plus the fifteen
 #: families registered new in r5: fuzzy_name_neighbors_k2,
 #: mixture_temperature_weights, training_shuffle_topk,
 #: blocklist_filter_stats, incremental_dedup_new_batch,
 #: embedding_int8_quantize, embedding_random_projection,
 #: tfidf_top_source_terms, events_funnel_conversion,
-#: events_hour_baseline.
+#: events_hour_baseline, parts_pareto_front, orders_bloom_prune,
+#: embedding_dim_stats, embedding_power_iteration,
+#: events_changepoint.
 PRIORITY = [
     # -- reference parity (the deliverable) --
     "vendas_flagship",
@@ -161,6 +163,7 @@ def _ensure_loaded() -> None:
         breadth7,
         breadth8,
         breadth9,
+        breadth10,
         extensions,
     )
 

@@ -1,0 +1,246 @@
+r"""Round-5 breadth (second block): skyline extraction, Bloom-filter
+join pruning, embedding-lake profiling (per-dimension moments), a
+SQL-replayable power-iteration PCA kernel, and binary-segmentation
+change-point detection.
+
+Oracle discipline (house rules): identical aliases both sides; ROUND
++ 0.0 on derived floats with identical expression text; CAST(... AS
+BIGINT) on integer aggregates; epoch seconds for timestamps; md5
+hash families so both engines replay bit layouts exactly. The
+pareto oracle is the O(n^2) NOT EXISTS dominance definition — it
+PROVES the sort+prefix-max window plan equals the textbook skyline
+semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..queries import register
+
+# --- 2-D skyline -------------------------------------------------------------
+
+
+@register(
+    "parts_pareto_front",
+    """
+    SELECT p_partkey, p_retailprice, p_size
+    FROM part p
+    WHERE NOT EXISTS (
+      SELECT 1 FROM part q
+      WHERE q.p_retailprice <= p.p_retailprice
+        AND q.p_size >= p.p_size
+        AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size)
+    )
+    """,
+)
+def q_parts_pareto_front(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto front of parts trading off retail price (minimize)
+    against size (maximize) — operators/analytics.py:pareto_front_2d.
+    The engine runs sort + prefix-max over DISTINCT prices (one
+    shuffle, no pair join); the oracle is the O(n^2) dominance
+    definition, so a green hash proves the window plan IS the
+    skyline."""
+    from ..operators.analytics import pareto_front_2d
+
+    part = load_table(spark, sf_dir, "part")
+    return pareto_front_2d(part, "p_retailprice", "p_size").select(
+        "p_partkey", "p_retailprice", "p_size"
+    )
+
+
+# --- Bloom-filter join pruning ----------------------------------------------
+
+_BLOOM_M = 8192
+_BLOOM_K = 4
+
+
+def _bloom_oracle(m: int = _BLOOM_M, k: int = _BLOOM_K) -> str:
+    pos = (
+        "(('0x' || substr(md5('bf' || CAST(h AS VARCHAR) || ':' || "
+        "CAST({key} AS VARCHAR)), 1, 15))::BIGINT) % {m}"
+    )
+    kp = pos.format(key="kk", m=m)
+    vp = pos.format(key="v", m=m)
+    return f"""
+    WITH keyset AS (
+      SELECT DISTINCT c_custkey AS kk FROM customer
+      WHERE c_mktsegment = 'BUILDING'
+    ), kpos AS (
+      SELECT {kp} AS p FROM keyset CROSS JOIN range(0, {k}) t(h)
+    ), bloom AS (
+      SELECT p // 32 AS word,
+             bit_or(1::BIGINT << CAST(p % 32 AS INTEGER)) AS bits
+      FROM kpos GROUP BY 1
+    ), pk AS (SELECT DISTINCT o_custkey AS v FROM orders),
+    ppos AS (
+      SELECT v, {vp} AS p FROM pk CROSS JOIN range(0, {k}) t(h)
+    ), hits AS (
+      SELECT v,
+             SUM(CASE WHEN (COALESCE(bits, 0)
+                            & (1::BIGINT << CAST(p % 32 AS INTEGER))) <> 0
+                      THEN 1 ELSE 0 END) AS nh
+      FROM ppos LEFT JOIN bloom ON ppos.p // 32 = bloom.word
+      GROUP BY v
+    ), verd AS (
+      SELECT v, CASE WHEN nh = {k} THEN 1 ELSE 0 END AS cand,
+             CASE WHEN v IN (SELECT kk FROM keyset) THEN 1 ELSE 0 END AS t
+      FROM hits
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM keyset) AS n_keys,
+           (SELECT CAST(SUM(bit_count(bits)) AS BIGINT) FROM bloom)
+             AS n_set_bits,
+           CAST(COUNT(*) AS BIGINT) AS n_probed,
+           CAST(SUM(cand) AS BIGINT) AS n_candidates,
+           CAST(SUM(t) AS BIGINT) AS n_true_matches,
+           CAST(SUM(cand) - SUM(cand * t) AS BIGINT) AS n_false_positives
+    FROM verd
+    """
+
+
+@register("orders_bloom_prune", _bloom_oracle())
+def q_orders_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter semi-join pruning audit
+    (operators/sketches.py:bloom_prune_stats): build an 8192-bit
+    filter over BUILDING-segment customers, probe the distinct
+    o_custkey values of orders, report candidate/true/false-positive
+    counts in one row. The 100 TB pattern behind runtime row-group
+    pruning: ship a KB bitset, not a key list."""
+    from ..operators.sketches import bloom_prune_stats
+
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    return bloom_prune_stats(
+        cust, "c_custkey", orders, "o_custkey", m_bits=_BLOOM_M, k=_BLOOM_K
+    )
+
+
+# --- embedding-lake profiling ------------------------------------------------
+
+
+@register(
+    "embedding_dim_stats",
+    """
+    WITH e AS (
+      SELECT i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS x
+      FROM embeddings CROSS JOIN range(1, 65) t(i)
+    )
+    SELECT CAST(dim AS BIGINT) AS dim,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(x) / COUNT(*), 4) + 0.0 AS mean,
+           ROUND(SUM(x * x) / COUNT(*)
+                 - (SUM(x) / COUNT(*)) * (SUM(x) / COUNT(*)), 4) + 0.0 AS var,
+           ROUND(MIN(x), 4) + 0.0 AS mn,
+           ROUND(MAX(x), 4) + 0.0 AS mx
+    FROM e GROUP BY dim
+    """,
+)
+def q_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension moments of the embedding lake
+    (operators/similarity.py:dim_stats): posexplode + one 64-group
+    agg, variance from SUM/SUM2 with oracle-identical expression
+    text. The profiling scan before whitening / quantizer training /
+    drift monitors."""
+    from ..operators.similarity import dim_stats
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return dim_stats(emb)
+
+
+def _pi_oracle(dims: int = 64) -> str:
+    from ..operators.similarity import _pi_v0
+
+    v0 = _pi_v0(dims)
+    inv = abs(v0[0])
+    terms = []
+    for i, v in enumerate(v0):
+        op = "" if (i == 0 and v > 0) else ("- " if v < 0 else "+ ")
+        terms.append(f"{op}CAST(embedding[{i + 1}] AS DOUBLE)")
+    chain = " ".join(terms)
+    sums = ",\n             ".join(
+        f"SUM(CAST(embedding[{j + 1}] AS DOUBLE) * dv) AS w{j}"
+        for j in range(dims)
+    )
+    norm = " + ".join(f"w{j} * w{j}" for j in range(dims))
+    branches = "\n    UNION ALL\n    ".join(
+        f"SELECT CAST({j} AS BIGINT) AS dim,"
+        f" ROUND(w{j} / nrm, 4) + 0.0 AS component FROM n"
+        for j in range(dims)
+    )
+    return f"""
+    WITH d AS (
+      SELECT ({chain}) * CAST('{inv!r}' AS DOUBLE) AS dv, embedding
+      FROM embeddings
+    ), s AS (
+      SELECT {sums}
+      FROM d
+    ), n AS (SELECT sqrt({norm}) AS nrm, * FROM s)
+    {branches}
+    """
+
+
+@register("embedding_power_iteration", _pi_oracle())
+def q_embedding_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One seeded power-iteration step toward the top eigenvector of
+    X^T X (operators/similarity.py:power_iteration_step): w = S v0
+    computed as X^T (X v0) — S never materializes — emitted
+    L2-normalized as 64 (dim, component) rows. Full PCA
+    (pca_top_component) iterates this exact kernel; the single step
+    is what SQL can replay, same precedent as the unrolled-CTE
+    PageRank."""
+    from ..operators.similarity import power_iteration_step
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return power_iteration_step(emb, dims=64)
+
+
+# --- change-point detection --------------------------------------------------
+
+
+@register(
+    "events_changepoint",
+    """
+    WITH hourly AS (
+      SELECT event_type AS grp, date_trunc('hour', ts) AS h,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ), w AS (
+      SELECT grp, h, n,
+             ROW_NUMBER() OVER (PARTITION BY grp ORDER BY h) AS pre_cnt,
+             SUM(n) OVER (PARTITION BY grp ORDER BY h
+                          ROWS UNBOUNDED PRECEDING) AS pre_sum,
+             COUNT(*) OVER (PARTITION BY grp) AS tot_cnt,
+             SUM(n) OVER (PARTITION BY grp) AS tot_sum
+      FROM hourly
+    ), sc AS (
+      SELECT grp, h, pre_cnt, tot_cnt,
+             CAST(pre_sum AS DOUBLE) / pre_cnt AS pre_mean,
+             CAST(tot_sum - pre_sum AS DOUBLE) / (tot_cnt - pre_cnt)
+               AS post_mean
+      FROM w WHERE pre_cnt < tot_cnt
+    )
+    SELECT grp, CAST(floor(epoch(h)) AS BIGINT) AS split_epoch,
+           CAST(pre_cnt AS BIGINT) AS n_pre,
+           CAST(tot_cnt - pre_cnt AS BIGINT) AS n_post,
+           ROUND(pre_mean, 4) + 0.0 AS pre_mean,
+           ROUND(post_mean, 4) + 0.0 AS post_mean,
+           ROUND(abs(pre_mean - post_mean), 4) + 0.0 AS delta
+    FROM sc
+    QUALIFY ROW_NUMBER() OVER (
+      PARTITION BY grp ORDER BY abs(pre_mean - post_mean) DESC, h) = 1
+    """,
+)
+def q_events_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-segmentation first split per event type over the hourly
+    count series (operators/analytics.py:changepoint_binary_split):
+    the boundary maximizing |pre-mean - post-mean|, argmax tie-broken
+    by earlier hour. Prefix sums are integers divided once, so the
+    ranking doubles are bit-identical across engines."""
+    from ..operators.analytics import changepoint_binary_split
+
+    ev = load_table(spark, sf_dir, "events")
+    return changepoint_binary_split(ev, "event_type")

@@ -1,0 +1,199 @@
+"""Skyline, Bloom pruning, dimension stats, power-iteration PCA, and
+change-point detection — each checked against an independent
+reference (brute force / numpy), not against its own SQL twin."""
+
+from __future__ import annotations
+
+import math
+import random
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from bootcamp_stackacademy_datalake_minio_airflow_spark.operators.analytics import (
+    changepoint_binary_split,
+    pareto_front_2d,
+)
+from bootcamp_stackacademy_datalake_minio_airflow_spark.operators.sketches import (
+    bloom_prune_stats,
+)
+from bootcamp_stackacademy_datalake_minio_airflow_spark.operators.similarity import (
+    dim_stats,
+    pca_top_component,
+    power_iteration_step,
+)
+
+
+def _brute_pareto(points):
+    out = []
+    for a in points:
+        dominated = any(
+            (b[0] <= a[0] and b[1] >= a[1]) and (b[0] < a[0] or b[1] > a[1])
+            for b in points
+        )
+        if not dominated:
+            out.append(a)
+    return sorted(out)
+
+
+def test_pareto_front_matches_brute_force(spark):
+    rng = random.Random(7)
+    pts = [(rng.randint(0, 20) * 0.5, rng.randint(0, 15)) for _ in range(300)]
+    # plant exact ties on both axes: all four copies must survive or
+    # fall together
+    pts += [(3.0, 9), (3.0, 9), (3.0, 9), (3.0, 9)]
+    df = spark.createDataFrame(pts, ["cost", "gain"])
+    got = sorted(
+        (r["cost"], r["gain"])
+        for r in pareto_front_2d(df, "cost", "gain").collect()
+    )
+    assert got == _brute_pareto(pts)
+
+
+def test_pareto_keeps_duplicate_rows_at_front_points(spark):
+    df = spark.createDataFrame(
+        [(1.0, 5), (1.0, 5), (2.0, 4), (2.0, 6), (3.0, 6)], ["cost", "gain"]
+    )
+    got = sorted(
+        (r["cost"], r["gain"])
+        for r in pareto_front_2d(df, "cost", "gain").collect()
+    )
+    # (1,5) twice (tied duplicates both survive), (2,6) survives,
+    # (3,6) dominated by (2,6); (2,4) dominated by (1,5)
+    assert got == [(1.0, 5), (1.0, 5), (2.0, 6)]
+
+
+def test_bloom_prune_no_false_negatives_and_consistent(spark):
+    keys = spark.range(0, 120).select((F.col("id") * 3).alias("k"))
+    probe = spark.range(0, 800).select((F.col("id") % 500).alias("v"))
+    row = bloom_prune_stats(keys, "k", probe, "v", m_bits=2048, k=3).collect()[0]
+    assert row["n_keys"] == 120
+    assert row["n_probed"] == 500  # distinct probe values
+    true_matches = len({i * 3 for i in range(120)} & set(range(500)))
+    assert row["n_true_matches"] == true_matches
+    # Bloom guarantee: every true match is a candidate
+    assert row["n_candidates"] >= row["n_true_matches"]
+    assert (
+        row["n_false_positives"] == row["n_candidates"] - row["n_true_matches"]
+    )
+    assert 0 < row["n_set_bits"] <= min(2048, 120 * 3)
+
+
+def test_bloom_missing_word_counts_as_miss(spark):
+    # 1 key -> at most k set bits; nearly every word row is absent from
+    # the bloom table, so a dropped-row bug would promote absent words
+    # to hits and explode the candidate count
+    keys = spark.range(0, 1).select(F.col("id").alias("k"))
+    probe = spark.range(0, 2000).select(F.col("id").alias("v"))
+    row = bloom_prune_stats(keys, "k", probe, "v", m_bits=8192, k=4).collect()[0]
+    assert row["n_true_matches"] == 1
+    # with 4 set bits out of 8192, false positives should be rare
+    assert row["n_candidates"] <= 5
+
+
+def test_dim_stats_matches_numpy(spark, sf_dir):
+    from bootcamp_stackacademy_datalake_minio_airflow_spark.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    X = np.array(
+        [r["embedding"] for r in emb.select("embedding").collect()],
+        dtype=np.float64,
+    )
+    got = {r["dim"]: r for r in dim_stats(emb).collect()}
+    assert set(got) == set(range(X.shape[1]))
+    for j in range(X.shape[1]):
+        r = got[j]
+        assert r["n"] == X.shape[0]
+        assert r["mean"] == pytest.approx(X[:, j].mean(), abs=2e-4)
+        assert r["var"] == pytest.approx(X[:, j].var(), abs=2e-4)
+        assert r["mn"] == pytest.approx(X[:, j].min(), abs=1e-4)
+        assert r["mx"] == pytest.approx(X[:, j].max(), abs=1e-4)
+
+
+def test_power_iteration_step_matches_numpy(spark, sf_dir):
+    from bootcamp_stackacademy_datalake_minio_airflow_spark.catalog import load_table
+    from bootcamp_stackacademy_datalake_minio_airflow_spark.operators.similarity import _pi_v0
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    X = np.array(
+        [r["embedding"] for r in emb.select("embedding").collect()],
+        dtype=np.float64,
+    )
+    v0 = np.array(_pi_v0(X.shape[1]))
+    w = X.T @ (X @ v0)
+    w = w / np.linalg.norm(w)
+    got = {r["dim"]: r["component"] for r in power_iteration_step(emb, X.shape[1]).collect()}
+    for j in range(X.shape[1]):
+        assert got[j] == pytest.approx(w[j], abs=2e-4)
+
+
+def test_pca_top_component_converges_to_eigh(spark, sf_dir):
+    from bootcamp_stackacademy_datalake_minio_airflow_spark.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    X = np.array(
+        [r["embedding"] for r in emb.select("embedding").collect()],
+        dtype=np.float64,
+    )
+    S = X.T @ X
+    vals, vecs = np.linalg.eigh(S)
+    top = vecs[:, -1]
+    got = np.array(pca_top_component(emb, X.shape[1], iterations=30))
+    # eigenvector sign is arbitrary: compare |cosine|. Random N(0,1)
+    # embeddings have a small eigengap (Marchenko–Pastur bulk), so 30
+    # iterations only contract the off-axis residual to ~(l2/l1)^30 —
+    # measured cos ~0.9994 here; assert direction, not machine eps
+    cos = abs(float(got @ top) / (np.linalg.norm(got) * np.linalg.norm(top)))
+    assert cos > 0.99
+    # and the Rayleigh quotient must be within 0.1% of the true top
+    # eigenvalue (it converges quadratically vs the vector's linear rate)
+    rayleigh = float(got @ S @ got)
+    assert rayleigh == pytest.approx(float(vals[-1]), rel=1e-3)
+
+
+def test_changepoint_finds_planted_shift(spark):
+    # 48 hourly buckets: rate 2/hour then 10/hour after hour 23
+    rows = []
+    eid = 0
+    for h in range(48):
+        n = 2 if h < 24 else 10
+        for i in range(n):
+            rows.append((eid, f"2024-01-01 {h % 24:02d}:{i:02d}:00", h // 24))
+            eid += 1
+    df = spark.createDataFrame(rows, ["event_id", "ts_s", "day"]).select(
+        "event_id",
+        (F.to_timestamp("ts_s") + F.expr("make_interval(0,0,0,day,0,0,0)")).alias(
+            "ts"
+        ),
+        F.lit("a").alias("event_type"),
+    )
+    out = changepoint_binary_split(df, "event_type").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_pre"] == 24 and r["n_post"] == 24
+    assert r["pre_mean"] == pytest.approx(2.0)
+    assert r["post_mean"] == pytest.approx(10.0)
+    assert r["delta"] == pytest.approx(8.0)
+    # split lands on the last pre-shift hour
+    split_hour = (r["split_epoch"] - 1704067200) // 3600
+    assert split_hour == 23
+
+
+def test_changepoint_deterministic_tie_breaks_earlier_hour(spark):
+    # symmetric series: mirrored deltas tie; earlier hour must win
+    rows = []
+    eid = 0
+    for h, n in enumerate([1, 5, 5, 1]):
+        for i in range(n):
+            rows.append((eid, f"2024-01-01 0{h}:{i:02d}:00"))
+            eid += 1
+    df = spark.createDataFrame(rows, ["event_id", "ts_s"]).select(
+        "event_id", F.to_timestamp("ts_s").alias("ts"), F.lit("a").alias("event_type")
+    )
+    r = changepoint_binary_split(df, "event_type").collect()[0]
+    # split after h0 (delta = 8/3) ties exactly with split after h2
+    # (mirror, identical IEEE expression) -> earlier hour must win
+    assert r["n_pre"] == 1
+    r2 = changepoint_binary_split(df, "event_type").collect()[0]
+    assert r["split_epoch"] == r2["split_epoch"]
