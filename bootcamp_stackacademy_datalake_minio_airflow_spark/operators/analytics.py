@@ -113,3 +113,49 @@ def changepoint_binary_split(
             (F.round("delta", round_to) + F.lit(0.0)).alias("delta"),
         )
     )
+
+
+def linear_trend(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    round_to: int = 4,
+) -> DataFrame:
+    """Closed-form simple linear regression y = intercept + slope*x
+    via the normal equations — one aggregation pass collecting
+    (n, Σx, Σy, Σxy, Σx², Σy²), then slope/intercept/r² as scalar
+    arithmetic on the 1-row result. Emits ``(n, slope, intercept,
+    r2)``.
+
+    This is the distributed-regression shape that matters at 100 TB:
+    the model state IS the aggregation state (six mergeable sums), so
+    map-side combine does all the work and nothing but one row crosses
+    the final exchange. The formulas are written n*Σxy - Σx*Σy style
+    (products before the single divide) identically to the SQL
+    oracle, so the doubles agree bit-for-bit up to SUM order."""
+    agg = df.agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum(F.col(x_col).cast("double")).alias("sx"),
+        F.sum(F.col(y_col).cast("double")).alias("sy"),
+        F.sum(F.col(x_col).cast("double") * F.col(y_col).cast("double")).alias(
+            "sxy"
+        ),
+        F.sum(F.col(x_col).cast("double") * F.col(x_col).cast("double")).alias(
+            "sxx"
+        ),
+        F.sum(F.col(y_col).cast("double") * F.col(y_col).cast("double")).alias(
+            "syy"
+        ),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    denx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    deny = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    slope = num / denx
+    intercept = (F.col("sy") - slope * F.col("sx")) / F.col("n")
+    r2 = (num * num) / (denx * deny)
+    return agg.select(
+        F.col("n").cast("long").alias("n"),
+        (F.round(slope, round_to) + F.lit(0.0)).alias("slope"),
+        (F.round(intercept, round_to) + F.lit(0.0)).alias("intercept"),
+        (F.round(r2, round_to) + F.lit(0.0)).alias("r2"),
+    )

@@ -917,22 +917,30 @@ def random_projection(
     are bit-identical before ROUND. Map-only: no shuffle, no UDF, and
     at 100 TB this is the cheapest way to shrink an embedding lake
     before LSH/IVF indexing.
+
+    The projection is built as ONE selectExpr string, not per-term
+    Column objects: out_dims x in_dims py4j round-trips cost ~6s of
+    DRIVER time at 8x64 (measured; execution was 0.2s) — Catalyst
+    parses the equivalent SQL text in milliseconds. Association
+    order, HALF_UP ROUND, and the double literals are identical.
     """
     signs = _jl_signs(out_dims, in_dims, seed)
     inv = 1.0 / math.sqrt(float(out_dims))
-    cols = [F.col(id_col).alias("id")]
+    exprs = [f"{id_col} AS id"]
     for j in range(out_dims):
-        expr = None
+        terms = []
         for i, s in enumerate(signs[j]):
-            term = F.element_at(F.col(vec_col), i + 1).cast("double")
-            term = term if s > 0 else (-term)
-            expr = term if expr is None else expr + term
+            op = "" if (i == 0 and s > 0) else ("- " if s < 0 else "+ ")
+            terms.append(f"{op}CAST(element_at({vec_col}, {i + 1}) AS DOUBLE)")
+        chain = " ".join(terms)
         # + 0.0 normalizes IEEE negative zero after rounding (a
-        # projection in (-5e-5, 0] rounds to -0.0 vs 0.0 per engine)
-        cols.append(
-            (F.round(expr * F.lit(inv), round_to) + F.lit(0.0)).alias(f"p{j}")
+        # projection in (-5e-5, 0] rounds to -0.0 vs 0.0 per engine);
+        # CAST('0.0' AS DOUBLE) because bare 0.0 parses as DECIMAL
+        exprs.append(
+            f"ROUND(({chain}) * CAST('{inv!r}' AS DOUBLE), {round_to})"
+            f" + CAST('0.0' AS DOUBLE) AS p{j}"
         )
-    return df.select(*cols)
+    return df.selectExpr(*exprs)
 
 
 def dim_stats(
@@ -1007,46 +1015,34 @@ def power_iteration_step(
     The dot product x·v0 is a left-to-right ±x_i chain scaled once
     (v0 is ±1/sqrt(d)), written identically in the SQL oracle, so
     per-row doubles are bit-identical and only SUM order is left to
-    the ROUND."""
+    the ROUND. Built as selectExpr strings (one py4j call per stage,
+    not per term) — the Column-object version spent ~3s of driver
+    time on plan construction at d=64."""
     v0 = _pi_v0(dims, seed)
     inv = abs(v0[0])
-    chain = None
+    terms = []
     for i, v in enumerate(v0):
-        term = F.element_at(F.col(vec_col), i + 1).cast("double")
-        term = term if v > 0 else (-term)
-        chain = term if chain is None else chain + term
-    d = df.select((chain * F.lit(inv)).alias("dv"), F.col(vec_col).alias("e"))
-    sums = d.agg(
+        op = "" if (i == 0 and v > 0) else ("- " if v < 0 else "+ ")
+        terms.append(f"{op}CAST(element_at({vec_col}, {i + 1}) AS DOUBLE)")
+    chain = " ".join(terms)
+    d = df.selectExpr(
+        f"({chain}) * CAST('{inv!r}' AS DOUBLE) AS dv", f"{vec_col} AS e"
+    )
+    sums = d.selectExpr(
         *[
-            F.sum(F.element_at(F.col("e"), j + 1).cast("double") * F.col("dv")).alias(
-                f"w{j}"
-            )
+            f"SUM(CAST(element_at(e, {j + 1}) AS DOUBLE) * dv) AS w{j}"
             for j in range(dims)
         ]
     )
-    norm = None
-    for j in range(dims):
-        sq = F.col(f"w{j}") * F.col(f"w{j}")
-        norm = sq if norm is None else norm + sq
-    packed = sums.select(
-        F.sqrt(norm).alias("nrm"), *[F.col(f"w{j}") for j in range(dims)]
-    ).select(
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(j).cast("long").alias("dim"),
-                        (
-                            F.round(F.col(f"w{j}") / F.col("nrm"), round_to)
-                            + F.lit(0.0)
-                        ).alias("component"),
-                    )
-                    for j in range(dims)
-                ]
-            )
-        ).alias("r")
+    norm = " + ".join(f"w{j} * w{j}" for j in range(dims))
+    stack_args = ", ".join(
+        f"CAST({j} AS BIGINT), ROUND(w{j} / nrm, {round_to})"
+        f" + CAST('0.0' AS DOUBLE)"
+        for j in range(dims)
     )
-    return packed.select(F.col("r.dim").alias("dim"), F.col("r.component").alias("component"))
+    return sums.selectExpr(f"sqrt({norm}) AS nrm", "*").selectExpr(
+        f"stack({dims}, {stack_args}) AS (dim, component)"
+    )
 
 
 def pca_top_component(
@@ -1069,16 +1065,15 @@ def pca_top_component(
 
     v = _pi_v0(dims, seed)
     for _ in range(iterations):
-        chain = None
-        for i, vi in enumerate(v):
-            term = F.element_at(F.col(vec_col), i + 1).cast("double") * F.lit(vi)
-            chain = term if chain is None else chain + term
-        d = df.select(chain.alias("dv"), F.col(vec_col).alias("e"))
-        row = d.agg(
+        chain = " + ".join(
+            f"CAST(element_at({vec_col}, {i + 1}) AS DOUBLE)"
+            f" * CAST('{vi!r}' AS DOUBLE)"
+            for i, vi in enumerate(v)
+        )
+        d = df.selectExpr(f"{chain} AS dv", f"{vec_col} AS e")
+        row = d.selectExpr(
             *[
-                F.sum(
-                    F.element_at(F.col("e"), j + 1).cast("double") * F.col("dv")
-                ).alias(f"w{j}")
+                f"SUM(CAST(element_at(e, {j + 1}) AS DOUBLE) * dv) AS w{j}"
                 for j in range(dims)
             ]
         ).collect()[0]

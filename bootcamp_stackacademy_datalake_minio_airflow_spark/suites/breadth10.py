@@ -244,3 +244,48 @@ def q_events_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     return changepoint_binary_split(ev, "event_type")
+
+
+# --- closed-form regression --------------------------------------------------
+
+
+@register(
+    "orders_revenue_trend",
+    """
+    WITH daily AS (
+      SELECT date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
+               AS x,
+             SUM(o_totalprice) AS y
+      FROM orders GROUP BY 1
+    ), s AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n, SUM(CAST(x AS DOUBLE)) AS sx,
+             SUM(y) AS sy, SUM(CAST(x AS DOUBLE) * y) AS sxy,
+             SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS sxx,
+             SUM(y * y) AS syy
+      FROM daily
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 4) + 0.0 AS slope,
+           ROUND((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n,
+                 4) + 0.0 AS intercept,
+           ROUND(((n * sxy - sx * sy) * (n * sxy - sx * sy))
+                 / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 4) + 0.0 AS r2
+    FROM s
+    """,
+)
+def q_orders_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-revenue linear trend via the normal equations
+    (operators/analytics.py:linear_trend): x = day offset from a FIXED
+    epoch (1995-01-01 — a literal, not a data-dependent min, both for
+    determinism and to keep n*Σxy - Σx*Σy well-conditioned), y = daily
+    revenue. Two cascaded aggs; the regression state is six mergeable
+    sums."""
+    from ..operators.analytics import linear_trend
+
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1995-01-01")).alias(
+            "x"
+        )
+    ).agg(F.sum("o_totalprice").alias("y"))
+    return linear_trend(daily, "x", "y")

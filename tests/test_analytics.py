@@ -197,3 +197,32 @@ def test_changepoint_deterministic_tie_breaks_earlier_hour(spark):
     assert r["n_pre"] == 1
     r2 = changepoint_binary_split(df, "event_type").collect()[0]
     assert r["split_epoch"] == r2["split_epoch"]
+
+
+def test_linear_trend_matches_numpy(spark):
+    from bootcamp_stackacademy_datalake_minio_airflow_spark.operators.analytics import linear_trend
+
+    rng = random.Random(11)
+    pts = [(float(i), 3.5 * i - 20.0 + rng.gauss(0, 5)) for i in range(200)]
+    df = spark.createDataFrame(pts, ["x", "y"])
+    r = linear_trend(df, "x", "y").collect()[0]
+    xs = np.array([p[0] for p in pts])
+    ys = np.array([p[1] for p in pts])
+    slope, intercept = np.polyfit(xs, ys, 1)
+    corr = np.corrcoef(xs, ys)[0, 1]
+    assert r["n"] == 200
+    assert r["slope"] == pytest.approx(slope, abs=1e-3)
+    assert r["intercept"] == pytest.approx(intercept, abs=1e-3)
+    assert r["r2"] == pytest.approx(corr * corr, abs=1e-3)
+
+
+def test_linear_trend_perfect_fit(spark):
+    from bootcamp_stackacademy_datalake_minio_airflow_spark.operators.analytics import linear_trend
+
+    df = spark.createDataFrame(
+        [(float(i), 2.0 * i + 1.0) for i in range(50)], ["x", "y"]
+    )
+    r = linear_trend(df, "x", "y").collect()[0]
+    assert r["slope"] == pytest.approx(2.0)
+    assert r["intercept"] == pytest.approx(1.0)
+    assert r["r2"] == pytest.approx(1.0)

@@ -147,3 +147,35 @@ def test_pagerank_iteration_broadcasts_ranks(spark, sf_dir):
     assert "Exchange hashpartitioning" not in above_cache
     e.unpersist()
     assert out.count() > 0
+
+
+def test_pareto_front_joins_broadcast(spark, sf_dir):
+    df = ep.queries()["parts_pareto_front"](spark, sf_dir)
+    plan = _executed_plan(df)
+    # the tiny surviving front must come back via a broadcast semi
+    # join, never a shuffled join of the full part table
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_bloom_probe_broadcasts_filter(spark, sf_dir):
+    df = ep.queries()["orders_bloom_prune"](spark, sf_dir)
+    plan = _executed_plan(df)
+    # both the KB-sized bitset and the key set ride broadcasts; the
+    # fact-side probe must not shuffle on the bloom word
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_random_projection_stays_map_only(spark, sf_dir):
+    df = ep.queries()["embedding_random_projection"](spark, sf_dir)
+    plan = _executed_plan(df)
+    assert "Exchange" not in plan  # zero shuffles: pure projection
+    assert "*(1) Project" in plan  # the * marks whole-stage codegen
+
+
+def test_power_iteration_single_aggregation_pass(spark, sf_dir):
+    df = ep.queries()["embedding_power_iteration"](spark, sf_dir)
+    plan = _executed_plan(df)
+    # one partial+final agg pair over the scan; the stack() explode of
+    # the 1-row result adds no Exchange beyond the single-partition agg
+    assert plan.count("HashAggregate") == 2 or "SortAggregate" in plan
