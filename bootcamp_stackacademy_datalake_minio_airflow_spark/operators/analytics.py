@@ -8,7 +8,7 @@ Catalyst keeps them in whole-stage codegen with a single shuffle.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -158,4 +158,113 @@ def linear_trend(
         (F.round(slope, round_to) + F.lit(0.0)).alias("slope"),
         (F.round(intercept, round_to) + F.lit(0.0)).alias("intercept"),
         (F.round(r2, round_to) + F.lit(0.0)).alias("r2"),
+    )
+
+
+def population_stability_index(
+    df: DataFrame,
+    value_col: str,
+    split_pred: Column,
+    bucket_width: float = 100.0,
+    n_buckets: int = 10,
+    round_to: int = 4,
+) -> DataFrame:
+    """PSI drift report between the rows matching ``split_pred``
+    (cohort A, e.g. the new ingest) and the rest (cohort B, the
+    baseline): fixed-edge buckets of ``value_col``, add-one-smoothed
+    shares, per-bucket contribution (pa - pb) * ln(pa / pb). The sum
+    over buckets is the PSI (>0.2 = drift, the standard scorecard
+    rule). Emits ``(bucket, n_a, n_b, pa, pb, contrib)``.
+
+    Fixed edges (not data-dependent quantiles) keep the report
+    deterministic and replayable; add-one smoothing keeps ln defined
+    when a bucket is empty on one side ONLY if the other side has it
+    — a bucket absent from both sides is absent from the report,
+    identically on both engines. One grouped agg + a broadcast scalar
+    total: a single scan at any corpus size."""
+    b = F.least(
+        F.floor(F.col(value_col) / F.lit(bucket_width)),
+        F.lit(n_buckets - 1),
+    ).cast("long")
+    tagged = df.select(b.alias("bucket"), split_pred.cast("int").alias("__a"))
+    per = tagged.groupBy("bucket").agg(
+        F.sum("__a").cast("long").alias("n_a"),
+        (F.count("*") - F.sum("__a")).cast("long").alias("n_b"),
+    )
+    tot = tagged.agg(
+        F.sum("__a").cast("long").alias("ta"),
+        (F.count("*") - F.sum("__a")).cast("long").alias("tb"),
+    )
+    j = per.crossJoin(F.broadcast(tot))
+    pa = (F.col("n_a") + 1).cast("double") / (F.col("ta") + n_buckets)
+    pb = (F.col("n_b") + 1).cast("double") / (F.col("tb") + n_buckets)
+    return j.select(
+        "bucket",
+        "n_a",
+        "n_b",
+        (F.round(pa, round_to) + F.lit(0.0)).alias("pa"),
+        (F.round(pb, round_to) + F.lit(0.0)).alias("pb"),
+        (F.round((pa - pb) * F.log(pa / pb), round_to) + F.lit(0.0)).alias(
+            "contrib"
+        ),
+    )
+
+
+def ab_test_ztest(
+    df: DataFrame,
+    user_col: str,
+    convert_pred: Column,
+    variant: Column,
+    round_to: int = 4,
+) -> DataFrame:
+    """Two-proportion z-test on USER-level conversion: assign each
+    user to A/B via the deterministic ``variant`` expression, mark a
+    user converted iff any of their rows satisfies ``convert_pred``,
+    and report ``(n_a, conv_a, n_b, conv_b, p_a, p_b, z)`` in one
+    row — the standard pooled-variance z = (pa - pb) /
+    sqrt(pp (1-pp) (1/na + 1/nb)).
+
+    Two cascaded aggs (events -> users -> 1 row); everything after
+    the user collapse is scalar arithmetic on exact integers, so the
+    doubles are bit-identical cross-engine before ROUND."""
+    users = (
+        df.select(
+            F.col(user_col).alias("u"),
+            variant.cast("int").alias("v"),
+            convert_pred.cast("int").alias("c"),
+        )
+        .groupBy("u", "v")
+        .agg(F.max("c").alias("converted"))
+    )
+    s = users.agg(
+        F.sum(F.when(F.col("v") == 1, 1).otherwise(0)).cast("long").alias("n_a"),
+        F.sum(F.when(F.col("v") == 1, F.col("converted")).otherwise(0))
+        .cast("long")
+        .alias("conv_a"),
+        F.sum(F.when(F.col("v") == 0, 1).otherwise(0)).cast("long").alias("n_b"),
+        F.sum(F.when(F.col("v") == 0, F.col("converted")).otherwise(0))
+        .cast("long")
+        .alias("conv_b"),
+    )
+    pa = F.col("conv_a").cast("double") / F.col("n_a")
+    pb = F.col("conv_b").cast("double") / F.col("n_b")
+    pp = (F.col("conv_a") + F.col("conv_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    )
+    se = F.sqrt(
+        pp * (F.lit(1.0) - pp)
+        * (F.lit(1.0) / F.col("n_a") + F.lit(1.0) / F.col("n_b"))
+    )
+    # degenerate experiments (pp = 0 or 1: nobody / everybody
+    # converted) have no variance — report NULL z, don't divide by 0
+    # (ANSI mode raises)
+    z = F.when(se > 0, (pa - pb) / se)
+    return s.select(
+        "n_a",
+        "conv_a",
+        "n_b",
+        "conv_b",
+        (F.round(pa, round_to) + F.lit(0.0)).alias("p_a"),
+        (F.round(pb, round_to) + F.lit(0.0)).alias("p_b"),
+        (F.round(z, round_to) + F.lit(0.0)).alias("z"),
     )

@@ -71,7 +71,7 @@ def oracle_sql() -> dict[str, str]:
 #: basket_association_rules, event_transition_matrix,
 #: events_debounced, k_anonymity_audit, dq_expectations_lineitem,
 #: orders_winsorized_stats, events_imputed_values, tpch_q21_shaped,
-#: bigram_pmi, events_sliding_exact, ann_batch_topk, plus the sixteen
+#: bigram_pmi, events_sliding_exact, ann_batch_topk, plus the eighteen
 #: families registered new in r5: fuzzy_name_neighbors_k2,
 #: mixture_temperature_weights, training_shuffle_topk,
 #: blocklist_filter_stats, incremental_dedup_new_batch,
@@ -79,7 +79,8 @@ def oracle_sql() -> dict[str, str]:
 #: tfidf_top_source_terms, events_funnel_conversion,
 #: events_hour_baseline, parts_pareto_front, orders_bloom_prune,
 #: embedding_dim_stats, embedding_power_iteration,
-#: events_changepoint, orders_revenue_trend.
+#: events_changepoint, orders_revenue_trend, doc_length_psi,
+#: events_ab_test_z.
 PRIORITY = [
     # -- reference parity (the deliverable) --
     "vendas_flagship",

@@ -289,3 +289,94 @@ def q_orders_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     ).agg(F.sum("o_totalprice").alias("y"))
     return linear_trend(daily, "x", "y")
+
+
+# --- drift + experimentation -------------------------------------------------
+
+
+@register(
+    "doc_length_psi",
+    """
+    WITH t AS (
+      SELECT least(CAST(floor(n_chars / 100.0) AS BIGINT), 9) AS bucket,
+             CASE WHEN source = 'src0' THEN 1 ELSE 0 END AS a
+      FROM documents
+    ), per AS (
+      SELECT bucket, CAST(SUM(a) AS BIGINT) AS n_a,
+             CAST(COUNT(*) - SUM(a) AS BIGINT) AS n_b
+      FROM t GROUP BY bucket
+    ), tot AS (
+      SELECT CAST(SUM(a) AS BIGINT) AS ta,
+             CAST(COUNT(*) - SUM(a) AS BIGINT) AS tb
+      FROM t
+    )
+    SELECT bucket, n_a, n_b,
+           ROUND(CAST(n_a + 1 AS DOUBLE) / (ta + 10), 4) + 0.0 AS pa,
+           ROUND(CAST(n_b + 1 AS DOUBLE) / (tb + 10), 4) + 0.0 AS pb,
+           ROUND((CAST(n_a + 1 AS DOUBLE) / (ta + 10)
+                  - CAST(n_b + 1 AS DOUBLE) / (tb + 10))
+                 * ln((CAST(n_a + 1 AS DOUBLE) / (ta + 10))
+                      / (CAST(n_b + 1 AS DOUBLE) / (tb + 10))), 4) + 0.0
+             AS contrib
+    FROM per CROSS JOIN tot
+    """,
+)
+def q_doc_length_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PSI drift report of document length, src0 (the 'new ingest')
+    vs the rest of the corpus (operators/analytics.py:
+    population_stability_index): fixed-edge 100-char buckets,
+    add-one-smoothed shares, (pa-pb)ln(pa/pb) contributions. The
+    drift monitor every continuously-ingesting training pipeline
+    needs."""
+    from ..operators.analytics import population_stability_index
+
+    docs = load_table(spark, sf_dir, "documents")
+    return population_stability_index(
+        docs, "n_chars", F.col("source") == "src0"
+    )
+
+
+@register(
+    "events_ab_test_z",
+    """
+    WITH users AS (
+      SELECT user_id AS u, CAST(user_id % 2 AS INTEGER) AS v,
+             MAX(CASE WHEN event_type = 'purchase' AND value > 150 THEN 1 ELSE 0 END)
+               AS converted
+      FROM events GROUP BY 1, 2
+    ), s AS (
+      SELECT CAST(SUM(CASE WHEN v = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             CAST(SUM(CASE WHEN v = 1 THEN converted ELSE 0 END) AS BIGINT)
+               AS conv_a,
+             CAST(SUM(CASE WHEN v = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+             CAST(SUM(CASE WHEN v = 0 THEN converted ELSE 0 END) AS BIGINT)
+               AS conv_b
+      FROM users
+    )
+    SELECT n_a, conv_a, n_b, conv_b,
+           ROUND(CAST(conv_a AS DOUBLE) / n_a, 4) + 0.0 AS p_a,
+           ROUND(CAST(conv_b AS DOUBLE) / n_b, 4) + 0.0 AS p_b,
+           ROUND((CAST(conv_a AS DOUBLE) / n_a - CAST(conv_b AS DOUBLE) / n_b)
+                 / sqrt((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                        * (1.0 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                        * (1.0 / n_a + 1.0 / n_b)), 4) + 0.0 AS z
+    FROM s
+    """,
+)
+def q_events_ab_test_z(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test on user-level high-value purchase
+    conversion (value > 150 keeps both arms strictly inside (0,1) at
+    every test SF — plain 'any purchase' converts 100% of users and
+    degenerates the variance) with a deterministic user_id%2 variant
+    split (operators/analytics.py:
+    ab_test_ztest). Events collapse to users, users to one row of
+    exact integers; the z statistic is scalar arithmetic after."""
+    from ..operators.analytics import ab_test_ztest
+
+    ev = load_table(spark, sf_dir, "events")
+    return ab_test_ztest(
+        ev,
+        "user_id",
+        (F.col("event_type") == "purchase") & (F.col("value") > 150),
+        (F.col("user_id") % 2).cast("int"),
+    )

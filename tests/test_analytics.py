@@ -226,3 +226,66 @@ def test_linear_trend_perfect_fit(spark):
     assert r["slope"] == pytest.approx(2.0)
     assert r["intercept"] == pytest.approx(1.0)
     assert r["r2"] == pytest.approx(1.0)
+
+
+def test_psi_zero_for_identical_and_positive_for_shifted(spark):
+    from bootcamp_stackacademy_datalake_minio_airflow_spark.operators.analytics import (
+        population_stability_index,
+    )
+
+    # identical length distributions in both cohorts -> PSI ~ 0
+    # (bucket index from i//2 so the cohort bit i%2 is independent of it)
+    rows = [(i, 100.0 * ((i // 2) % 10) + 50, i % 2 == 0) for i in range(400)]
+    df = spark.createDataFrame(rows, ["id", "len", "is_a"])
+    out = population_stability_index(df, "len", F.col("is_a")).collect()
+    psi = sum(r["contrib"] for r in out)
+    assert abs(psi) < 0.01
+    # cohort A shifted two buckets up, CAPPED at the top bucket (a
+    # cyclic shift of a uniform distribution would still be uniform
+    # and correctly read PSI = 0) -> mass piles into buckets 8-9
+    rows2 = [
+        (
+            i,
+            100.0 * min((i // 2) % 10 + (2 if i % 2 == 0 else 0), 9) + 50,
+            i % 2 == 0,
+        )
+        for i in range(400)
+    ]
+    df2 = spark.createDataFrame(rows2, ["id", "len", "is_a"])
+    out2 = population_stability_index(df2, "len", F.col("is_a")).collect()
+    psi2 = sum(r["contrib"] for r in out2)
+    assert psi2 > 0.05
+
+
+def test_ab_ztest_matches_manual_formula(spark):
+    from bootcamp_stackacademy_datalake_minio_airflow_spark.operators.analytics import ab_test_ztest
+
+    # 40 users in A (12 convert), 40 in B (24 convert); 3 rows/user so
+    # the user-level collapse is exercised
+    rows = []
+    for u in range(80):
+        arm = 1 if u < 40 else 0
+        converts = (u % 40) < (12 if arm == 1 else 24)
+        for k in range(3):
+            rows.append((u, arm, "buy" if (converts and k == 0) else "view"))
+    df = spark.createDataFrame(rows, ["uid", "arm", "etype"])
+    r = ab_test_ztest(
+        df, "uid", F.col("etype") == "buy", F.col("arm")
+    ).collect()[0]
+    assert (r["n_a"], r["conv_a"], r["n_b"], r["conv_b"]) == (40, 12, 40, 24)
+    pa, pb, pp = 12 / 40, 24 / 40, 36 / 80
+    z = (pa - pb) / math.sqrt(pp * (1 - pp) * (1 / 40 + 1 / 40))
+    assert r["z"] == pytest.approx(z, abs=1e-3)
+
+
+def test_ab_ztest_degenerate_returns_null(spark):
+    from bootcamp_stackacademy_datalake_minio_airflow_spark.operators.analytics import ab_test_ztest
+
+    df = spark.createDataFrame(
+        [(u, u % 2, "buy") for u in range(20)], ["uid", "arm", "etype"]
+    )
+    r = ab_test_ztest(
+        df, "uid", F.col("etype") == "buy", F.col("arm")
+    ).collect()[0]
+    assert r["p_a"] == 1.0 and r["p_b"] == 1.0
+    assert r["z"] is None  # no variance -> NULL, not a crash
