@@ -289,3 +289,78 @@ def test_ab_ztest_degenerate_returns_null(spark):
     ).collect()[0]
     assert r["p_a"] == 1.0 and r["p_b"] == 1.0
     assert r["z"] is None  # no variance -> NULL, not a crash
+
+
+def test_classification_report_hand_computed(spark):
+    from bootcamp_stackacademy_datalake_minio_airflow_spark.operators.analytics import (
+        classification_report,
+    )
+
+    # gold: a,a,a,b,b,c  pred: a,b,a,b,b,a
+    # a: tp=2, 3 gold, 3 pred; b: tp=2, 2 gold, 3 pred; c: never predicted
+    pairs = [
+        ("a", "a"),
+        ("a", "b"),
+        ("a", "a"),
+        ("b", "b"),
+        ("b", "b"),
+        ("c", "a"),
+    ]
+    df = spark.createDataFrame(pairs, ["gold", "pred"])
+    got = {
+        r["clazz"]: r
+        for r in classification_report(df, "gold", "pred").collect()
+    }
+    a, b, c = got["a"], got["b"], got["c"]
+    assert (a["n_gold"], a["n_pred"], a["tp"]) == (3, 3, 2)
+    assert a["precision"] == pytest.approx(2 / 3, abs=1e-4)
+    assert a["recall"] == pytest.approx(2 / 3, abs=1e-4)
+    assert a["f1"] == pytest.approx(2 / 3, abs=1e-4)
+    assert (b["n_gold"], b["n_pred"], b["tp"]) == (2, 3, 2)
+    assert b["precision"] == pytest.approx(2 / 3, abs=1e-4)
+    assert b["recall"] == pytest.approx(1.0)
+    assert b["f1"] == pytest.approx(2 * (2 / 3) * 1.0 / (2 / 3 + 1.0), abs=1e-4)
+    # gold-only class: predictor never emits 'c'
+    assert (c["n_gold"], c["n_pred"], c["tp"]) == (1, 0, 0)
+    assert c["precision"] is None
+    assert c["recall"] == 0.0
+    assert c["f1"] is None
+
+
+def test_classification_report_pred_only_class(spark):
+    from bootcamp_stackacademy_datalake_minio_airflow_spark.operators.analytics import (
+        classification_report,
+    )
+
+    df = spark.createDataFrame(
+        [("x", "x"), ("x", "zz")], ["gold", "pred"]
+    )
+    got = {
+        r["clazz"]: r
+        for r in classification_report(df, "gold", "pred").collect()
+    }
+    assert got["zz"]["n_gold"] == 0 and got["zz"]["n_pred"] == 1
+    assert got["zz"]["precision"] == 0.0
+    assert got["zz"]["recall"] is None and got["zz"]["f1"] is None
+
+
+def test_key_skew_profile_uniform_vs_hot(spark):
+    from bootcamp_stackacademy_datalake_minio_airflow_spark.operators.analytics import key_skew_profile
+
+    # uniform: 10 keys x 5 rows -> gini 0, top_share 0.1
+    uni = spark.createDataFrame(
+        [(i % 10,) for i in range(50)], ["k"]
+    )
+    r = key_skew_profile(uni, "k").collect()[0]
+    assert r["n_keys"] == 10 and r["n_rows"] == 50 and r["max_n"] == 5
+    assert r["gini"] == pytest.approx(0.0)
+    assert r["top_share"] == pytest.approx(0.1)
+    assert r["p50_n"] == pytest.approx(5.0)
+    # hot key: one key holds 91 of 100 rows
+    hot = spark.createDataFrame(
+        [(0,)] * 91 + [(i,) for i in range(1, 10)], ["k"]
+    )
+    r2 = key_skew_profile(hot, "k").collect()[0]
+    assert r2["max_n"] == 91 and r2["top_share"] == pytest.approx(0.91)
+    # exact gini for [1]*9 + [91]: 2*(45+10*91)/(10*100) - 11/10
+    assert r2["gini"] == pytest.approx(2 * (45 + 910) / 1000 - 1.1, abs=1e-4)
