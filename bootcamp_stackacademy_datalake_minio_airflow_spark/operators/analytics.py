@@ -268,3 +268,110 @@ def ab_test_ztest(
         (F.round(pb, round_to) + F.lit(0.0)).alias("p_b"),
         (F.round(z, round_to) + F.lit(0.0)).alias("z"),
     )
+
+
+def classification_report(
+    df: DataFrame,
+    gold_col: str,
+    pred_col: str,
+    round_to: int = 4,
+) -> DataFrame:
+    """Per-class evaluation of a predictor against gold labels:
+    ``(clazz, n_gold, n_pred, tp, precision, recall, f1)`` — one row
+    per class seen in EITHER column (a class the model predicts but
+    that never occurs in gold shows n_gold=0; a gold class the model
+    cannot emit shows n_pred=0 with NULL precision, not a crash).
+
+    Two small aggs over the (gold, pred) pairs joined FULL OUTER on
+    the class label; every count is an exact integer and the P/R/F1
+    divisions are guarded F.when (ANSI mode raises on /0). Scale: the
+    pair table collapses to |classes| rows in one map-side-combined
+    shuffle; everything after is dimension-sized."""
+    pairs = df.select(
+        F.col(gold_col).alias("g"), F.col(pred_col).alias("p")
+    )
+    gold = pairs.groupBy("g").agg(
+        F.count("*").cast("long").alias("n_gold"),
+        F.sum((F.col("p") == F.col("g")).cast("int")).cast("long").alias("tp"),
+    )
+    pred = pairs.groupBy("p").agg(F.count("*").cast("long").alias("n_pred"))
+    j = gold.join(pred, gold["g"] == pred["p"], "full_outer").select(
+        F.coalesce(F.col("g"), F.col("p")).alias("clazz"),
+        F.coalesce(F.col("n_gold"), F.lit(0)).alias("n_gold"),
+        F.coalesce(F.col("n_pred"), F.lit(0)).alias("n_pred"),
+        F.coalesce(F.col("tp"), F.lit(0)).alias("tp"),
+    )
+    prec = F.when(
+        F.col("n_pred") > 0, F.col("tp").cast("double") / F.col("n_pred")
+    )
+    rec = F.when(
+        F.col("n_gold") > 0, F.col("tp").cast("double") / F.col("n_gold")
+    )
+    f1 = F.when(
+        (F.col("n_pred") > 0)
+        & (F.col("n_gold") > 0)
+        & (prec + rec > 0),
+        F.lit(2.0) * prec * rec / (prec + rec),
+    )
+    return j.select(
+        "clazz",
+        "n_gold",
+        "n_pred",
+        "tp",
+        (F.round(prec, round_to) + F.lit(0.0)).alias("precision"),
+        (F.round(rec, round_to) + F.lit(0.0)).alias("recall"),
+        (F.round(f1, round_to) + F.lit(0.0)).alias("f1"),
+    )
+
+
+def key_skew_profile(
+    df: DataFrame,
+    key_col: str,
+    round_to: int = 4,
+) -> DataFrame:
+    """Join-key skew diagnostic in one row: ``(n_keys, n_rows, max_n,
+    p50_n, p99_n, top_share, gini)`` over the per-key row counts —
+    the numbers that decide whether a join needs salting / AQE skew
+    splitting before it runs at 100 TB.
+
+    The corpus collapses to |keys| counts in one map-side-combined
+    shuffle; the Gini coefficient is the exact sorted form
+    G = 2*sum(i*x_i)/(n*sum(x)) - (n+1)/n via one rank window over
+    the (already tiny) per-key table. Integer sums divided once keep
+    the doubles bit-identical cross-engine."""
+    freq = df.groupBy(F.col(key_col).alias("k")).agg(
+        F.count("*").cast("long").alias("n")
+    )
+    w = Window.orderBy(F.col("n"), F.col("k"))
+    ranked = freq.select(
+        "n", F.row_number().over(w).cast("long").alias("i")
+    )
+    return ranked.agg(
+        F.count("*").cast("long").alias("n_keys"),
+        F.sum("n").cast("long").alias("n_rows"),
+        F.max("n").cast("long").alias("max_n"),
+        F.expr("percentile(n, 0.5)").alias("__p50"),
+        F.expr("percentile(n, 0.99)").alias("__p99"),
+        F.sum(F.col("i") * F.col("n")).cast("long").alias("__in"),
+    ).select(
+        "n_keys",
+        "n_rows",
+        "max_n",
+        (F.round(F.col("__p50"), round_to) + F.lit(0.0)).alias("p50_n"),
+        (F.round(F.col("__p99"), round_to) + F.lit(0.0)).alias("p99_n"),
+        (
+            F.round(
+                F.col("max_n").cast("double") / F.col("n_rows"), round_to
+            )
+            + F.lit(0.0)
+        ).alias("top_share"),
+        (
+            F.round(
+                F.lit(2.0) * F.col("__in")
+                / (F.col("n_keys").cast("double") * F.col("n_rows"))
+                - (F.col("n_keys") + 1).cast("double") / F.col("n_keys"),
+                round_to,
+            )
+            + F.lit(0.0)
+        ).alias("gini"),
+    )

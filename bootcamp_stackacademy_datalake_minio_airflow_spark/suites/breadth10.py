@@ -380,3 +380,120 @@ def q_events_ab_test_z(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("event_type") == "purchase") & (F.col("value") > 150),
         (F.col("user_id") % 2).cast("int"),
     )
+
+
+# --- model evaluation + skew diagnostics -------------------------------------
+
+
+@register(
+    "langid_eval_metrics",
+    r"""
+    WITH tok AS (
+      SELECT doc_id, lang,
+             string_split(
+               regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS ts
+      FROM documents
+    ), scores AS (
+      SELECT doc_id, lang,
+             len(list_filter(ts,
+                 x -> x IN ('the','and','of','to','in','is','a'))) AS s_en,
+             len(list_filter(ts,
+                 x -> x IN ('der','die','und','das','ist','ein'))) AS s_de,
+             len(list_filter(ts,
+                 x -> x IN ('el','la','de','que','los','es'))) AS s_es,
+             len(list_filter(ts,
+                 x -> x IN ('le','la','les','des','est','une'))) AS s_fr
+      FROM tok
+    ), pairs AS (
+      SELECT lang AS g,
+             CASE WHEN greatest(s_en, s_de, s_es, s_fr) = 0 THEN 'unknown'
+                  WHEN s_en = greatest(s_en, s_de, s_es, s_fr) THEN 'en'
+                  WHEN s_de = greatest(s_en, s_de, s_es, s_fr) THEN 'de'
+                  WHEN s_es = greatest(s_en, s_de, s_es, s_fr) THEN 'es'
+                  ELSE 'fr' END AS p
+      FROM scores
+    ), gold AS (
+      SELECT g, CAST(COUNT(*) AS BIGINT) AS n_gold,
+             CAST(SUM(CASE WHEN p = g THEN 1 ELSE 0 END) AS BIGINT) AS tp
+      FROM pairs GROUP BY g
+    ), predc AS (
+      SELECT p, CAST(COUNT(*) AS BIGINT) AS n_pred FROM pairs GROUP BY p
+    ), j AS (
+      SELECT COALESCE(g, p) AS clazz,
+             COALESCE(n_gold, 0) AS n_gold,
+             COALESCE(n_pred, 0) AS n_pred,
+             COALESCE(tp, 0) AS tp
+      FROM gold FULL OUTER JOIN predc ON g = p
+    )
+    SELECT clazz, n_gold, n_pred, tp,
+           ROUND(CASE WHEN n_pred > 0
+                      THEN CAST(tp AS DOUBLE) / n_pred END, 4) + 0.0
+             AS precision,
+           ROUND(CASE WHEN n_gold > 0
+                      THEN CAST(tp AS DOUBLE) / n_gold END, 4) + 0.0
+             AS recall,
+           ROUND(CASE WHEN n_pred > 0 AND n_gold > 0
+                       AND CAST(tp AS DOUBLE) / n_pred
+                           + CAST(tp AS DOUBLE) / n_gold > 0
+                      THEN 2.0 * (CAST(tp AS DOUBLE) / n_pred)
+                           * (CAST(tp AS DOUBLE) / n_gold)
+                           / (CAST(tp AS DOUBLE) / n_pred
+                              + CAST(tp AS DOUBLE) / n_gold) END, 4) + 0.0
+             AS f1
+    FROM j
+    """,
+)
+def q_langid_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class precision/recall/F1 of the stopword language-ID
+    against the gold ``lang`` column (operators/analytics.py:
+    classification_report over operators/text.py:language_id). Gold
+    classes the detector cannot emit (zh) surface with n_pred=0 and
+    NULL precision; predicted-only classes (unknown) with n_gold=0 —
+    the honest evaluation report, not just an accuracy scalar."""
+    from ..operators.analytics import classification_report
+    from ..operators.text import language_id
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        F.col("lang").alias("gold"), language_id("text").alias("pred")
+    )
+    return classification_report(scored, "gold", "pred")
+
+
+@register(
+    "orders_key_skew",
+    """
+    WITH freq AS (
+      SELECT o_custkey AS k, CAST(COUNT(*) AS BIGINT) AS n
+      FROM orders GROUP BY 1
+    ), ranked AS (
+      SELECT n, CAST(ROW_NUMBER() OVER (ORDER BY n, k) AS BIGINT) AS i
+      FROM freq
+    ), s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+             CAST(SUM(n) AS BIGINT) AS n_rows,
+             CAST(MAX(n) AS BIGINT) AS max_n,
+             quantile_cont(n, 0.5) AS p50,
+             quantile_cont(n, 0.99) AS p99,
+             CAST(SUM(i * n) AS BIGINT) AS sin
+      FROM ranked
+    )
+    SELECT n_keys, n_rows, max_n,
+           ROUND(p50, 4) + 0.0 AS p50_n,
+           ROUND(p99, 4) + 0.0 AS p99_n,
+           ROUND(CAST(max_n AS DOUBLE) / n_rows, 4) + 0.0 AS top_share,
+           ROUND(2.0 * sin / (CAST(n_keys AS DOUBLE) * n_rows)
+                 - CAST(n_keys + 1 AS DOUBLE) / n_keys, 4) + 0.0 AS gini
+    FROM s
+    """,
+)
+def q_orders_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew profile of orders.o_custkey
+    (operators/analytics.py:key_skew_profile): per-key frequency
+    percentiles, hottest-key share, and the exact Gini coefficient —
+    the pre-flight diagnostic that decides salting / AQE skew-join
+    before a 100 TB join runs."""
+    from ..operators.analytics import key_skew_profile
+
+    orders = load_table(spark, sf_dir, "orders")
+    return key_skew_profile(orders, "o_custkey")
