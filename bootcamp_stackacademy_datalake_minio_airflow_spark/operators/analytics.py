@@ -150,9 +150,12 @@ def linear_trend(
     num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
     denx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
     deny = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
-    slope = num / denx
-    intercept = (F.col("sy") - slope * F.col("sx")) / F.col("n")
-    r2 = (num * num) / (denx * deny)
+    # degenerate fits report NULL, not an ANSI divide-by-zero: a
+    # single distinct x has no slope (denx = 0); constant y has no
+    # variance to explain (deny = 0 -> r2 undefined)
+    slope = F.when(denx > 0, num / denx)
+    intercept = F.when(denx > 0, (F.col("sy") - slope * F.col("sx")) / F.col("n"))
+    r2 = F.when((denx > 0) & (deny > 0), (num * num) / (denx * deny))
     return agg.select(
         F.col("n").cast("long").alias("n"),
         (F.round(slope, round_to) + F.lit(0.0)).alias("slope"),

@@ -364,3 +364,21 @@ def test_key_skew_profile_uniform_vs_hot(spark):
     assert r2["max_n"] == 91 and r2["top_share"] == pytest.approx(0.91)
     # exact gini for [1]*9 + [91]: 2*(45+10*91)/(10*100) - 11/10
     assert r2["gini"] == pytest.approx(2 * (45 + 910) / 1000 - 1.1, abs=1e-4)
+
+
+def test_linear_trend_degenerate_inputs_return_null(spark):
+    from bootcamp_stackacademy_datalake_minio_airflow_spark.operators.analytics import linear_trend
+
+    # all x equal: no slope; all y equal: r2 undefined but slope 0
+    same_x = spark.createDataFrame(
+        [(1.0, float(i)) for i in range(5)], ["x", "y"]
+    )
+    r = linear_trend(same_x, "x", "y").collect()[0]
+    assert r["slope"] is None and r["intercept"] is None and r["r2"] is None
+    const_y = spark.createDataFrame(
+        [(float(i), 7.0) for i in range(5)], ["x", "y"]
+    )
+    r2 = linear_trend(const_y, "x", "y").collect()[0]
+    assert r2["slope"] == pytest.approx(0.0)
+    assert r2["intercept"] == pytest.approx(7.0)
+    assert r2["r2"] is None
