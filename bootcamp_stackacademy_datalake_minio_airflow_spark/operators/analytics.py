@@ -183,22 +183,52 @@ def population_stability_index(
     deterministic and replayable; add-one smoothing keeps ln defined
     when a bucket is empty on one side ONLY if the other side has it
     — a bucket absent from both sides is absent from the report,
-    identically on both engines. One grouped agg + a broadcast scalar
-    total: a single scan at any corpus size."""
+    identically on both engines. One grouped agg (the totals come
+    from summing the 10-row bucket table, not a second corpus scan):
+    a single pass at any corpus size."""
+    return psi_from_counts(
+        psi_bucket_counts(df, value_col, split_pred, bucket_width, n_buckets),
+        n_buckets=n_buckets,
+        round_to=round_to,
+    )
+
+
+def psi_bucket_counts(
+    df: DataFrame,
+    value_col: str,
+    split_pred: Column,
+    bucket_width: float = 100.0,
+    n_buckets: int = 10,
+) -> DataFrame:
+    """The PSI aggregation state: ``(bucket, n_a, n_b)`` counts over
+    fixed-edge buckets. This IS what a streaming drift monitor
+    accumulates (streaming/drift.py) — counts are mergeable, the
+    report is a pure function of them (psi_from_counts), so stream
+    and batch share both stages."""
     b = F.least(
         F.floor(F.col(value_col) / F.lit(bucket_width)),
         F.lit(n_buckets - 1),
     ).cast("long")
     tagged = df.select(b.alias("bucket"), split_pred.cast("int").alias("__a"))
-    per = tagged.groupBy("bucket").agg(
+    return tagged.groupBy("bucket").agg(
         F.sum("__a").cast("long").alias("n_a"),
         (F.count("*") - F.sum("__a")).cast("long").alias("n_b"),
     )
-    tot = tagged.agg(
-        F.sum("__a").cast("long").alias("ta"),
-        (F.count("*") - F.sum("__a")).cast("long").alias("tb"),
+
+
+def psi_from_counts(
+    counts: DataFrame,
+    n_buckets: int = 10,
+    round_to: int = 4,
+) -> DataFrame:
+    """PSI report from ``(bucket, n_a, n_b)`` counts: totals are the
+    column sums of the (tiny) bucket table, then add-one-smoothed
+    shares and (pa - pb) * ln(pa / pb) per bucket."""
+    tot = counts.agg(
+        F.sum("n_a").cast("long").alias("ta"),
+        F.sum("n_b").cast("long").alias("tb"),
     )
-    j = per.crossJoin(F.broadcast(tot))
+    j = counts.crossJoin(F.broadcast(tot))
     pa = (F.col("n_a") + 1).cast("double") / (F.col("ta") + n_buckets)
     pb = (F.col("n_b") + 1).cast("double") / (F.col("tb") + n_buckets)
     return j.select(

@@ -557,3 +557,29 @@ def test_stream_rate_monitor_matches_batch(spark, tmp_path):
         (r["event_type"], r["hour_ts"], r["n_events"], r["z_score"]) for r in batch
     }
     assert alerts and alerts[0]["hour_ts"] == t0 + dt.timedelta(hours=28)
+
+
+def test_stream_psi_monitor_matches_batch(spark, tmp_path):
+    """Drain the streaming PSI drift monitor over the sf0.001
+    documents and compare its final report against the batch operator
+    on the same rows — stream and batch share psi_from_counts, so
+    this pins the streaming aggregation + accumulator plumbing."""
+    from bootcamp_stackacademy_datalake_minio_airflow_spark.catalog import load_table
+    from bootcamp_stackacademy_datalake_minio_airflow_spark.operators.analytics import (
+        population_stability_index,
+    )
+    from bootcamp_stackacademy_datalake_minio_airflow_spark.streaming.drift import stream_psi_monitor
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    src = str(tmp_path / "psi_src")
+    docs.repartition(4).write.parquet(src)
+
+    q, report = stream_psi_monitor(spark, src, max_files_per_trigger=1)
+    q.awaitTermination()
+
+    batch = population_stability_index(
+        docs, "n_chars", F.col("source") == "src0"
+    ).collect()
+    key = lambda r: (r["bucket"], r["n_a"], r["n_b"], r["pa"], r["pb"], r["contrib"])  # noqa: E731
+    assert sorted(map(key, report)) == sorted(map(key, batch))
+    assert len(report) > 0
