@@ -881,3 +881,37 @@ def incremental_dedup_new(
     new_fps = new_df.select(F.col(id_col).alias("id"), fp)
     corpus_fps = corpus_df.select(fp)
     return new_fps.join(corpus_fps, "fp", "left_anti").select("id", "fp")
+
+
+def canonical_docs(
+    df,
+    quality: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    round_to: int = 4,
+):
+    """Canonical-representative selection: group documents by the
+    normalized-content md5 fingerprint and keep the HIGHEST-quality
+    member per group (tie: lowest id) — the curation step after
+    duplicate DETECTION, answering "which copy do we train on".
+    Emits ``(fp, id, n_dups, quality)`` for the surviving docs.
+
+    One shuffle on the fingerprint; the argmax is a row_number window
+    over groups that are duplicate-cluster-sized (tiny), and the
+    quality expression is evaluated once per row before the shuffle.
+    The ordering key is (quality DESC, id ASC) with quality ROUNDed
+    first, so the cross-engine rank ties break identically on the
+    exact integer id rather than on raw-double noise."""
+    scored = df.select(
+        F.md5(normalize_text(text_col)).alias("fp"),
+        F.col(id_col).alias("id"),
+        F.round(quality, round_to).alias("q"),
+    )
+    w = Window.partitionBy("fp").orderBy(F.col("q").desc(), F.col("id"))
+    cnt = Window.partitionBy("fp")
+    return (
+        scored.withColumn("n_dups", F.count("*").over(cnt).cast("long"))
+        .withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") == 1)
+        .select("fp", "id", "n_dups", (F.col("q") + F.lit(0.0)).alias("quality"))
+    )

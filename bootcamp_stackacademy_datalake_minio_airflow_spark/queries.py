@@ -71,7 +71,7 @@ def oracle_sql() -> dict[str, str]:
 #: basket_association_rules, event_transition_matrix,
 #: events_debounced, k_anonymity_audit, dq_expectations_lineitem,
 #: orders_winsorized_stats, events_imputed_values, tpch_q21_shaped,
-#: bigram_pmi, events_sliding_exact, ann_batch_topk, plus the twenty
+#: bigram_pmi, events_sliding_exact, ann_batch_topk, plus the twenty-one
 #: families registered new in r5: fuzzy_name_neighbors_k2,
 #: mixture_temperature_weights, training_shuffle_topk,
 #: blocklist_filter_stats, incremental_dedup_new_batch,
@@ -80,7 +80,8 @@ def oracle_sql() -> dict[str, str]:
 #: events_hour_baseline, parts_pareto_front, orders_bloom_prune,
 #: embedding_dim_stats, embedding_power_iteration,
 #: events_changepoint, orders_revenue_trend, doc_length_psi,
-#: events_ab_test_z, langid_eval_metrics, orders_key_skew.
+#: events_ab_test_z, langid_eval_metrics, orders_key_skew,
+#: dedup_canonical_docs.
 PRIORITY = [
     # -- reference parity (the deliverable) --
     "vendas_flagship",

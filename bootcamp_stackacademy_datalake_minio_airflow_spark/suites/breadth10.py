@@ -497,3 +497,59 @@ def q_orders_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     orders = load_table(spark, sf_dir, "orders")
     return key_skew_profile(orders, "o_custkey")
+
+
+# --- canonical representative selection --------------------------------------
+
+
+@register(
+    "dedup_canonical_docs",
+    r"""
+    WITH base AS (
+      SELECT doc_id,
+             md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+             length(text) AS n,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(string_split(
+                         regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
+                         ' '))
+             END AS tok,
+             len(list_filter(
+                   string_split(
+                     regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '),
+                   x -> x IN ('the','and','of','to','in','is','a'))) AS stops,
+             CASE WHEN length(text) > 0
+                  THEN round(length(regexp_replace(
+                               text, '[^.,;:!?''"()\[\]{}-]', '', 'g'))
+                             * 1.0 / length(text), 4)
+                  ELSE 0.0 END AS pr
+      FROM documents
+    ), q AS (
+      SELECT doc_id AS id, fp,
+             round(0.4 * (CASE WHEN n BETWEEN 50 AND 10000
+                               THEN 1.0 ELSE 0.0 END)
+                 + 0.3 * least(CASE WHEN tok > 0
+                                    THEN stops * 1.0 / tok
+                                    ELSE 0.0 END, 0.3) / 0.3
+                 + 0.3 * (CASE WHEN pr <= 0.2 THEN 1.0 ELSE 0.0 END), 4)
+               AS q
+      FROM base
+    )
+    SELECT fp, id, CAST(COUNT(*) OVER (PARTITION BY fp) AS BIGINT) AS n_dups,
+           q + 0.0 AS quality
+    FROM q
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY fp ORDER BY q DESC, id) = 1
+    """,
+)
+def q_dedup_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-representative selection per exact-duplicate group
+    (operators/dedup.py:canonical_docs over text.py:quality_score):
+    after detection, keep the highest-quality copy (tie: lowest id) —
+    'which copy do we train on'. Quality is ROUNDed before it becomes
+    the ranking key, so cross-engine ties resolve on the exact
+    integer id, not raw-double noise."""
+    from ..operators.dedup import canonical_docs
+    from ..operators.text import quality_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    return canonical_docs(docs, quality_score("text"))

@@ -178,3 +178,28 @@ def test_cross_doc_ngram_stats_planted_passage(spark):
     assert {k: (v.n_grams, v.n_shared) for k, v in out.items()} == {
         k: (v.n_grams, v.n_shared) for k, v in out_xx.items()
     }
+
+
+def test_canonical_docs_picks_best_quality_per_group(spark):
+    from bootcamp_stackacademy_datalake_minio_airflow_spark.operators.dedup import canonical_docs
+    from pyspark.sql import functions as F
+
+    # two dup groups (whitespace/case variants normalize together) and
+    # one singleton; quality proxy = doc length so the winner is known
+    good = "the " * 30  # long + stopwords -> high quality
+    rows = [
+        (1, good + "alpha"),
+        (2, ("the " * 30 + "ALPHA  ")),  # same normalized text, same quality
+        (3, "beta"),
+        (4, "beta"),
+        (5, "unique doc"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = canonical_docs(df, F.length("text").cast("double")).collect()
+    by_id = {r["id"]: r for r in out}
+    # group {1,2}: same normalized fp; quality = raw length -> doc 2's
+    # trailing spaces make it longer, so 2 wins
+    assert set(by_id) == {2, 3, 5}
+    assert by_id[2]["n_dups"] == 2
+    assert by_id[3]["n_dups"] == 2  # beta group, tie -> lowest id
+    assert by_id[5]["n_dups"] == 1
