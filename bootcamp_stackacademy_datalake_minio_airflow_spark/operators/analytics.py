@@ -36,7 +36,13 @@ def pareto_front_2d(df: DataFrame, cost_col: str, gain_col: str) -> DataFrame:
     back-join broadcasts the front, which is at most
     |distinct costs| rows.
     """
-    per_cost = df.groupBy(cost_col).agg(F.max(gain_col).alias("__best"))
+    # NULL handling follows the dominance definition: a row with NULL
+    # cost or gain is never dominated (every comparison is unknown)
+    # and dominates nothing, so it passes through untouched — the
+    # null-rejecting semi-join below would otherwise silently drop it
+    nullish = F.col(cost_col).isNull() | F.col(gain_col).isNull()
+    clean = df.filter(~nullish)
+    per_cost = clean.groupBy(cost_col).agg(F.max(gain_col).alias("__best"))
     w = (
         Window.orderBy(cost_col)
         .rowsBetween(Window.unboundedPreceding, -1)
@@ -46,7 +52,8 @@ def pareto_front_2d(df: DataFrame, cost_col: str, gain_col: str) -> DataFrame:
         .filter(F.col("__prev").isNull() | (F.col("__best") > F.col("__prev")))
         .select(F.col(cost_col), F.col("__best").alias(gain_col))
     )
-    return df.join(F.broadcast(front), [cost_col, gain_col], "left_semi")
+    survivors = clean.join(F.broadcast(front), [cost_col, gain_col], "left_semi")
+    return survivors.unionByName(df.filter(nullish))
 
 
 def changepoint_binary_split(
@@ -205,9 +212,16 @@ def psi_bucket_counts(
     accumulates (streaming/drift.py) — counts are mergeable, the
     report is a pure function of them (psi_from_counts), so stream
     and batch share both stages."""
-    b = F.least(
-        F.floor(F.col(value_col) / F.lit(bucket_width)),
-        F.lit(n_buckets - 1),
+    # clamped on BOTH ends: without the greatest() a negative value
+    # column would mint one bucket per distinct negative multiple of
+    # the width, breaking the <= n_buckets state bound the streaming
+    # twin's driver-side accumulator relies on
+    b = F.greatest(
+        F.least(
+            F.floor(F.col(value_col) / F.lit(bucket_width)),
+            F.lit(n_buckets - 1),
+        ),
+        F.lit(0),
     ).cast("long")
     tagged = df.select(b.alias("bucket"), split_pred.cast("int").alias("__a"))
     return tagged.groupBy("bucket").agg(
@@ -279,8 +293,14 @@ def ab_test_ztest(
         .cast("long")
         .alias("conv_b"),
     )
-    pa = F.col("conv_a").cast("double") / F.col("n_a")
-    pb = F.col("conv_b").cast("double") / F.col("n_b")
+    # every division is reachable only behind a positive-count guard:
+    # ANSI mode raises on x/0 even for doubles, and an empty arm
+    # (n_a or n_b = 0) or a degenerate experiment (pp = 0 or 1:
+    # nobody / everybody converted) must report NULL, not crash.
+    # F.when evaluates its value branch lazily (codegen if/else), so
+    # nesting the se > 0 test inside the both-arms guard is safe.
+    pa = F.when(F.col("n_a") > 0, F.col("conv_a").cast("double") / F.col("n_a"))
+    pb = F.when(F.col("n_b") > 0, F.col("conv_b").cast("double") / F.col("n_b"))
     pp = (F.col("conv_a") + F.col("conv_b")).cast("double") / (
         F.col("n_a") + F.col("n_b")
     )
@@ -288,10 +308,10 @@ def ab_test_ztest(
         pp * (F.lit(1.0) - pp)
         * (F.lit(1.0) / F.col("n_a") + F.lit(1.0) / F.col("n_b"))
     )
-    # degenerate experiments (pp = 0 or 1: nobody / everybody
-    # converted) have no variance — report NULL z, don't divide by 0
-    # (ANSI mode raises)
-    z = F.when(se > 0, (pa - pb) / se)
+    z = F.when(
+        (F.col("n_a") > 0) & (F.col("n_b") > 0),
+        F.when(se > 0, (pa - pb) / se),
+    )
     return s.select(
         "n_a",
         "conv_a",
@@ -320,14 +340,21 @@ def classification_report(
     divisions are guarded F.when (ANSI mode raises on /0). Scale: the
     pair table collapses to |classes| rows in one map-side-combined
     shuffle; everything after is dimension-sized."""
+    # ONE corpus scan: collapse to the |classes|^2 confusion table
+    # first (the pred expression — e.g. language_id's four stopword
+    # scans — is evaluated once per row), then derive both margins
+    # from it; Catalyst reuses the confusion Exchange for both
     pairs = df.select(
         F.col(gold_col).alias("g"), F.col(pred_col).alias("p")
     )
-    gold = pairs.groupBy("g").agg(
-        F.count("*").cast("long").alias("n_gold"),
-        F.sum((F.col("p") == F.col("g")).cast("int")).cast("long").alias("tp"),
+    conf = pairs.groupBy("g", "p").agg(F.count("*").cast("long").alias("c"))
+    gold = conf.groupBy("g").agg(
+        F.sum("c").cast("long").alias("n_gold"),
+        F.sum(F.when(F.col("p") == F.col("g"), F.col("c")).otherwise(0))
+        .cast("long")
+        .alias("tp"),
     )
-    pred = pairs.groupBy("p").agg(F.count("*").cast("long").alias("n_pred"))
+    pred = conf.groupBy("p").agg(F.sum("c").cast("long").alias("n_pred"))
     j = gold.join(pred, gold["g"] == pred["p"], "full_outer").select(
         F.coalesce(F.col("g"), F.col("p")).alias("clazz"),
         F.coalesce(F.col("n_gold"), F.lit(0)).alias("n_gold"),
@@ -399,10 +426,15 @@ def key_skew_profile(
             + F.lit(0.0)
         ).alias("top_share"),
         (
+            # empty input: n_keys = 0 (count is non-null) would make
+            # (n_keys+1)/n_keys raise under ANSI — report NULL stats
             F.round(
-                F.lit(2.0) * F.col("__in")
-                / (F.col("n_keys").cast("double") * F.col("n_rows"))
-                - (F.col("n_keys") + 1).cast("double") / F.col("n_keys"),
+                F.when(
+                    F.col("n_keys") > 0,
+                    F.lit(2.0) * F.col("__in")
+                    / (F.col("n_keys").cast("double") * F.col("n_rows"))
+                    - (F.col("n_keys") + 1).cast("double") / F.col("n_keys"),
+                ),
                 round_to,
             )
             + F.lit(0.0)

@@ -31,7 +31,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from ..operators.analytics import psi_from_counts
+from ..operators.analytics import psi_bucket_counts, psi_from_counts
 
 DOCS_SCHEMA = StructType(
     [
@@ -87,18 +87,12 @@ def stream_psi_monitor(
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(source_dir)
     )
-    bucket = F.least(
-        F.floor(F.col(value_col) / F.lit(bucket_width)),
-        F.lit(n_buckets - 1),
-    ).cast("long")
-    is_a = (F.col("source") == split_source).cast("int")
-    counts = (
-        stream.select(bucket.alias("bucket"), is_a.alias("__a"))
-        .groupBy("bucket")
-        .agg(
-            F.sum("__a").cast("long").alias("n_a"),
-            (F.count("*") - F.sum("__a")).cast("long").alias("n_b"),
-        )
+    counts = psi_bucket_counts(
+        stream,
+        value_col,
+        F.col("source") == split_source,
+        bucket_width=bucket_width,
+        n_buckets=n_buckets,
     )
     writer = (
         counts.writeStream.outputMode("update")

@@ -298,7 +298,8 @@ def q_orders_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     "doc_length_psi",
     """
     WITH t AS (
-      SELECT least(CAST(floor(n_chars / 100.0) AS BIGINT), 9) AS bucket,
+      SELECT greatest(least(CAST(floor(n_chars / 100.0) AS BIGINT), 9), 0)
+               AS bucket,
              CASE WHEN source = 'src0' THEN 1 ELSE 0 END AS a
       FROM documents
     ), per AS (

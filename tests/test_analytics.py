@@ -382,3 +382,68 @@ def test_linear_trend_degenerate_inputs_return_null(spark):
     assert r2["slope"] == pytest.approx(0.0)
     assert r2["intercept"] == pytest.approx(7.0)
     assert r2["r2"] is None
+
+
+def test_ab_ztest_empty_arm_returns_null_not_crash(spark):
+    from bootcamp_stackacademy_datalake_minio_airflow_spark.operators.analytics import ab_test_ztest
+
+    # every user lands in arm 1: n_b = 0 must give NULL p_b and z
+    df = spark.createDataFrame(
+        [(u, "buy" if u % 3 == 0 else "view") for u in range(12)],
+        ["uid", "etype"],
+    )
+    r = ab_test_ztest(
+        df, "uid", F.col("etype") == "buy", F.lit(1)
+    ).collect()[0]
+    assert r["n_b"] == 0 and r["p_b"] is None and r["z"] is None
+    assert r["p_a"] is not None
+
+
+def test_key_skew_profile_empty_input_returns_null_stats(spark):
+    from bootcamp_stackacademy_datalake_minio_airflow_spark.operators.analytics import key_skew_profile
+
+    df = spark.createDataFrame([(1,)], ["k"]).filter(F.lit(False))
+    r = key_skew_profile(df, "k").collect()[0]
+    assert r["n_keys"] == 0 and r["n_rows"] is None
+    assert r["gini"] is None and r["top_share"] is None
+
+
+def test_psi_negative_values_clamp_to_bucket_zero(spark):
+    from bootcamp_stackacademy_datalake_minio_airflow_spark.operators.analytics import (
+        psi_bucket_counts,
+    )
+
+    df = spark.createDataFrame(
+        [(i, float(v), i % 2 == 0) for i, v in enumerate([-500, -1, 0, 50, 950, 2000])],
+        ["id", "val", "is_a"],
+    )
+    rows = psi_bucket_counts(df, "val", F.col("is_a")).collect()
+    buckets = {r["bucket"] for r in rows}
+    assert min(buckets) == 0 and max(buckets) == 9
+    assert len(buckets) <= 10  # the streaming state bound holds
+
+
+def test_pareto_keeps_null_keyed_rows(spark):
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [StructField("cost", DoubleType()), StructField("gain", LongType())]
+    )
+    df = spark.createDataFrame(
+        [(1.0, 5), (2.0, 3), (None, 4), (3.0, None)], schema
+    )
+    got = sorted(
+        [
+            (r["cost"], r["gain"])
+            for r in pareto_front_2d(df, "cost", "gain").collect()
+        ],
+        key=str,
+    )
+    # (2.0, 3) is dominated by (1.0, 5); NULL-keyed rows are never
+    # dominated under the definition and must survive
+    assert sorted([(1.0, 5), (None, 4), (3.0, None)], key=str) == got
