@@ -92,7 +92,13 @@ def hash_split(
         expr = F.when(cond, label) if expr is None else expr.when(cond, label)
     last_label = labels[-1][0]
     expr = F.lit(last_label) if expr is None else expr.otherwise(last_label)
-    return df.withColumn(split_col, expr)
+    # NULL keys get a NULL split, visibly: md5(NULL) is NULL, every
+    # range test is NULL, and the otherwise() branch used to dump ALL
+    # null-key rows into the LAST split — silently skewing it (review
+    # finding; hash_sample drops the same rows, equally silently)
+    return df.withColumn(
+        split_col, F.when(F.col(key_col).isNotNull(), expr)
+    )
 
 
 def stratified_quota(
@@ -114,10 +120,15 @@ def stratified_quota(
     w = Window.partitionBy(group_col).orderBy(
         _draw(F.col(key_col), salt), F.col(key_col)
     )
+    # collision-safe temp name: a caller's own __rk column must not be
+    # clobbered/dropped (same fix class as debounce's __gap)
+    rk = "__rk"
+    while rk in df.columns:
+        rk += "_"
     return (
-        df.withColumn("__rk", F.row_number().over(w))
-        .filter(F.col("__rk") <= n_per_group)
-        .drop("__rk")
+        df.withColumn(rk, F.row_number().over(w))
+        .filter(F.col(rk) <= n_per_group)
+        .drop(rk)
     )
 
 

@@ -40,66 +40,61 @@ def asof_join(
         c: (f"{c}_asof" if c in left.columns else c) for c in value_cols
     }
 
+    # The matched row's values travel as ONE struct (NULL for left
+    # rows, non-null for right rows even when its FIELDS are NULL), so
+    # last(ignorenulls) returns the as-of ROW — per-column fills used
+    # to stitch the most recent non-null value of each column from
+    # DIFFERENT right rows, fabricating rows that never existed
+    # (review finding; pandas merge_asof returns the matched row's
+    # NULLs as NULLs).
     l_tagged = left.select(
         F.col(on).alias("__k"),
         F.col(left_time).alias("__t"),
         F.lit(1).alias("__is_left"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__v_{c}") for c in value_cols],
+        F.lit(None)
+        .cast(f"struct<{','.join(f'{c}:{right.schema[c].dataType.simpleString()}' for c in value_cols)}>")
+        .alias("__v"),
         F.struct(*left.columns).alias("__row"),
     )
     r_tagged = right.select(
         F.col(on).alias("__k"),
         F.col(right_time).alias("__t"),
         F.lit(0).alias("__is_left"),
-        *[F.col(c).alias(f"__v_{c}") for c in value_cols],
+        F.struct(*[F.col(c).alias(c) for c in value_cols]).alias("__v"),
         F.lit(None).cast(l_tagged.schema["__row"].dataType).alias("__row"),
     )
-    merged = l_tagged.unionByName(r_tagged)
-
-    if direction == "backward":
-        # right rows sort before left rows at equal time -> exact match
-        # allowed. The trailing __v_ keys make ties among right rows at
-        # one timestamp deterministic (last() picks the max value
-        # tuple): without them the window order among equal keys is
-        # whatever survives the shuffle — racy on a real cluster.
-        w = (
-            Window.partitionBy("__k")
-            .orderBy(
-                F.asc("__t"),
-                F.asc("__is_left"),
-                *[F.asc(f"__v_{c}") for c in value_cols],
-            )
-            .rowsBetween(Window.unboundedPreceding, 0)
-        )
-        filled = merged.select(
-            "*",
-            *[
-                F.last(f"__v_{c}", ignorenulls=True).over(w).alias(f"__f_{c}")
-                for c in value_cols
-            ],
-        )
-    else:
-        w = (
-            Window.partitionBy("__k")
-            .orderBy(
-                F.desc("__t"),
-                F.asc("__is_left"),
-                *[F.asc(f"__v_{c}") for c in value_cols],
-            )
-            .rowsBetween(Window.unboundedPreceding, 0)
-        )
-        filled = merged.select(
-            "*",
-            *[
-                F.last(f"__v_{c}", ignorenulls=True).over(w).alias(f"__f_{c}")
-                for c in value_cols
-            ],
-        )
-
-    out = filled.filter(F.col("__is_left") == 1).select(
-        "__row.*", *[F.col(f"__f_{c}").alias(out_names[c]) for c in value_cols]
+    # A right row with NULL time can never be the as-of match (its
+    # position on the time axis is unknown) — without this filter the
+    # nulls-first sort made it a universal fallback fill. Left rows
+    # with NULL time likewise have no match: they bypass the window
+    # entirely and re-enter with NULL fills.
+    merged = l_tagged.filter(F.col("__t").isNotNull()).unionByName(
+        r_tagged.filter(F.col("__t").isNotNull())
     )
-    return out
+
+    # right rows sort before left rows at equal time -> exact match
+    # allowed. The trailing __v key makes ties among right rows at one
+    # timestamp deterministic (last() picks the max value struct):
+    # without it the window order among equal keys is whatever
+    # survives the shuffle — racy on a real cluster.
+    t_ord = F.asc("__t") if direction == "backward" else F.desc("__t")
+    w = (
+        Window.partitionBy("__k")
+        .orderBy(t_ord, F.asc("__is_left"), F.asc("__v"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = merged.select(
+        "*", F.last("__v", ignorenulls=True).over(w).alias("__f")
+    )
+    matched = filled.filter(F.col("__is_left") == 1).select(
+        "__row.*",
+        *[F.col(f"__f.{c}").alias(out_names[c]) for c in value_cols],
+    )
+    null_time = l_tagged.filter(F.col("__t").isNull()).select(
+        "__row.*",
+        *[F.col(f"__v.{c}").alias(out_names[c]) for c in value_cols],
+    )
+    return matched.unionByName(null_time)
 
 
 def range_join(
@@ -141,11 +136,22 @@ def range_join(
         "outer",
     )
     if strategy == "auto":
-        strategy = (
-            "broadcast"
-            if ranges_outer or ranges.count() <= broadcast_max_rows
-            else "bucketed"
-        )
+        if ranges_outer:
+            strategy = "broadcast"
+        else:
+            # ONE agg answers both auto questions (row count for the
+            # strategy pick, average span for the bucket width) — the
+            # count()-then-avg() form scanned the ranges twice
+            stats = ranges.agg(
+                F.count("*").alias("n"),
+                F.avg(F.col(hi_col) - F.col(lo_col)).alias("w"),
+            ).first()
+            if stats["n"] <= broadcast_max_rows:
+                strategy = "broadcast"
+            else:
+                strategy = "bucketed"
+                if bucket_width is None:
+                    bucket_width = float(stats["w"] or 1.0)
     if strategy == "bucketed" and ranges_outer:
         raise ValueError(
             f"how={how!r} null-extends the exploded ranges side under the "
@@ -169,12 +175,17 @@ def range_join(
             or 1.0
         )
     w = float(bucket_width)
-    f = facts.withColumn("__bkt", F.floor(F.col(value_col) / w))
+    # collision-safe temp name: a caller's own __bkt column must not
+    # be clobbered/dropped (same fix class as debounce's __gap)
+    bkt = "__bkt"
+    while bkt in facts.columns or bkt in ranges.columns:
+        bkt += "_"
+    f = facts.withColumn(bkt, F.floor(F.col(value_col) / w))
     # a range overlaps buckets floor(lo/w)..floor(hi/w); the possible
     # extra trailing bucket (hi on a boundary) only adds candidates the
     # interval predicate rejects
     r = ranges.withColumn(
-        "__bkt",
+        bkt,
         F.explode(
             F.sequence(
                 F.floor(F.col(lo_col) / w), F.floor(F.col(hi_col) / w)
@@ -182,11 +193,11 @@ def range_join(
         ),
     )
     cond = (
-        (f["__bkt"] == r["__bkt"])
+        (f[bkt] == r[bkt])
         & (f[value_col] >= r[lo_col])
         & (f[value_col] < r[hi_col])
     )
-    return f.join(r, cond, how).drop(f["__bkt"]).drop(r["__bkt"])
+    return f.join(r, cond, how).drop(f[bkt]).drop(r[bkt])
 
 
 def ewma_user_scores(
@@ -276,9 +287,12 @@ def score_hourly_rates(
     """Score a pre-aggregated (type, hour_ts, n_events) table for rate
     spikes — the shared core of the batch detector above and the
     streaming monitor (streaming/monitor.py), which feeds it the
-    windowed-aggregation state each micro-batch."""
-    from pyspark.sql import Window
+    windowed-aggregation state each micro-batch.
 
+    A spike off a PERFECTLY FLAT baseline (trailing sigma = 0, count
+    above the constant mean) alarms with a NULL z_score — no finite z
+    exists, but suppressing it entirely made the detector blind to
+    the clearest anomalies (review finding)."""
     spans = sparse.groupBy(type_col).agg(
         F.min("hour_ts").alias("__lo"), F.max("hour_ts").alias("__hi")
     )
@@ -302,9 +316,18 @@ def score_hourly_rates(
         hourly.withColumn("__mu", F.avg("n_events").over(w))
         .withColumn("__sigma", F.stddev_pop("n_events").over(w))
         .withColumn("__cnt", F.count("n_events").over(w))
-        .filter((F.col("__cnt") == lookback) & (F.col("__sigma") > 0))
-        .withColumn("z", (F.col("n_events") - F.col("__mu")) / F.col("__sigma"))
-        .filter(F.col("z") > z_cutoff)
+        .filter(F.col("__cnt") == lookback)
+        .withColumn(
+            "z",
+            F.when(
+                F.col("__sigma") > 0,
+                (F.col("n_events") - F.col("__mu")) / F.col("__sigma"),
+            ),
+        )
+        .filter(
+            (F.col("z") > z_cutoff)
+            | ((F.col("__sigma") == 0) & (F.col("n_events") > F.col("__mu")))
+        )
         .select(
             type_col,
             "hour_ts",
@@ -334,8 +357,6 @@ def debounce_events(
     burst still collapses to one row, unlike fixed-window throttles
     that re-emit every window).
     """
-    from pyspark.sql import Window
-
     t = F.unix_seconds(F.col(ts_col).cast("timestamp"))
     w = Window.partitionBy(*key_cols).orderBy(t, F.col(order_tiebreak))
     gap = t - F.lag(t).over(w)

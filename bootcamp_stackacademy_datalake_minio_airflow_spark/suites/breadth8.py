@@ -345,9 +345,12 @@ def q_graph_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
                    ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
     )
     SELECT event_type, hour_ts, n_events,
-           ROUND((n_events - mu) / sigma, 4) AS z_score
+           ROUND(CASE WHEN sigma > 0 THEN (n_events - mu) / sigma END, 4)
+             AS z_score
     FROM win
-    WHERE cnt = 24 AND sigma > 0 AND (n_events - mu) / sigma > 2.5
+    WHERE cnt = 24
+      AND ((sigma > 0 AND (n_events - mu) / sigma > 2.5)
+           OR (sigma = 0 AND n_events > mu))
     """,
 )
 def q_events_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:

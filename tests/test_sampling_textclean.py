@@ -117,3 +117,31 @@ def test_mixture_sample_rates_and_stability(spark):
         if r.k < 8000
     }
     assert kept_small == kept_big
+
+
+def test_stratified_quota_preserves_caller_rk_column(spark):
+    from bootcamp_stackacademy_datalake_minio_airflow_spark.operators.sampling import stratified_quota
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(i, f"s{i % 2}", i * 10) for i in range(20)],
+        ["doc_id", "source", "__rk"],
+    )
+    out = stratified_quota(df, "source", "doc_id", 3)
+    assert "__rk" in out.columns  # caller's column survives
+    assert out.count() == 6
+    assert {r["__rk"] for r in out.collect()} <= {i * 10 for i in range(20)}
+
+
+def test_hash_split_null_keys_get_null_split(spark):
+    from bootcamp_stackacademy_datalake_minio_airflow_spark.operators.sampling import hash_split
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    schema = StructType([StructField("k", LongType())])
+    df = spark.createDataFrame([(1,), (2,), (None,)], schema)
+    out = hash_split(
+        df, "k", {"train": 0.8, "test": 0.2}
+    ).collect()
+    by_k = {r["k"]: r["split"] for r in out}
+    assert by_k[None] is None  # visible, not silently dumped in 'test'
+    assert by_k[1] in ("train", "test") and by_k[2] in ("train", "test")

@@ -110,3 +110,117 @@ def test_range_join_bucketed_plan_no_bnlj(spark):
         .toString()
     )
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_asof_null_right_time_never_matches(spark):
+    import datetime as dt
+
+    from bootcamp_stackacademy_datalake_minio_airflow_spark.operators.temporal import asof_join
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    rschema = StructType(
+        [
+            StructField("k", LongType()),
+            StructField("rt", TimestampType()),
+            StructField("price", DoubleType()),
+        ]
+    )
+    left = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1))], ["k", "lt"]
+    )
+    right = spark.createDataFrame([(1, None, 99.0)], rschema)
+    out = asof_join(left, right, "k", "lt", "rt", ["price"]).collect()
+    # a right row with unknown time is not an as-of match
+    assert len(out) == 1 and out[0]["price"] is None
+
+
+def test_asof_null_left_time_gets_null_fill(spark):
+    import datetime as dt
+
+    from bootcamp_stackacademy_datalake_minio_airflow_spark.operators.temporal import asof_join
+    from pyspark.sql.types import (
+        LongType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    lschema = StructType(
+        [StructField("k", LongType()), StructField("lt", TimestampType())]
+    )
+    left = spark.createDataFrame([(1, None)], lschema)
+    right = spark.createDataFrame(
+        [(1, dt.datetime(2023, 1, 1), 10.0)], ["k", "rt", "price"]
+    )
+    for direction in ("backward", "forward"):
+        out = asof_join(
+            left, right, "k", "lt", "rt", ["price"], direction=direction
+        ).collect()
+        assert len(out) == 1 and out[0]["price"] is None, direction
+
+
+def test_asof_matched_row_nulls_are_returned_not_stitched(spark):
+    import datetime as dt
+
+    from bootcamp_stackacademy_datalake_minio_airflow_spark.operators.temporal import asof_join
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    rschema = StructType(
+        [
+            StructField("k", LongType()),
+            StructField("rt", TimestampType()),
+            StructField("price", DoubleType()),
+            StructField("qty", DoubleType()),
+        ]
+    )
+    right = spark.createDataFrame(
+        [
+            (1, dt.datetime(2024, 1, 1), 10.0, 5.0),
+            (1, dt.datetime(2024, 1, 2), None, 7.0),
+        ],
+        rschema,
+    )
+    left = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 5))], ["k", "lt"]
+    )
+    out = asof_join(left, right, "k", "lt", "rt", ["price", "qty"]).collect()
+    # the as-of row is Jan 2: its NULL price must come through as
+    # NULL, not be stitched from the Jan 1 row (pandas merge_asof)
+    assert len(out) == 1
+    assert out[0]["price"] is None and out[0]["qty"] == 7.0
+
+
+def test_rate_anomaly_fires_on_flat_baseline_spike(spark):
+    import datetime as dt
+
+    from bootcamp_stackacademy_datalake_minio_airflow_spark.operators.temporal import rate_anomalies
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows, eid = [], 0
+    for h in range(26):
+        n = 500 if h == 25 else 5  # perfectly constant, then a spike
+        for i in range(n):
+            rows.append(
+                (eid, t0 + dt.timedelta(hours=h, seconds=i), 1, "error", 1.0, "{}")
+            )
+            eid += 1
+    ev = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    out = rate_anomalies(ev, lookback=24, z_cutoff=2.5).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["hour_ts"] == t0 + dt.timedelta(hours=25)
+    assert r["z_score"] is None  # sigma = 0: no finite z, but it alarms
