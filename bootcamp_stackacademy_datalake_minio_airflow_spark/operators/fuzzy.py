@@ -39,18 +39,25 @@ from pyspark.sql import functions as F
 __all__ = ["deletion_variants", "deletion_variants_k2", "fuzzy_neighbor_counts"]
 
 
+def _delete_one(name: Column, j: Column) -> Column:
+    """``name`` with 1-based position j removed — the single shared
+    definition of the deletion expression (three inline copies of
+    this positional arithmetic used to exist; an off-by-one fix to
+    one would have silently left the k=1 and k=2 indexes
+    disagreeing)."""
+    return F.concat(
+        F.substring(name, F.lit(1), j - 1),
+        name.substr(j + 1, F.length(name)),
+    )
+
+
 def deletion_variants(name: Column) -> Column:
     """Distinct single-deletion variants of ``name``, plus the string
     itself (position 0 = keep)."""
     return F.array_distinct(
         F.transform(
             F.sequence(F.lit(0), F.length(name)),
-            lambda j: F.when(j == 0, name).otherwise(
-                F.concat(
-                    F.substring(name, F.lit(1), j - 1),
-                    name.substr(j + 1, F.length(name)),
-                )
-            ),
+            lambda j: F.when(j == 0, name).otherwise(_delete_one(name, j)),
         )
     )
 
@@ -84,20 +91,8 @@ def deletion_variants_k2(name: Column) -> Column:
                 lambda p: F.transform(
                     F.sequence(p, F.length(name)),
                     lambda q: F.when((p == 0) & (q == 0), name)
-                    .when(
-                        p == 0,
-                        F.concat(
-                            F.substring(name, F.lit(1), q - 1),
-                            name.substr(q + 1, F.length(name)),
-                        ),
-                    )
-                    .when(
-                        p == q,
-                        F.concat(
-                            F.substring(name, F.lit(1), p - 1),
-                            name.substr(p + 1, F.length(name)),
-                        ),
-                    )
+                    .when(p == 0, _delete_one(name, q))
+                    .when(p == q, _delete_one(name, p))
                     .otherwise(_delete_two(name, p, q)),
                 ),
             )

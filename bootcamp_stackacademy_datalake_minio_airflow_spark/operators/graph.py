@@ -52,8 +52,12 @@ def cooccurrence_edges(
     )
     if not dedup:
         # consumers that canonicalize + dedup themselves
-        # (triangle_counts) skip this shuffle entirely
-        return pairs
+        # (triangle_counts) skip this shuffle entirely — but the
+        # partitioning contract still holds if asked for (silently
+        # ignoring partition_by here handed consumers an
+        # unpartitioned stream they trusted as co-located — review
+        # finding)
+        return pairs.repartition(partition_by) if partition_by else pairs
     if partition_by is not None:
         return pairs.repartition(partition_by).dropDuplicates()
     return pairs.distinct()

@@ -35,6 +35,7 @@ __all__ = [
     "bigram_nll_score",
     "chunk_tokens",
     "phrase_positions",
+    "tfidf_top_terms",
 ]
 
 
@@ -64,6 +65,13 @@ def bm25_topk(
     (tf + k1·(1 - b + b·dl/avgdl)). Deterministic output: score is
     ROUNDed to 4 before the sort and ties break on ``id_col``.
 
+    Query terms are normalized driver-side (lowercase + trim) to the
+    same canonical form the corpus tokens get from normalize_text —
+    a raw uppercase query used to silently match nothing (review
+    finding). Duplicate query terms collapse (set semantics; isin has
+    no multiplicity) and an empty query raises instead of silently
+    returning zero rows.
+
     Plan: explode tokens → filter to the query terms (the filter lands
     before the aggregation, so only query-term postings shuffle) →
     per-(doc, term) tf with the doc length CARRIED THROUGH the
@@ -73,6 +81,9 @@ def bm25_topk(
     broadcast back. Two scans of the corpus (postings + the length
     aggregate), one real shuffle over query-term postings only.
     """
+    terms = sorted({t.strip().lower() for t in terms if t and t.strip()})
+    if not terms:
+        raise ValueError("terms must contain at least one non-blank term")
     # blank docs must not inflate N/avgdl: split('') is [''] (size 1),
     # so the size guard alone admits them — gate on trimmed length,
     # matching token_count()'s zero-token definition
@@ -160,12 +171,19 @@ def bigram_nll_score(
         ).alias("b"),
     )
     doc_bg = bg.groupBy(id_col, "b").agg(F.count("*").cast("double").alias("tf"))
-    bcnt = bg.groupBy("b").agg(F.count("*").cast("double").alias("c12"))
+    # corpus bigram counts AGGREGATE the per-doc table (sum of per-doc
+    # tf == corpus count) instead of re-deriving from bg: bg is uncached
+    # and the two aggregations shuffle on different keys, so the
+    # explode used to run twice over the corpus (review finding)
+    bcnt = doc_bg.groupBy("b").agg(F.sum("tf").alias("c12"))
     c1 = bcnt.select(
         F.split("b", " ").getItem(0).alias("w1"), F.col("c12")
     ).groupBy("w1").agg(F.sum("c12").alias("c1"))
     vocab = (
         docs.select(F.explode(_toks(text_col)).alias("w"))
+        # split('') is [''] — the blank-doc artifact token is not a
+        # unigram and must not inflate V (same guard as bm25/chunking)
+        .filter(F.col("w") != "")
         .agg(F.countDistinct("w").cast("double").alias("v"))
     )
     probs = (
@@ -287,6 +305,12 @@ def phrase_positions(
     """
     if not phrase:
         raise ValueError("phrase must be non-empty")
+    # canonicalize to the corpus token form (normalize_text lowercases
+    # before splitting) — a raw uppercase phrase silently matched
+    # nothing (review finding); blank words can never be tokens
+    phrase = [w.strip().lower() for w in phrase]
+    if any(not w for w in phrase):
+        raise ValueError("phrase words must be non-blank")
     span = len(phrase)
 
     def scan(tk: Column) -> Column:
@@ -342,11 +366,19 @@ def tfidf_top_terms(
         .filter(F.col("term") != "")
     )
     n_docs = df.select(F.count("*").cast("double").alias("__n"))
-    tf = pairs.groupBy("grp", "term").agg(
-        F.count("*").cast("long").alias("tf")
+    # collapse the corpus ONCE to per-(doc, term) counts; tf and the
+    # doc frequency both derive from that vocabulary-scale table
+    # (previously each aggregation re-ran the corpus explode under a
+    # different shuffle key — review finding). One row per (doc, term)
+    # [a doc has one group], so COUNT(*) per term IS the doc frequency.
+    per_doc = pairs.groupBy("__id", "grp", "term").agg(
+        F.count("*").cast("long").alias("__c")
     )
-    dfreq = pairs.groupBy("term").agg(
-        F.count_distinct("__id").cast("double").alias("__df")
+    tf = per_doc.groupBy("grp", "term").agg(
+        F.sum("__c").cast("long").alias("tf")
+    )
+    dfreq = per_doc.groupBy("term").agg(
+        F.count("*").cast("double").alias("__df")
     )
     scored = (
         tf.join(dfreq, "term")

@@ -103,7 +103,8 @@ def q_bm25_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT string_split(b, ' ')[1] AS w1, SUM(c12) AS c1 FROM bcnt GROUP BY 1
     ), vocab AS (
       SELECT CAST(COUNT(DISTINCT w) AS DOUBLE) AS v
-      FROM (SELECT unnest(toks) AS w FROM base)
+      FROM (SELECT unnest(toks) AS w FROM base) WHERE w <> ''
+
     ), probs AS (
       SELECT b, -ln((c12 + 0.5) / (c1.c1 + 0.5 * vocab.v)) AS nll
       FROM bcnt
@@ -514,7 +515,8 @@ def q_events_salted_distinct_users(spark: SparkSession, sf_dir: str) -> DataFram
       SELECT string_split(b, ' ')[1] AS w1, SUM(c12) AS c1 FROM bcnt GROUP BY 1
     ), vocab AS (
       SELECT CAST(COUNT(DISTINCT w) AS DOUBLE) AS v
-      FROM (SELECT unnest(toks) AS w FROM base)
+      FROM (SELECT unnest(toks) AS w FROM base) WHERE w <> ''
+
     ), probs AS (
       SELECT b, -ln((c12 + 0.5) / (c1.c1 + 0.5 * vocab.v)) AS nll
       FROM bcnt

@@ -154,3 +154,45 @@ def test_blank_docs_emit_no_chunks_and_skip_bm25_stats(spark):
     got = bm25_topk(df, ["alpha"], k=10).collect()
     assert [r["doc_id"] for r in got] == [1]
     assert got[0]["score"] == pytest.approx(round(math.log(4.0 / 3.0), 4))
+
+
+def test_bm25_and_phrase_normalize_query_terms(spark):
+    from bootcamp_stackacademy_datalake_minio_airflow_spark.operators.retrieval import (
+        bm25_topk,
+        phrase_positions,
+    )
+    import pytest as _pytest
+
+    docs = spark.createDataFrame(
+        [(1, "the spark table is fast"), (2, "value table row")],
+        ["doc_id", "text"],
+    )
+    # uppercase / padded queries must match the lowercased corpus form
+    assert bm25_topk(docs, ["  SPARK "]).count() == 1
+    out = phrase_positions(docs, ["Spark", "TABLE"]).collect()
+    assert len(out) == 1 and out[0]["first_pos"] == 1
+    with _pytest.raises(ValueError):
+        bm25_topk(docs, [])
+    with _pytest.raises(ValueError):
+        bm25_topk(docs, ["  "])
+    with _pytest.raises(ValueError):
+        phrase_positions(docs, ["a", " "])
+
+
+def test_bigram_vocab_ignores_blank_doc_artifact(spark):
+    from bootcamp_stackacademy_datalake_minio_airflow_spark.operators.retrieval import bigram_nll_score
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b")], ["doc_id", "text"]
+    )
+    with_blank = docs.unionByName(
+        spark.createDataFrame([(3, "   ")], ["doc_id", "text"])
+    )
+    base = {r["doc_id"]: r["avg_nll"] for r in bigram_nll_score(docs).collect()}
+    plus = {
+        r["doc_id"]: r["avg_nll"]
+        for r in bigram_nll_score(with_blank).collect()
+    }
+    # a whitespace-only doc adds no bigrams AND no vocabulary type, so
+    # every score is unchanged
+    assert base == plus
