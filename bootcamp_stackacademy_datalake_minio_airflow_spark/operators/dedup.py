@@ -857,6 +857,99 @@ def cross_doc_ngram_stats(
     )
 
 
+def ngram_containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Asymmetric n-gram containment join: ordered pairs ``(id_a,
+    id_b)`` where ``|grams(A) ∩ grams(B)| / |grams(A)| >= threshold``
+    — "document A is (mostly) contained in document B".
+
+    Jaccard misses exactly this case: a paragraph quoted inside a much
+    larger page has tiny Jaccard (union is dominated by B) but
+    containment ~1.0, and quote/boilerplate inclusion is the common
+    partial-duplication mode in crawled training corpora. The
+    reference has no dedup at all (SURVEY §2 marks the category
+    absent).
+
+    Candidate generation adapts the prefix-filter principle to the
+    asymmetric threshold: containment >= t bounds A's UN-shared grams
+    by ``(1-t)*|A|``, so indexing each document's
+    ``floor((1-t)*|A|)+1`` globally-rarest grams (ascending document
+    frequency) guarantees every qualifying pair shares a prefix gram
+    of A. The CONTAINER side cannot be prefix-pruned (t says nothing
+    about how much of B is shared), so B probes with its full gram
+    set — the join is prefix(A) x inverted-index(B), still linear in
+    corpus size rather than O(n^2). A lossless size cut rides the
+    join: overlap <= |B| forces ``|B| >= t*|A|``. Verification
+    computes exact containment on the full gram arrays; both engines
+    filter on the ROUNDed value so boundary pairs land identically.
+    """
+    norm = df.select(
+        F.col(id_col).alias("__id"),
+        F.split(normalize_text(text_col), " ").alias("__toks"),
+    ).repartition("__id")
+    toks = F.col("__toks")
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        )
+    )
+    # persisted: the inverted index and the verification join both
+    # re-reference the gram sets
+    base = norm.select("__id", grams.alias("__g")).persist()
+    inv = base.select(
+        "__id", F.size("__g").alias("__sz"), F.explode("__g").alias("gram")
+    )
+    dfreq = inv.groupBy("gram").agg(F.count(F.lit(1)).alias("__df"))
+    ranked = inv.join(dfreq, "gram")
+    w = Window.partitionBy("__id").orderBy(F.asc("__df"), F.asc("gram"))
+    prefix = (
+        ranked.withColumn("__rk", F.row_number().over(w))
+        .filter(
+            F.col("__rk")
+            <= F.floor((1.0 - threshold) * F.col("__sz")).cast("int") + F.lit(1)
+        )
+        .select("__id", "gram", "__sz")
+    )
+    a, b = prefix.alias("a"), inv.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.gram") == F.col("b.gram"))
+            & (F.col("a.__id") != F.col("b.__id"))
+            & (F.col("b.__sz") >= threshold * F.col("a.__sz")),
+        )
+        .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+        .distinct()
+    )
+    verified = (
+        cand.join(
+            base.withColumnRenamed("__id", "id_a").withColumnRenamed("__g", "g_a"),
+            "id_a",
+        )
+        .join(
+            base.withColumnRenamed("__id", "id_b").withColumnRenamed("__g", "g_b"),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.size(F.array_intersect("g_a", "g_b"))
+                / F.size("g_a").cast("double"),
+                4,
+            ).alias("containment"),
+        )
+        .filter(F.col("containment") >= threshold)
+    )
+    return _materialize_release(verified, base)
+
+
 def incremental_dedup_new(
     new_df,
     corpus_df,

@@ -95,6 +95,84 @@ def test_ngram_jaccard_pairs(docs):
     assert all(4 not in p and 5 not in p for p in pairs)
 
 
+def test_ngram_containment_quote_inclusion(spark):
+    """The case Jaccard misses: a short paragraph quoted verbatim
+    inside a much larger page has containment ~1 (small in big) but
+    Jaccard << threshold. Also pins asymmetry: the big page is NOT
+    contained in the quote."""
+    from bootcamp_stackacademy_datalake_minio_airflow_spark.operators.dedup import (
+        ngram_containment_pairs,
+    )
+
+    quote = "the quick brown fox jumps over the lazy dog again and again"
+    page = (
+        "completely unrelated preamble about storage engines and query "
+        "planners with many extra words padding the page " + quote + " "
+        "followed by a long trailing discussion of vectorized execution "
+        "and columnar formats that dominates the union of the gram sets"
+    )
+    docs = spark.createDataFrame(
+        [(1, quote), (2, page), (3, OTHER)], "doc_id long, text string"
+    )
+    pairs = {
+        (r.id_a, r.id_b): r.containment
+        for r in ngram_containment_pairs(docs, "doc_id", "text", n=3, threshold=0.8).collect()
+    }
+    assert pairs.get((1, 2)) == 1.0  # quote fully inside page
+    assert (2, 1) not in pairs  # asymmetric: page not inside quote
+    assert all(3 not in p for p in pairs)
+    jacc = {
+        (r.id_a, r.id_b)
+        for r in ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.8).collect()
+    }
+    assert (1, 2) not in jacc  # Jaccard blind to the inclusion
+
+
+def test_ngram_containment_prefix_filter_lossless(spark):
+    """Brute-force oracle on a random corpus: the prefix-filter +
+    size-cut candidate generation must emit EXACTLY the pairs the
+    all-pairs definition does (losslessness is the operator's whole
+    claim)."""
+    import itertools
+    import random
+
+    from bootcamp_stackacademy_datalake_minio_airflow_spark.operators.dedup import (
+        ngram_containment_pairs,
+    )
+
+    rng = random.Random(7)
+    vocab = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta"]
+    rows = []
+    for i in range(30):
+        L = rng.randint(3, 14)
+        rows.append((i, " ".join(rng.choice(vocab) for _ in range(L))))
+    # plant two containments: 30 inside 31, 32 == 33
+    rows.append((30, rows[0][1]))
+    rows.append((31, rows[1][1] + " " + rows[0][1] + " " + rows[2][1]))
+    rows.append((32, rows[3][1]))
+    rows.append((33, rows[3][1]))
+    t, n = 0.8, 3
+
+    def grams(text):
+        toks = text.split()
+        if len(toks) < n:
+            return {" ".join(toks)}
+        return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+    expected = set()
+    gsets = {i: grams(txt) for i, txt in rows}
+    for a, b in itertools.permutations(gsets, 2):
+        c = round(len(gsets[a] & gsets[b]) / len(gsets[a]), 4)
+        if c >= t:
+            expected.add((a, b, c))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.id_a, r.id_b, r.containment)
+        for r in ngram_containment_pairs(docs, "doc_id", "text", n=n, threshold=t).collect()
+    }
+    assert got == expected
+
+
 def test_winnowing_local_similarity(spark, docs):
     """Winnowing guarantee: docs sharing a long substring share
     fingerprints; disjoint docs share ~none."""
