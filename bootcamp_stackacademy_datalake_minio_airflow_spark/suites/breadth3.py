@@ -173,21 +173,31 @@ def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The HAVING aggregate already IS the output quantity: each order
+    # has exactly one customer, so the re-aggregation over the
+    # (order x lineitem) join the SQL spells out equals the per-order
+    # sum computed for the filter. Reusing it turns the plan from
+    # agg + semi-join + second lineitem shuffle-join + re-agg into ONE
+    # lineitem aggregation and two order-key joins on the (filtered,
+    # AQE-broadcastable) survivor set — the second-largest shuffle in
+    # the query gone. l_quantity is integral, so summation-order drift
+    # cannot reach ROUND(..., 2).
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
     big = (
         li.groupBy("l_orderkey")
-        .agg(F.sum("l_quantity").alias("q"))
-        .filter(F.col("q") > 150)
-        .select("l_orderkey")
+        .agg(F.sum("l_quantity").alias("__q"))
+        .filter(F.col("__q") > 150)
     )
     return (
-        o.join(big, o.o_orderkey == big.l_orderkey, "left_semi")
+        o.join(big, o.o_orderkey == big.l_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .join(li, o.o_orderkey == li.l_orderkey)
-        .groupBy(F.col("c_name").alias("cliente"), F.col("o_orderkey").alias("pedido"))
-        .agg(F.round(F.sum("l_quantity"), 2).alias("qtd_total"))
+        .select(
+            F.col("c_name").alias("cliente"),
+            F.col("o_orderkey").alias("pedido"),
+            F.round(F.col("__q"), 2).alias("qtd_total"),
+        )
     )
 
 

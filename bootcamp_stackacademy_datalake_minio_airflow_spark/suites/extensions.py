@@ -739,22 +739,23 @@ def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     mergeable across partitions by construction — and the md5 hash
     family lets DuckDB replay every cell."""
     from ..operators.dedup import _materialize_release, normalize_text
-    from ..operators.sketches import cms_build, cms_estimate
+    from ..operators.sketches import cms_build_weighted, cms_estimate
 
     docs = load_table(spark, sf_dir, "documents")
-    # persisted: the exact-count branch and the sketch branch both
-    # scan the token stream — without the cache the normalize+explode
-    # subtree runs twice (no CSE across plan branches)
-    tokens = docs.select(
-        F.explode(F.split(normalize_text("text"), " ")).alias("token")
-    ).persist()
-    top = (
-        tokens.groupBy("token")
+    # ONE corpus-wide shuffle (map-side partial-aggregated) collapses
+    # the token stream to (token, count); both the exact-count branch
+    # and the sketch build read the tiny vocab table — the sketch
+    # cells are linear in multiplicity, so the weighted build is
+    # cell-identical to hashing the raw stream at |vocab|/|stream| of
+    # the md5 work (cms_build_weighted docstring)
+    counts = (
+        docs.select(F.explode(F.split(normalize_text("text"), " ")).alias("token"))
+        .groupBy("token")
         .agg(F.count(F.lit(1)).alias("true_count"))
-        .orderBy(F.desc("true_count"), F.asc("token"))
-        .limit(30)
+        .persist()
     )
-    cells = cms_build(tokens, "token", depth=4, width=256)
+    top = counts.orderBy(F.desc("true_count"), F.asc("token")).limit(30)
+    cells = cms_build_weighted(counts, "token", "true_count", depth=4, width=256)
     est = cms_estimate(cells, top, "token", depth=4, width=256)
     out = top.join(est, "token").select(
         "token",
@@ -762,7 +763,7 @@ def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cms_est",
         (F.col("cms_est") - F.col("true_count")).alias("overcount"),
     )
-    return _materialize_release(out, tokens)
+    return _materialize_release(out, counts)
 
 
 # --- distributed BPE vocabulary training (unrolled-CTE oracle) ---------------
@@ -919,13 +920,34 @@ def q_source_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .persist()
     )
-    est = kmv_pair_jaccard(kmv_sketches(grams, "source", "g", k=32), "source", k=32)
+    # grams is .distinct() output — the sketch can skip its own dedup
+    # exchange (assume_distinct), saving a second corpus-wide shuffle
+    est = kmv_pair_jaccard(
+        kmv_sketches(grams, "source", "g", k=32, assume_distinct=True),
+        "source",
+        k=32,
+    )
     sizes = grams.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
-    ga = grams.select(F.col("source").alias("sa"), "g")
-    gb = grams.select(F.col("source").alias("sb"), "g")
+    # exact-intersection witness WITHOUT the gram self-join: group each
+    # gram's (tiny, bounded-by-#sources) source set once and explode
+    # its ordered pairs — one exchange of the gram table instead of a
+    # two-sided shuffle join carrying it twice
+    bysrc = grams.groupBy("g").agg(F.sort_array(F.collect_set("source")).alias("__ss"))
+    pair_of = F.filter(
+        F.flatten(
+            F.transform(
+                F.col("__ss"),
+                lambda a: F.transform(
+                    F.col("__ss"), lambda b: F.struct(a.alias("sa"), b.alias("sb"))
+                ),
+            )
+        ),
+        lambda p: p.sa < p.sb,
+    )
     inter = (
-        ga.join(gb, "g")
-        .filter(F.col("sa") < F.col("sb"))
+        bysrc.filter(F.size("__ss") >= 2)
+        .select(F.explode(pair_of).alias("p"))
+        .select(F.col("p.sa").alias("sa"), F.col("p.sb").alias("sb"))
         .groupBy("sa", "sb")
         .agg(F.count(F.lit(1)).alias("i"))
     )
