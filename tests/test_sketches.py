@@ -117,3 +117,34 @@ def test_kmv_exact_on_small_sets_and_estimates_overlap(spark):
     )
     j = kmv_pair_jaccard(bsk, "src", k=64).collect()[0].kmv_jaccard
     assert abs(j - 1 / 3) < 0.15  # sigma ~ sqrt(J(1-J)/k) ~ 0.06
+
+
+def test_cms_weighted_build_cell_identical(spark):
+    """cms_build_weighted over (value, count) must produce exactly the
+    cells cms_build produces over the raw stream — the linearity claim
+    the heavy-hitters query's |vocab|-vs-|stream| hashing cut rests
+    on. Includes multiplicities >= 1 and an adversarially small width
+    so cells collide."""
+    import random
+
+    from bootcamp_stackacademy_datalake_minio_airflow_spark.operators.sketches import (
+        cms_build,
+        cms_build_weighted,
+    )
+    from pyspark.sql import functions as F
+
+    rng = random.Random(11)
+    stream = []
+    for i in range(40):
+        stream.extend([f"tok{i}"] * rng.randint(1, 9))
+    raw = spark.createDataFrame([(t,) for t in stream], "v string")
+    counts = raw.groupBy("v").agg(F.count("*").alias("c"))
+    a = {
+        (r.i, r.h): r.cnt
+        for r in cms_build(raw, "v", depth=3, width=8).collect()
+    }
+    b = {
+        (r.i, r.h): r.cnt
+        for r in cms_build_weighted(counts, "v", "c", depth=3, width=8).collect()
+    }
+    assert a == b
