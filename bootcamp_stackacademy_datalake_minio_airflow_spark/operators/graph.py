@@ -267,7 +267,15 @@ def triangle_counts(
     ).cache()
     from .dedup import _materialize_release
 
-    oriented.count()  # fill the cache before multi-consumer reads
+    if not small:
+        # scale path: fill the cache with an explicit pass before the
+        # three shuffle-join consumers plan concurrently
+        oriented.count()
+    # dense path: the adjacency broadcast is built FIRST (broadcast
+    # sides materialize before the probe side streams), so its
+    # aggregation fills oriented's cache and the probe + second
+    # broadcast read it back — an explicit pre-count here was a whole
+    # extra pass over the build pipeline (measured ~0.7s at sf0.1)
     if small:
         # dense/fast path: broadcast adjacency, intersect per edge.
         # Each triangle (s, t, w) with oriented edges s->t, s->w, t->w
