@@ -385,10 +385,16 @@ def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Q21 shape: EXISTS -> LEFT SEMI, NOT EXISTS -> LEFT ANTI, both
-    keyed on the order — three shuffles on l_orderkey total, reusing
-    the same partitioning. Lateness = shipped 90+ days after
-    ordering."""
+    """Q21 shape via per-order aggregates instead of correlated
+    semi/anti joins: the EXISTS ("some OTHER supplier on the order")
+    is exactly ``n_supp >= 2`` and the NOT EXISTS ("no OTHER late
+    supplier") is exactly ``n_late == 1`` — l1's own supplier is a
+    member of both sets, so the inequality predicates collapse to
+    counts. One aggregation carries the lone late supplier out via
+    max() (the group has a single row when n_late == 1), so ``late``
+    is built ONCE; the previous semi+anti form re-derived the
+    (lineitem JOIN orders)+distinct subtree for each side. Lateness =
+    shipped 90+ days after ordering."""
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
     s = load_table(spark, sf_dir, "supplier")
@@ -398,26 +404,23 @@ def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_orderkey", "l_suppkey")
         .distinct()
     )
-    multi = li.select("l_orderkey", "l_suppkey").distinct()
-    l1 = late.alias("l1")
-    other_supp = multi.alias("m")
-    other_late = late.alias("l3")
-    waiting = (
-        l1.join(
-            other_supp,
-            (F.col("m.l_orderkey") == F.col("l1.l_orderkey"))
-            & (F.col("m.l_suppkey") != F.col("l1.l_suppkey")),
-            "left_semi",
+    lone_late = (
+        late.groupBy("l_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("__n_late"),
+            F.max("l_suppkey").alias("l_suppkey"),
         )
-        .join(
-            other_late,
-            (F.col("l3.l_orderkey") == F.col("l1.l_orderkey"))
-            & (F.col("l3.l_suppkey") != F.col("l1.l_suppkey")),
-            "left_anti",
-        )
+        .filter(F.col("__n_late") == 1)
+    )
+    multi = (
+        li.groupBy("l_orderkey")
+        .agg(F.countDistinct("l_suppkey").alias("__n_supp"))
+        .filter(F.col("__n_supp") >= 2)
+        .select("l_orderkey")
     )
     return (
-        waiting.join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        lone_late.join(multi, "l_orderkey", "left_semi")
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
     )
