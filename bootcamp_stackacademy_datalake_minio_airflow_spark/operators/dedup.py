@@ -950,6 +950,97 @@ def ngram_containment_pairs(
     return _materialize_release(verified, base)
 
 
+def cdc_chunk_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 3,
+    mask: int = 16,
+) -> DataFrame:
+    """Content-defined chunking (Rabin/LBFS-style) over the token
+    stream, plus the cross-document chunk-duplication signal:
+    ``(doc_id, n_chunks, n_dup_chunks, dup_ratio)``.
+
+    A chunk boundary falls after token ``i`` wherever the hash of the
+    trailing ``window``-token n-gram satisfies ``h % mask == 0`` —
+    the boundary depends only on LOCAL content, so an insertion early
+    in a document shifts at most one chunk; every later chunk
+    reproduces byte-identically and still matches its duplicates in
+    other documents. That shift-resistance is the whole point over
+    fixed-stride chunking (``chunk_tokens``), whose windows all move
+    after one edit; it is the primitive of dedup storage (LBFS,
+    FastCDC) and of variable-width passage dedup in training-data
+    pipelines. Expected chunk length is ``mask`` tokens.
+
+    Shape: boundary detection EXPLODES token positions and hashes the
+    window in whole-stage codegen (the per-position md5 must not run
+    under an interpreted HOF lambda), filters to the ~1/mask boundary
+    hits map-side, and re-aggregates positions per document — the
+    corpus-sized position stream never shuffles, only boundary hits
+    do. Chunk assembly is then per-document array math (~n/mask
+    elements); chunk hashes equi-join for the duplication counts.
+    The md5+first-8-hex-digit fold is the engine-portable hash family
+    (DuckDB replays it digit by digit).
+    """
+    w = window
+    norm = _norm_base(df, id_col, text_col).select(
+        "__id", F.split("__txt", " ").alias("__toks")
+    )
+    toks = F.col("__toks")
+    n = F.size(toks)
+    positions = norm.select(
+        "__id",
+        "__toks",
+        F.explode(
+            F.when(n >= w, F.sequence(F.lit(w), n)).otherwise(
+                F.array().cast("array<int>")
+            )
+        ).alias("__i"),
+    )
+    win = F.concat_ws(" ", F.slice(toks, F.col("__i") - (w - 1), w))
+    fold = F.conv(F.substring(F.md5(win), 1, 8), 16, 10).cast("long")
+    bnds = (
+        positions.filter(fold % mask == 0)
+        .groupBy("__id")
+        .agg(F.sort_array(F.collect_list("__i")).alias("__bnds"))
+    )
+    chunked = norm.join(bnds, "__id", "left").select(
+        "__id",
+        "__toks",
+        F.coalesce("__bnds", F.array().cast("array<int>")).alias("__bnds"),
+    )
+    b = F.col("__bnds")
+    starts = F.concat(F.array(F.lit(1)), F.transform(b, lambda x: x + 1))
+    ends = F.concat(b, F.array(F.size(F.col("__toks"))))
+    # only the LAST range can be empty (boundary exactly at the final
+    # token), so dropping it keeps chunk indexes compact
+    pairs = F.filter(
+        F.zip_with(starts, ends, lambda s, e: F.struct(s.alias("s"), e.alias("e"))),
+        lambda c: c.s <= c.e,
+    )
+    chunks = F.transform(
+        pairs,
+        lambda c: F.md5(
+            F.array_join(F.slice(F.col("__toks"), c.s, c.e - c.s + 1), " ")
+        ),
+    )
+    ch = chunked.select("__id", F.explode(chunks).alias("__h"))
+    freq = ch.groupBy("__h").agg(F.countDistinct("__id").alias("__nd"))
+    dup = F.when(F.col("__nd") > 1, 1).otherwise(0)
+    return (
+        ch.join(freq, "__h")
+        .groupBy("__id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_chunks"),
+            F.sum(dup).cast("long").alias("n_dup_chunks"),
+            F.round(F.sum(dup) / F.count(F.lit(1)), 4).alias("dup_ratio"),
+        )
+        .select(
+            F.col("__id").alias(id_col), "n_chunks", "n_dup_chunks", "dup_ratio"
+        )
+    )
+
+
 def incremental_dedup_new(
     new_df,
     corpus_df,

@@ -81,7 +81,8 @@ def oracle_sql() -> dict[str, str]:
 #: embedding_dim_stats, embedding_power_iteration,
 #: events_changepoint, orders_revenue_trend, doc_length_psi,
 #: events_ab_test_z, langid_eval_metrics, orders_key_skew,
-#: dedup_canonical_docs, dedup_ngram_containment_pairs.
+#: dedup_canonical_docs, dedup_ngram_containment_pairs,
+#: cdc_chunk_dedup.
 PRIORITY = [
     # -- reference parity (the deliverable) --
     "vendas_flagship",

@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..catalog import load_table
 from ..queries import register
+from .extensions import _hex_fold
 
 # --- asymmetric n-gram containment pairs ------------------------------------
 
@@ -40,6 +41,59 @@ _CONTAINMENT_ORACLE = """
     FROM inter JOIN sizes na ON na.doc_id = id_a
     WHERE ROUND(CAST(i AS DOUBLE) / na.n, 4) >= 0.8
     """
+
+
+# --- content-defined chunking (Rabin/LBFS boundaries) -----------------------
+
+_CDC_FOLD = _hex_fold("md5(toks[i-2] || ' ' || toks[i-1] || ' ' || toks[i])", 8)
+
+_CDC_ORACLE = f"""
+    WITH norm AS (
+      SELECT doc_id, string_split(
+               regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks
+      FROM documents
+    ), bn AS (
+      SELECT doc_id, toks, len(toks) AS n,
+             list_filter(range(3, len(toks) + 1),
+                         i -> ({_CDC_FOLD}) % 16 = 0) AS bnds
+      FROM norm
+    ), pre AS (
+      SELECT doc_id, toks,
+             list_concat([1], list_transform(bnds, x -> x + 1)) AS starts,
+             list_concat(bnds, [n]) AS ends
+      FROM bn
+    ), ch AS (
+      SELECT doc_id,
+             md5(array_to_string(toks[starts[i]:ends[i]], ' ')) AS h
+      FROM pre, LATERAL unnest(range(1, len(starts) + 1)) AS u(i)
+      WHERE starts[i] <= ends[i]
+    ), freq AS (
+      SELECT h, COUNT(DISTINCT doc_id) AS nd FROM ch GROUP BY h
+    )
+    SELECT ch.doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(CASE WHEN f.nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_chunks,
+           ROUND(SUM(CASE WHEN f.nd > 1 THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 4)
+             AS dup_ratio
+    FROM ch JOIN freq f USING (h)
+    GROUP BY ch.doc_id
+    """
+
+
+@register("cdc_chunk_dedup", _CDC_ORACLE)
+def q_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking over each document's token stream
+    (boundary after token i where the trailing-3-gram hash folds to
+    0 mod 16 — Rabin/LBFS semantics, expected chunk 16 tokens), then
+    the cross-document chunk-duplication profile. Unlike fixed-stride
+    windows, CDC boundaries survive insertions, so shared passages
+    keep matching after edits — the storage-dedup primitive applied
+    to corpus curation. Oracle replays the boundary hash digit by
+    digit (engine-portable md5 fold)."""
+    from ..operators.dedup import cdc_chunk_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    return cdc_chunk_stats(docs, "doc_id", "text", window=3, mask=16)
 
 
 @register("dedup_ngram_containment_pairs", _CONTAINMENT_ORACLE)

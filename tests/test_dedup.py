@@ -281,3 +281,37 @@ def test_canonical_docs_picks_best_quality_per_group(spark):
     assert by_id[2]["n_dups"] == 2
     assert by_id[3]["n_dups"] == 2  # beta group, tie -> lowest id
     assert by_id[5]["n_dups"] == 1
+
+
+def test_cdc_chunks_survive_prefix_insertion(spark):
+    """The CDC property fixed-stride chunking lacks: after inserting
+    tokens at the FRONT of a shared passage, the later chunks still
+    hash identically, so the shared tail is detected as duplicated.
+    Also pins: a unique doc has dup_ratio 0, identical docs 1.0."""
+    import random
+
+    from bootcamp_stackacademy_datalake_minio_airflow_spark.operators.dedup import cdc_chunk_stats
+
+    rng = random.Random(3)
+    vocab = [f"w{i}" for i in range(50)]
+    shared = " ".join(rng.choice(vocab) for _ in range(400))
+    docs = spark.createDataFrame(
+        [
+            (1, shared),
+            (2, "zz yy xx qq pp " + shared),  # prefix-shifted copy
+            (3, " ".join(rng.choice(vocab) for _ in range(150))),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in cdc_chunk_stats(docs).collect()}
+    # most of doc 1/2's chunks match despite the 5-token prefix shift
+    assert out[1].dup_ratio >= 0.8
+    assert out[2].n_dup_chunks >= out[1].n_dup_chunks - 2
+    assert out[3].n_dup_chunks == 0 and out[3].dup_ratio == 0.0
+    # identical docs: every chunk duplicated
+    twins = spark.createDataFrame(
+        [(1, shared), (2, shared)], "doc_id long, text string"
+    )
+    t = {r.doc_id: r for r in cdc_chunk_stats(twins).collect()}
+    assert t[1].dup_ratio == 1.0 and t[2].dup_ratio == 1.0
+    assert t[1].n_chunks == t[2].n_chunks
