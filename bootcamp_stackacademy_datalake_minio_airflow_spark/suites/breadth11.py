@@ -11,6 +11,7 @@ prefix-filter + size-cut candidate generation is lossless.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..queries import register
@@ -41,6 +42,68 @@ _CONTAINMENT_ORACLE = """
     FROM inter JOIN sizes na ON na.doc_id = id_a
     WHERE ROUND(CAST(i AS DOUBLE) / na.n, 4) >= 0.8
     """
+
+
+# --- Zipf's-law fit of the token frequency spectrum -------------------------
+
+_ZIPF_ORACLE = r"""
+    WITH tok AS (
+      SELECT unnest(string_split(
+               regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS token
+      FROM documents
+    ), cnt AS (
+      SELECT token, COUNT(*) * 1.0 AS c FROM tok WHERE token <> '' GROUP BY token
+    ), rk AS (
+      SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, token) AS r FROM cnt
+    ), xy AS (
+      SELECT ln(r * 1.0) AS x, ln(c) AS y FROM rk
+    ), s AS (
+      SELECT COUNT(*) * 1.0 AS n, SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * y) AS sxy, SUM(x * x) AS sxx, SUM(y * y) AS syy
+      FROM xy
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           CASE WHEN n * sxx - sx * sx > 0 THEN
+             ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 4) + 0.0 END AS slope,
+           CASE WHEN n * sxx - sx * sx > 0 THEN
+             ROUND((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 4)
+               + 0.0 END AS intercept,
+           CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0 THEN
+             ROUND(((n * sxy - sx * sy) * (n * sxy - sx * sy))
+                   / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 4) + 0.0 END AS r2
+    FROM s
+    """
+
+
+@register("token_zipf_fit", _ZIPF_ORACLE)
+def q_token_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit of the corpus token-frequency spectrum:
+    least-squares slope/intercept/r² of ln(freq) against ln(rank) —
+    the classic corpus-health diagnostic (natural prose fits slope
+    ~ -1; crawl boilerplate, language mix-ups, and template spam bend
+    the spectrum). Reuses operators/analytics.py:linear_trend (six
+    mergeable sums, one row out). The global rank is a single-
+    partition window over the VOCAB table (types, not tokens) — at
+    100 TB the token stream aggregates map-side first, so the sorted
+    side is ~10M rows, not the corpus."""
+    from pyspark.sql import Window
+
+    from ..operators.analytics import linear_trend
+    from ..operators.dedup import normalize_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    cnt = (
+        docs.select(F.explode(F.split(normalize_text("text"), " ")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("double").alias("c"))
+    )
+    rk = cnt.withColumn(
+        "r",
+        F.row_number().over(Window.orderBy(F.desc("c"), F.asc("token"))),
+    )
+    xy = rk.select(F.log(F.col("r").cast("double")).alias("x"), F.log("c").alias("y"))
+    return linear_trend(xy, "x", "y")
 
 
 # --- content-defined chunking (Rabin/LBFS boundaries) -----------------------
