@@ -106,6 +106,105 @@ def q_token_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return linear_trend(xy, "x", "y")
 
 
+# --- Heaps'-law fit of vocabulary growth ------------------------------------
+
+_HEAPS_ORACLE = r"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(
+               regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS token
+      FROM documents
+    ), nz AS (
+      SELECT doc_id, token FROM tok WHERE token <> ''
+    ), mx AS (
+      SELECT CAST(ceil((MAX(doc_id) + 1) / 50.0) AS BIGINT) AS w FROM documents
+    ), per_bucket_toks AS (
+      SELECT doc_id // mx.w AS b, COUNT(*) AS nt FROM nz, mx GROUP BY 1
+    ), first_doc AS (
+      SELECT token, MIN(doc_id) AS fd FROM nz GROUP BY token
+    ), per_bucket_types AS (
+      SELECT fd // mx.w AS b, COUNT(*) AS nv FROM first_doc, mx GROUP BY 1
+    ), cum AS (
+      SELECT t.b,
+             SUM(t.nt) OVER (ORDER BY t.b) AS ct,
+             SUM(COALESCE(v.nv, 0)) OVER (ORDER BY t.b) AS cv
+      FROM per_bucket_toks t LEFT JOIN per_bucket_types v ON t.b = v.b
+    ), xy AS (
+      SELECT ln(ct * 1.0) AS x, ln(cv * 1.0) AS y FROM cum WHERE cv > 0 AND ct > 0
+    ), s AS (
+      SELECT COUNT(*) * 1.0 AS n, SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * y) AS sxy, SUM(x * x) AS sxx, SUM(y * y) AS syy
+      FROM xy
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           CASE WHEN n * sxx - sx * sx > 0 THEN
+             ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 4) + 0.0 END AS slope,
+           CASE WHEN n * sxx - sx * sx > 0 THEN
+             ROUND((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 4)
+               + 0.0 END AS intercept,
+           CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0 THEN
+             ROUND(((n * sxy - sx * sy) * (n * sxy - sx * sy))
+                   / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 4) + 0.0 END AS r2
+    FROM s
+    """
+
+
+@register("heaps_law_fit", _HEAPS_ORACLE)
+def q_heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law fit of vocabulary growth: V(n) = K·n^β, estimated
+    as the ln(cum_types) ~ ln(cum_tokens) least-squares slope over a
+    doc-id-ordered sweep of the corpus — the companion diagnostic to
+    the Zipf fit (β far off ~0.5 flags template spam or vocabulary
+    burn-in). A token's contribution to "new types" is attributed to
+    its MIN doc_id.
+
+    Scale shape: the curve is sampled at 50 fixed doc-id BUCKETS, not
+    per document — token and first-occurrence counts aggregate
+    map-side per bucket, and the cumulative window runs over the
+    50-row bucket table (a per-doc cumulative would be a
+    single-partition window over the whole corpus). The regression is
+    linear_trend's six mergeable sums."""
+    from pyspark.sql import Window
+
+    from ..operators.analytics import linear_trend
+    from ..operators.dedup import normalize_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    nz = docs.select(
+        "doc_id", F.explode(F.split(normalize_text("text"), " ")).alias("token")
+    ).filter(F.col("token") != "")
+    w_row = docs.agg(
+        F.ceil((F.max("doc_id") + 1) / 50.0).cast("long").alias("w")
+    )
+    # integer `div`, not double division + cast: a double quotient can
+    # round across an integer boundary and mis-bucket (the documented
+    # >2^53 trap; ids are small here, the habit is the point)
+    per_bucket_toks = (
+        nz.crossJoin(F.broadcast(w_row))
+        .groupBy(F.expr("doc_id div w").alias("b"))
+        .agg(F.count(F.lit(1)).alias("nt"))
+    )
+    first_doc = nz.groupBy("token").agg(F.min("doc_id").alias("fd"))
+    per_bucket_types = (
+        first_doc.crossJoin(F.broadcast(w_row))
+        .groupBy(F.expr("fd div w").alias("b"))
+        .agg(F.count(F.lit(1)).alias("nv"))
+    )
+    cw = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
+    cum = (
+        per_bucket_toks.join(per_bucket_types, "b", "left")
+        .select(
+            "b",
+            F.sum("nt").over(cw).alias("ct"),
+            F.sum(F.coalesce("nv", F.lit(0))).over(cw).alias("cv"),
+        )
+    )
+    xy = cum.filter((F.col("cv") > 0) & (F.col("ct") > 0)).select(
+        F.log(F.col("ct").cast("double")).alias("x"),
+        F.log(F.col("cv").cast("double")).alias("y"),
+    )
+    return linear_trend(xy, "x", "y")
+
+
 # --- content-defined chunking (Rabin/LBFS boundaries) -----------------------
 
 _CDC_FOLD = _hex_fold("md5(toks[i-2] || ' ' || toks[i-1] || ' ' || toks[i])", 8)
