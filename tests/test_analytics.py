@@ -447,3 +447,35 @@ def test_pareto_keeps_null_keyed_rows(spark):
     # (2.0, 3) is dominated by (1.0, 5); NULL-keyed rows are never
     # dominated under the definition and must survive
     assert sorted([(1.0, 5), (None, 4), (3.0, None)], key=str) == got
+
+
+def test_zipf_and_heaps_fits_on_synthetic_power_law(spark):
+    """Semantic pins beyond the hash gate: a corpus drawn from a
+    power-law vocabulary must fit Zipf with NEGATIVE slope and good
+    r2, and Heaps with slope in (0, 1) (vocabulary grows sublinearly
+    in tokens)."""
+    import random
+
+    from bootcamp_stackacademy_datalake_minio_airflow_spark.queries import queries
+
+    rng = random.Random(5)
+    # Zipfian draw: token w_k with weight 1/(k+1)
+    vocab = [f"w{k}" for k in range(300)]
+    weights = [1.0 / (k + 1) for k in range(300)]
+    docs = [
+        (i, " ".join(rng.choices(vocab, weights=weights, k=120)))
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    df.createOrReplaceTempView("__zipf_docs")
+    import tempfile, os
+
+    d = tempfile.mkdtemp()
+    df.write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+    qs = queries()
+    z = qs["token_zipf_fit"](spark, d).collect()[0]
+    assert z.slope is not None and z.slope < -0.5
+    assert z.r2 > 0.7
+    h = qs["heaps_law_fit"](spark, d).collect()[0]
+    assert h.slope is not None and 0.0 < h.slope < 1.0
+    assert h.r2 > 0.8
