@@ -163,6 +163,57 @@ def pagerank(
     return _materialize_release(out, *iter_caches)
 
 
+def label_propagation(
+    edges: DataFrame,
+    iters: int = 3,
+    broadcast_label_budget: int = 5_000_000,
+    edges_prepartitioned: bool = False,
+) -> DataFrame:
+    """Synchronous label propagation (community detection) over a
+    symmetric, distinct ``(src, dst)`` edge set with NUMERIC node
+    ids: every node starts labeled with its own id, and each
+    iteration adopts the most frequent label among its neighbors
+    (ties to the smallest label — the deterministic stand-in for
+    LPA's usual random tie-break, which makes the whole run
+    replayable by an independent engine). Returns
+    ``(node, community)`` after ``iters`` rounds.
+
+    Shape per iteration: map-side join of the cached dst-partitioned
+    edge set against the |V|-row label table (broadcast under
+    ``broadcast_label_budget``, exactly the pagerank regime split),
+    a (node, label) count aggregation, then a per-node argmax folded
+    into ONE aggregation via max(struct(count, -label)) — no window,
+    no second sort; the tie rule (count DESC, label ASC) is the
+    struct's lexicographic max. Past the budget the label join
+    degrades to a co-partitioned shuffle join, like pagerank.
+    """
+    nodes = edges.select(F.col("dst").alias("node")).distinct().cache()
+    n = nodes.count()
+    small = n <= broadcast_label_budget
+    hint = F.broadcast if small else (lambda df: df)
+    # cache exactly ONE form of the edge set (caching the raw edges
+    # and then a repartition of them would fill both)
+    if small and edges_prepartitioned:
+        e = edges.cache()
+    else:
+        e = edges.repartition("dst" if small else "src").cache()
+    labels = nodes.select("node", F.col("node").alias("lab"))
+    for _ in range(iters):
+        votes = e.join(hint(labels), e.src == labels.node).select(
+            F.col("dst").alias("n"), "lab"
+        )
+        cnt = votes.groupBy("n", "lab").agg(F.count(F.lit(1)).alias("c"))
+        labels = (
+            cnt.groupBy("n")
+            .agg(F.max(F.struct(F.col("c"), (-F.col("lab")).alias("nl"))).alias("m"))
+            .select(F.col("n").alias("node"), (-F.col("m.nl")).alias("lab"))
+        )
+    out = labels.select("node", F.col("lab").alias("community"))
+    from .dedup import _materialize_release
+
+    return _materialize_release(out, e, nodes)
+
+
 def triangle_counts(
     edges: DataFrame,
     broadcast_edge_budget: int = 5_000_000,

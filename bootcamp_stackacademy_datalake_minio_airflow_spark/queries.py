@@ -82,7 +82,8 @@ def oracle_sql() -> dict[str, str]:
 #: events_changepoint, orders_revenue_trend, doc_length_psi,
 #: events_ab_test_z, langid_eval_metrics, orders_key_skew,
 #: dedup_canonical_docs, dedup_ngram_containment_pairs,
-#: cdc_chunk_dedup, token_zipf_fit, heaps_law_fit.
+#: cdc_chunk_dedup, token_zipf_fit, heaps_law_fit,
+#: graph_label_propagation.
 PRIORITY = [
     # -- reference parity (the deliverable) --
     "vendas_flagship",

@@ -44,6 +44,59 @@ _CONTAINMENT_ORACLE = """
     """
 
 
+# --- synchronous label propagation (community detection) --------------------
+
+
+def _lpa_oracle(iters: int = 3) -> str:
+    """Unrolled replay of operators/graph.py:label_propagation: each
+    iteration CTE computes neighbor-label counts and takes the
+    (count DESC, label ASC) argmax — all-integer state, so the
+    cross-engine comparison is exact with no rounding care."""
+    head = """
+    WITH pairs AS (
+      SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+      WHERE a.l_partkey <> b.l_partkey
+    ), l0 AS (
+      SELECT DISTINCT dst AS node, dst AS lab FROM pairs
+    )"""
+    parts = [head]
+    for k in range(iters):
+        parts.append(
+            f""", c{k} AS (
+      SELECT p.dst AS node, l.lab, COUNT(*) AS c
+      FROM pairs p JOIN l{k} l ON p.src = l.node GROUP BY 1, 2
+    ), l{k + 1} AS (
+      SELECT node, lab FROM (
+        SELECT node, lab,
+               ROW_NUMBER() OVER (PARTITION BY node ORDER BY c DESC, lab) AS rn
+        FROM c{k}
+      ) WHERE rn = 1
+    )"""
+        )
+    parts.append(f"\n    SELECT node, lab AS community FROM l{iters}")
+    return "".join(parts)
+
+
+@register("graph_label_propagation", _lpa_oracle())
+def q_graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection on the part co-purchase graph: 3 rounds of
+    synchronous label propagation with deterministic (count DESC,
+    label ASC) tie-breaks. Completes the graph-algorithm family
+    (PageRank = link analysis, triangles = local clustering, LPA =
+    community structure); like PageRank, iterations are map-side over
+    dst-prepartitioned cached edges with the label vector broadcast
+    under budget. The oracle replays every round exactly — integer
+    state, no rounding."""
+    from ..operators.graph import cooccurrence_edges, label_propagation
+
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = cooccurrence_edges(
+        li, "l_orderkey", "l_partkey", partition_by="dst"
+    )
+    return label_propagation(edges, iters=3, edges_prepartitioned=True)
+
+
 # --- Zipf's-law fit of the token frequency spectrum -------------------------
 
 _ZIPF_ORACLE = r"""

@@ -56,3 +56,26 @@ def test_pagerank_empty_edges_returns_empty(spark):
     out = pagerank(edges, iters=3)
     assert out.columns == ["node", "pagerank"]
     assert out.count() == 0
+
+
+def test_label_propagation_two_cliques(spark):
+    """Two 4-cliques joined by one bridge edge: after 3 synchronous
+    rounds every member of each clique carries its clique's minimum
+    id; the bridge does not merge them. Also pins determinism: two
+    runs agree exactly."""
+    from pyspark.sql import functions as F
+
+    from bootcamp_stackacademy_datalake_minio_airflow_spark.operators.graph import label_propagation
+
+    import itertools
+
+    c1, c2 = [1, 2, 3, 4], [10, 11, 12, 13]
+    und = [(a, b) for grp in (c1, c2) for a, b in itertools.combinations(grp, 2)]
+    und.append((4, 10))  # bridge
+    sym = und + [(b, a) for a, b in und]
+    edges = spark.createDataFrame(sym, "src long, dst long")
+    out = {r.node: r.community for r in label_propagation(edges, iters=3).collect()}
+    assert all(out[n] == 1 for n in c1)
+    assert all(out[n] == 10 for n in (11, 12, 13))
+    out2 = {r.node: r.community for r in label_propagation(edges, iters=3).collect()}
+    assert out == out2
