@@ -480,3 +480,57 @@ def hour_of_day_baseline(
             ).alias("lift"),
         )
     )
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    l_start: str = "l_start",
+    l_end: str = "l_end",
+    r_start: str = "r_start",
+    r_end: str = "r_end",
+    bucket_width: int = 21600,
+) -> DataFrame:
+    """Interval-overlap equi-bucketed join: every (left, right) row
+    pair whose [start, end] intervals intersect (closed endpoints,
+    integer units — epoch seconds in the registered query), each pair
+    emitted EXACTLY once, with an ``overlap`` length column appended.
+
+    This is the interval-x-interval primitive Spark's joins lack
+    (``range_join`` covers point-in-band): the naive expression is a
+    cross join with a range predicate — O(|L| x |R|) at any scale.
+    Instead both sides explode to the fixed-width buckets their
+    interval covers and equi-join on the bucket id, so the shuffle
+    carries span/bucket_width copies of each row and candidates are
+    bucket-local. The classic exactly-once trick makes the join
+    dedup-FREE: a pair is accepted only in the single bucket
+    containing ``greatest(l_start, r_start)`` — the overlap's first
+    instant, which both intervals provably cover — so no distinct
+    shuffle ever runs. Pick ``bucket_width`` near the median interval
+    span: wider buckets cut the explode fan-out, narrower buckets cut
+    cross-bucket false candidates (AQE skew-split handles hot
+    buckets either way). Bucket ids use integer div (the documented
+    double-quotient mis-bucketing trap).
+    """
+    w = int(bucket_width)
+    lb = left.withColumn(
+        "__b", F.expr(f"explode(sequence({l_start} div {w}, {l_end} div {w}))")
+    )
+    rb = right.withColumn(
+        "__b", F.expr(f"explode(sequence({r_start} div {w}, {r_end} div {w}))")
+    )
+    anchor = F.expr(f"greatest({l_start}, {r_start}) div {w}")
+    return (
+        lb.join(rb, "__b")
+        .filter(
+            (F.col(l_start) <= F.col(r_end))
+            & (F.col(r_start) <= F.col(l_end))
+            & (F.col("__b") == anchor)
+        )
+        .drop("__b")
+        .withColumn(
+            "overlap",
+            F.least(F.col(l_end), F.col(r_end))
+            - F.greatest(F.col(l_start), F.col(r_start)),
+        )
+    )

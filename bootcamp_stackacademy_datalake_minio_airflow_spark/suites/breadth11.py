@@ -44,6 +44,57 @@ _CONTAINMENT_ORACLE = """
     """
 
 
+# --- interval-overlap join ---------------------------------------------------
+
+_INTERVAL_ORACLE = """
+    WITH e AS (
+      SELECT user_id, event_type, CAST(floor(epoch(ts)) AS BIGINT) AS es
+      FROM events
+    ), lft AS (
+      SELECT user_id, MIN(es) AS l_start, MAX(es) AS l_end
+      FROM (SELECT user_id, es, es // 86400 AS d FROM e) GROUP BY user_id, d
+    ), rgt AS (
+      SELECT event_type, MIN(es) AS r_start, MAX(es) AS r_end
+      FROM (SELECT event_type, es, es // 86400 AS d FROM e) GROUP BY event_type, d
+    )
+    SELECT l.user_id, r.event_type, l.l_start, r.r_start,
+           CAST(least(l.l_end, r.r_end) - greatest(l.l_start, r.r_start)
+                AS BIGINT) AS overlap
+    FROM lft l JOIN rgt r
+      ON l.l_start <= r.r_end AND r.r_start <= l.l_end
+    """
+
+
+@register("activity_interval_overlap", _INTERVAL_ORACLE)
+def q_activity_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval x interval overlap join (operators/temporal.py:
+    interval_overlap_join — the primitive range_join's point-in-band
+    shape cannot express): per-user daily activity spans joined to
+    per-event-type daily activity spans wherever the spans intersect,
+    with the overlap length. The oracle is the brute-force range-
+    predicate join, so it PROVES the bucketed equi-join with the
+    anchor-bucket exactly-once rule emits precisely the overlapping
+    pairs, once each, with no dedup pass."""
+    from ..operators.temporal import interval_overlap_join
+
+    ev = load_table(spark, sf_dir, "events")
+    es = F.unix_seconds(F.col("ts").cast("timestamp")).alias("es")
+    base = ev.select("user_id", "event_type", es)
+    lft = (
+        base.groupBy("user_id", F.expr("es div 86400").alias("__d"))
+        .agg(F.min("es").alias("l_start"), F.max("es").alias("l_end"))
+        .drop("__d")
+    )
+    rgt = (
+        base.groupBy("event_type", F.expr("es div 86400").alias("__d"))
+        .agg(F.min("es").alias("r_start"), F.max("es").alias("r_end"))
+        .drop("__d")
+    )
+    return interval_overlap_join(lft, rgt, bucket_width=21600).select(
+        "user_id", "event_type", "l_start", "r_start", "overlap"
+    )
+
+
 # --- synchronous label propagation (community detection) --------------------
 
 

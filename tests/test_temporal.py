@@ -224,3 +224,46 @@ def test_rate_anomaly_fires_on_flat_baseline_spike(spark):
     r = out[0]
     assert r["hour_ts"] == t0 + dt.timedelta(hours=25)
     assert r["z_score"] is None  # sigma = 0: no finite z, but it alarms
+
+
+def test_interval_overlap_join_exactly_once_vs_bruteforce(spark):
+    """Randomized intervals, many spanning multiple buckets: the
+    bucketed join must equal the brute-force range-predicate join
+    EXACTLY (losslessness), with each pair appearing exactly once
+    (the anchor-bucket rule replaces a distinct), including
+    instantaneous single-point overlaps."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from bootcamp_stackacademy_datalake_minio_airflow_spark.operators.temporal import (
+        interval_overlap_join,
+    )
+
+    rng = random.Random(13)
+    W = 100
+    lrows = []
+    for i in range(60):
+        s = rng.randint(0, 2000)
+        lrows.append((i, s, s + rng.randint(0, 450)))  # spans 0..5 buckets
+    rrows = []
+    for j in range(60):
+        s = rng.randint(0, 2000)
+        rrows.append((j, s, s + rng.randint(0, 450)))
+    # plant a single-point overlap: l ends exactly where r starts
+    lrows.append((100, 500, 700))
+    rrows.append((100, 700, 900))
+    left = spark.createDataFrame(lrows, "lid long, l_start long, l_end long")
+    right = spark.createDataFrame(rrows, "rid long, r_start long, r_end long")
+    got = [
+        ((r.lid, r.rid), r.overlap)
+        for r in interval_overlap_join(left, right, bucket_width=W).collect()
+    ]
+    assert len(got) == len(dict(got)), "pair emitted more than once"
+    expected = {}
+    for lid, ls, le in lrows:
+        for rid, rs, re in rrows:
+            if ls <= re and rs <= le:
+                expected[(lid, rid)] = min(le, re) - max(ls, rs)
+    assert dict(got) == expected
+    assert dict(got)[(100, 100)] == 0  # closed endpoints: touch counts
