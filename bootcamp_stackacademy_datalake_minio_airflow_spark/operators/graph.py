@@ -214,6 +214,55 @@ def label_propagation(
     return _materialize_release(out, e, nodes)
 
 
+def k_core(
+    edges: DataFrame,
+    k: int,
+    rounds: int = 4,
+) -> DataFrame:
+    """Bounded-round k-core peeling over a symmetric, distinct
+    ``(src, dst)`` edge set: repeatedly delete nodes of degree < k
+    (with their edges) for ``rounds`` synchronous rounds. Returns the
+    surviving nodes as ``(node, degree, converged)`` — ``degree`` in
+    the surviving induced subgraph, ``converged`` true iff the final
+    round deleted nothing (the result then IS the exact k-core;
+    otherwise more peeling remained and the caller raises
+    ``rounds``). The bounded-round contract is what makes the run
+    replayable by an independent engine — a data-dependent fixpoint
+    loop isn't a fixed plan.
+
+    k-core membership is the classic graph-shaped spam/quality signal
+    (link farms live in shallow cores; authoritative clusters run
+    deep). Execution pattern — distinct from pagerank's static cached
+    edges — is PROGRESSIVE SHRINKING STATE: each round is one degree
+    aggregation plus two semi-joins restricting the edge set, and the
+    round's survivor edges are eagerly localCheckpoint'ed so the next
+    round reads a materialized table instead of replaying the whole
+    peel history (the lazy chain would recompute round r-1 once per
+    consumer of round r). Peeling only ever shrinks the data, so
+    per-round cost is non-increasing; everything is shuffle-join/agg,
+    nothing driver-side.
+    """
+    e = edges.localCheckpoint(eager=True)
+    for _ in range(rounds):
+        deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("__deg"))
+        keep = deg.filter(F.col("__deg") >= k).select(F.col("src").alias("node"))
+        e = (
+            e.join(keep.withColumnRenamed("node", "src"), "src", "left_semi")
+            .join(keep.withColumnRenamed("node", "dst"), "dst", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+    deg_final = e.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("degree"))
+    # converged iff the last round deleted nothing: every survivor of
+    # the final degree pass still meets the bar
+    converged = deg_final.agg(
+        F.coalesce(F.min(F.col("degree") >= k), F.lit(True)).alias("converged")
+    )
+    return (
+        deg_final.select(F.col("src").alias("node"), "degree")
+        .crossJoin(F.broadcast(converged))
+    )
+
+
 def triangle_counts(
     edges: DataFrame,
     broadcast_edge_budget: int = 5_000_000,

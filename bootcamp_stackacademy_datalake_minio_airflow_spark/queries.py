@@ -83,7 +83,8 @@ def oracle_sql() -> dict[str, str]:
 #: events_ab_test_z, langid_eval_metrics, orders_key_skew,
 #: dedup_canonical_docs, dedup_ngram_containment_pairs,
 #: cdc_chunk_dedup, token_zipf_fit, heaps_law_fit,
-#: graph_label_propagation, activity_interval_overlap.
+#: graph_label_propagation, activity_interval_overlap,
+#: graph_kcore_membership.
 PRIORITY = [
     # -- reference parity (the deliverable) --
     "vendas_flagship",

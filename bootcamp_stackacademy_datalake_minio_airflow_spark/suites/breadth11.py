@@ -95,6 +95,59 @@ def q_activity_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- bounded-round k-core peeling -------------------------------------------
+
+
+def _kcore_oracle(k: int = 110, rounds: int = 4) -> str:
+    """Unrolled replay of operators/graph.py:k_core: each round CTE
+    recomputes degrees and restricts the edge set to nodes meeting
+    the bar — all-integer state, exact comparison."""
+    head = """
+    WITH e0 AS (
+      SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+      WHERE a.l_partkey <> b.l_partkey
+    )"""
+    parts = [head]
+    for r in range(rounds):
+        parts.append(
+            f""", d{r} AS (
+      SELECT src, COUNT(*) AS c FROM e{r} GROUP BY src
+    ), k{r} AS (
+      SELECT src AS node FROM d{r} WHERE c >= {k}
+    ), e{r + 1} AS (
+      SELECT e.src, e.dst FROM e{r} e
+      JOIN k{r} a ON e.src = a.node JOIN k{r} b ON e.dst = b.node
+    )"""
+        )
+    parts.append(
+        f""", df AS (
+      SELECT src, CAST(COUNT(*) AS BIGINT) AS degree FROM e{rounds} GROUP BY src
+    ), cv AS (
+      SELECT COALESCE(MIN(degree >= {k}), TRUE) AS converged FROM df
+    )
+    SELECT df.src AS node, df.degree, cv.converged FROM df CROSS JOIN cv"""
+    )
+    return "".join(parts)
+
+
+@register("graph_kcore_membership", _kcore_oracle())
+def q_graph_kcore_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-round k-core peeling (k=110, 4 rounds) on the part
+    co-purchase graph — the depth-of-embedding quality signal (link
+    farms occupy shallow cores). Emits surviving nodes with their
+    induced-subgraph degree and a ``converged`` flag that is TRUE iff
+    the result is the exact k-core (no further round would delete
+    anything). Execution is progressive shrinking state: one degree
+    aggregation + two semi-joins per round over an eagerly
+    checkpointed, only-ever-smaller edge table."""
+    from ..operators.graph import cooccurrence_edges, k_core
+
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = cooccurrence_edges(li, "l_orderkey", "l_partkey")
+    return k_core(edges, k=110, rounds=4)
+
+
 # --- synchronous label propagation (community detection) --------------------
 
 

@@ -79,3 +79,29 @@ def test_label_propagation_two_cliques(spark):
     assert all(out[n] == 10 for n in (11, 12, 13))
     out2 = {r.node: r.community for r in label_propagation(edges, iters=3).collect()}
     assert out == out2
+
+
+def test_k_core_peeling_cascade_and_convergence(spark):
+    """A 5-clique (4-core) with a pendant chain: peeling at k=3 must
+    cascade the chain away round by round and keep exactly the
+    clique, reporting converged=True. At k=5 (impossible) the core is
+    empty. With rounds too small to finish the cascade,
+    converged=False documents the partial peel."""
+    import itertools
+
+    from bootcamp_stackacademy_datalake_minio_airflow_spark.operators.graph import k_core
+
+    clique = [1, 2, 3, 4, 5]
+    und = list(itertools.combinations(clique, 2))
+    # node 6 starts at degree 4 (survives round 1) but its leaf
+    # neighbors 7, 9, 10 all fall in round 1, leaving it at degree 1
+    # — it only falls in round 2 (a genuine cascade)
+    und += [(5, 6), (6, 7), (6, 9), (6, 10)]
+    sym = und + [(b, a) for a, b in und]
+    edges = spark.createDataFrame(sym, "src long, dst long")
+    out = {r.node: (r.degree, r.converged) for r in k_core(edges, k=3, rounds=4).collect()}
+    assert set(out) == set(clique)
+    assert all(d == 4 and c for d, c in out.values())
+    assert k_core(edges, k=5, rounds=4).count() == 0
+    partial = {r.node: (r.degree, r.converged) for r in k_core(edges, k=3, rounds=1).collect()}
+    assert 6 in partial and partial[6] == (1, False)  # mid-cascade state
