@@ -700,24 +700,44 @@ def simhash_pairs(
 # ---------------------------------------------------------------------------
 
 
-def ngram_jaccard_pairs(
-    df: DataFrame,
-    id_col: str,
-    text_col: str,
-    n: int = 3,
-    threshold: float = 0.5,
-) -> DataFrame:
-    """Exact word-n-gram Jaccard join with prefix filtering.
+def _int_div(x: Column, b: int) -> Column:
+    """Exact non-negative integer division as a Column expression:
+    ``(x - x % b) / b``. Plain ``/`` is IEEE double division, whose
+    quotient can round across an integer boundary before a floor/cast
+    — the review-confirmed failure was ``floor((1.0-0.8)*5) == 0``,
+    which silently under-sized a lossless prefix filter."""
+    return ((x - x % b) / b).cast("long")
 
-    Candidate generation uses the prefix-filter principle (Vernica et
-    al.'s distributed set-similarity join): order grams globally by
-    ascending document frequency; each document indexes only its
-    ``floor((1-t)*|grams|)+1`` rarest grams. Any pair with Jaccard >=
-    t MUST share one of those prefix grams, so recall is preserved
-    while candidate fan-out drops from every-shared-gram to
-    rare-prefix collisions — the difference between O(sum df^2) and
-    near-linear at corpus scale. Verification computes exact Jaccard
-    on the full gram sets.
+
+def _threshold_10k(threshold: float) -> int:
+    """The similarity threshold as an exact integer count of
+    1/10000ths. Every prefix budget and size cut derives from this
+    via integer arithmetic, so boundary documents never lose a prefix
+    slot to float representation error (thresholds are supported to 4
+    decimal places). Verification then filters on the EXACT
+    (unrounded) similarity against the caller's float threshold —
+    valid because a rational similarity ratio with any realistic
+    denominator cannot fall strictly between the float literal and
+    T/10000 (the nearest distinct ratios are >= 1e-7 apart at 1e6-gram
+    documents, vs ~5e-17 of representation gap)."""
+    return int(round(threshold * 10000))
+
+
+def _gram_prefix_index(
+    df: DataFrame, id_col: str, text_col: str, n: int, threshold: float
+):
+    """Shared gram-index scaffolding of the set-similarity joins
+    (factored out of ngram_jaccard_pairs / ngram_containment_pairs so
+    the integer-arithmetic prefix budget is defined exactly once).
+
+    Returns ``(base, inv, prefix)``:
+    - ``base``: (__id, __g) distinct word-n-gram arrays, PERSISTED —
+      the caller must release it via ``_materialize_release``;
+    - ``inv``: (__id, __sz, gram) full inverted index;
+    - ``prefix``: (__id, gram, __sz, __rk) limited to each document's
+      ``|A| - ceil(t|A|) + 1`` globally-rarest grams (ascending
+      document frequency, gram tie-break), the Vernica prefix: any
+      pair with overlap >= ceil(t|A|) must collide inside it.
     """
     # ONE materialization exchange, after the split: normalize+split are
     # per-row expressions (safe to inline — no per-element re-eval risk
@@ -734,21 +754,46 @@ def ngram_jaccard_pairs(
             lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
         )
     )
-    # persisted: the inverted-index join and both verification joins
+    # persisted: the inverted-index join and the verification joins
     # re-reference the gram sets
     base = norm.select("__id", grams.alias("__g")).persist()
     inv = base.select("__id", F.size("__g").alias("__sz"), F.explode("__g").alias("gram"))
     dfreq = inv.groupBy("gram").agg(F.count(F.lit(1)).alias("__df"))
     w = Window.partitionBy("__id").orderBy(F.asc("__df"), F.asc("gram"))
+    T = _threshold_10k(threshold)
+    budget = _int_div(F.col("__sz") * (10000 - T), 10000) + F.lit(1)
     prefix = (
         inv.join(dfreq, "gram")
         .withColumn("__rk", F.row_number().over(w))
-        .filter(
-            F.col("__rk")
-            <= F.floor((1.0 - threshold) * F.col("__sz")).cast("int") + F.lit(1)
-        )
+        .filter(F.col("__rk") <= budget)
         .select("__id", "gram", "__sz", "__rk")
     )
+    return base, inv, prefix
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact word-n-gram Jaccard join with prefix filtering.
+
+    Candidate generation uses the prefix-filter principle (Vernica et
+    al.'s distributed set-similarity join): order grams globally by
+    ascending document frequency; each document indexes only its
+    ``|A| - ceil(t|A|) + 1`` rarest grams (integer arithmetic — see
+    ``_threshold_10k``). Any pair with Jaccard >= t MUST share one of
+    those prefix grams, so recall is preserved while candidate
+    fan-out drops from every-shared-gram to rare-prefix collisions —
+    the difference between O(sum df^2) and near-linear at corpus
+    scale. Verification computes exact Jaccard on the full gram sets
+    and filters on the UNROUNDED value (display is rounded), so
+    candidate pruning and acceptance agree at every boundary.
+    """
+    base, _inv, prefix = _gram_prefix_index(df, id_col, text_col, n, threshold)
+    T = _threshold_10k(threshold)
     l, r = prefix.alias("l"), prefix.alias("r")
     # Two lossless cuts inside the candidate join, BEFORE the distinct
     # + gram-array verification join (at corpus scale that join's
@@ -766,8 +811,12 @@ def ngram_jaccard_pairs(
     overlap_ub = 1 + F.least(
         F.col("l.__sz") - F.col("l.__rk"), F.col("r.__sz") - F.col("r.__rk")
     )
-    overlap_req = F.ceil(
-        F.lit(threshold / (1.0 + threshold)) * (F.col("l.__sz") + F.col("r.__sz"))
+    # ceil(t/(1+t) * (|A|+|B|)) as exact integers: T*(sa+sb) / (10000+T),
+    # rounded up — the float form ceil(0.375 * s) was only safe by the
+    # accident of 0.6/1.6 being exactly representable
+    overlap_req = _int_div(
+        F.lit(T) * (F.col("l.__sz") + F.col("r.__sz")) + F.lit(10000 + T - 1),
+        10000 + T,
     )
     cand = (
         l.join(
@@ -775,8 +824,8 @@ def ngram_jaccard_pairs(
             (F.col("l.gram") == F.col("r.gram"))
             & (F.col("l.__id") < F.col("r.__id"))
             & (
-                F.least(F.col("l.__sz"), F.col("r.__sz"))
-                >= threshold * F.greatest(F.col("l.__sz"), F.col("r.__sz"))
+                F.least(F.col("l.__sz"), F.col("r.__sz")) * 10000
+                >= F.lit(T) * F.greatest(F.col("l.__sz"), F.col("r.__sz"))
             )
             & (overlap_ub >= overlap_req),
         )
@@ -786,8 +835,9 @@ def ngram_jaccard_pairs(
     verified = (
         cand.join(base.withColumnRenamed("__id", "id_a").withColumnRenamed("__g", "g_a"), "id_a")
         .join(base.withColumnRenamed("__id", "id_b").withColumnRenamed("__g", "g_b"), "id_b")
-        .select("id_a", "id_b", F.round(jaccard(F.col("g_a"), F.col("g_b")), 4).alias("jaccard_sim"))
-        .filter(F.col("jaccard_sim") >= threshold)
+        .select("id_a", "id_b", jaccard(F.col("g_a"), F.col("g_b")).alias("__j"))
+        .filter(F.col("__j") >= threshold)
+        .select("id_a", "id_b", F.round("__j", 4).alias("jaccard_sim"))
     )
     return _materialize_release(verified, base)
 
@@ -877,52 +927,27 @@ def ngram_containment_pairs(
 
     Candidate generation adapts the prefix-filter principle to the
     asymmetric threshold: containment >= t bounds A's UN-shared grams
-    by ``(1-t)*|A|``, so indexing each document's
-    ``floor((1-t)*|A|)+1`` globally-rarest grams (ascending document
-    frequency) guarantees every qualifying pair shares a prefix gram
-    of A. The CONTAINER side cannot be prefix-pruned (t says nothing
-    about how much of B is shared), so B probes with its full gram
-    set — the join is prefix(A) x inverted-index(B), still linear in
-    corpus size rather than O(n^2). A lossless size cut rides the
-    join: overlap <= |B| forces ``|B| >= t*|A|``. Verification
-    computes exact containment on the full gram arrays; both engines
-    filter on the ROUNDed value so boundary pairs land identically.
+    by ``|A| - ceil(t|A|)``, so indexing each document's
+    ``|A| - ceil(t|A|) + 1`` globally-rarest grams (ascending
+    document frequency; integer arithmetic — see ``_threshold_10k``)
+    guarantees every qualifying pair shares a prefix gram of A. The
+    CONTAINER side cannot be prefix-pruned (t says nothing about how
+    much of B is shared), so B probes with its full gram set — the
+    join is prefix(A) x inverted-index(B), still linear in corpus
+    size rather than O(n^2). A lossless size cut rides the join:
+    overlap <= |B| forces ``|B| >= t*|A|`` (integerized). Both
+    engines verify on the EXACT unrounded ratio (display rounded),
+    so candidate pruning and acceptance agree at every boundary.
     """
-    norm = df.select(
-        F.col(id_col).alias("__id"),
-        F.split(normalize_text(text_col), " ").alias("__toks"),
-    ).repartition("__id")
-    toks = F.col("__toks")
-    grams = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
-            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
-        )
-    )
-    # persisted: the inverted index and the verification join both
-    # re-reference the gram sets
-    base = norm.select("__id", grams.alias("__g")).persist()
-    inv = base.select(
-        "__id", F.size("__g").alias("__sz"), F.explode("__g").alias("gram")
-    )
-    dfreq = inv.groupBy("gram").agg(F.count(F.lit(1)).alias("__df"))
-    ranked = inv.join(dfreq, "gram")
-    w = Window.partitionBy("__id").orderBy(F.asc("__df"), F.asc("gram"))
-    prefix = (
-        ranked.withColumn("__rk", F.row_number().over(w))
-        .filter(
-            F.col("__rk")
-            <= F.floor((1.0 - threshold) * F.col("__sz")).cast("int") + F.lit(1)
-        )
-        .select("__id", "gram", "__sz")
-    )
+    base, inv, prefix = _gram_prefix_index(df, id_col, text_col, n, threshold)
+    T = _threshold_10k(threshold)
     a, b = prefix.alias("a"), inv.alias("b")
     cand = (
         a.join(
             b,
             (F.col("a.gram") == F.col("b.gram"))
             & (F.col("a.__id") != F.col("b.__id"))
-            & (F.col("b.__sz") >= threshold * F.col("a.__sz")),
+            & (F.col("b.__sz") * 10000 >= F.lit(T) * F.col("a.__sz")),
         )
         .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
         .distinct()
@@ -939,13 +964,13 @@ def ngram_containment_pairs(
         .select(
             "id_a",
             "id_b",
-            F.round(
+            (
                 F.size(F.array_intersect("g_a", "g_b"))
-                / F.size("g_a").cast("double"),
-                4,
-            ).alias("containment"),
+                / F.size("g_a").cast("double")
+            ).alias("__c"),
         )
-        .filter(F.col("containment") >= threshold)
+        .filter(F.col("__c") >= threshold)
+        .select("id_a", "id_b", F.round("__c", 4).alias("containment"))
     )
     return _materialize_release(verified, base)
 

@@ -512,6 +512,16 @@ def interval_overlap_join(
     buckets either way). Bucket ids use integer div (the documented
     double-quotient mis-bucketing trap).
     """
+    reserved = {"__b", "overlap"}
+    clash = sorted(reserved & (set(left.columns) | set(right.columns)))
+    if clash:
+        # silently overwriting a caller column is the column-clobber
+        # bug class fixed repo-wide in an earlier review round — fail
+        # loudly instead
+        raise ValueError(
+            f"interval_overlap_join reserves column name(s) {clash}; "
+            "rename them on the input frames first"
+        )
     w = int(bucket_width)
     lb = left.withColumn(
         "__b", F.expr(f"explode(sequence({l_start} div {w}, {l_end} div {w}))")

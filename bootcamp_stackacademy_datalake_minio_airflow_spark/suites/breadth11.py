@@ -40,7 +40,7 @@ _CONTAINMENT_ORACLE = """
     SELECT id_a, id_b,
            ROUND(CAST(i AS DOUBLE) / na.n, 4) AS containment
     FROM inter JOIN sizes na ON na.doc_id = id_a
-    WHERE ROUND(CAST(i AS DOUBLE) / na.n, 4) >= 0.8
+    WHERE CAST(i AS DOUBLE) / na.n >= 0.8
     """
 
 

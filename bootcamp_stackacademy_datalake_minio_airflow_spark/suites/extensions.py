@@ -330,12 +330,15 @@ _NGRAM_ORACLE = """
       GROUP BY 1, 2
     ), scored AS (
       SELECT id_a, id_b,
-             ROUND(CAST(i AS DOUBLE) / (na.n + nb.n - i), 4) AS jaccard_sim
+             CAST(i AS DOUBLE) / (na.n + nb.n - i) AS jr
       FROM inter
       JOIN sizes na ON na.doc_id = id_a
       JOIN sizes nb ON nb.doc_id = id_b
     )
-    SELECT id_a, id_b, jaccard_sim FROM scored WHERE jaccard_sim >= 0.6
+    -- filter on the EXACT ratio (identical integer division on both
+    -- engines), round only for display — matches the operator, which
+    -- must prune candidates and accept pairs by the same boundary
+    SELECT id_a, id_b, ROUND(jr, 4) AS jaccard_sim FROM scored WHERE jr >= 0.6
     """
 
 

@@ -467,7 +467,6 @@ def test_zipf_and_heaps_fits_on_synthetic_power_law(spark):
         for i in range(60)
     ]
     df = spark.createDataFrame(docs, "doc_id long, text string")
-    df.createOrReplaceTempView("__zipf_docs")
     import tempfile, os
 
     d = tempfile.mkdtemp()

@@ -315,3 +315,43 @@ def test_cdc_chunks_survive_prefix_insertion(spark):
     t = {r.doc_id: r for r in cdc_chunk_stats(twins).collect()}
     assert t[1].dup_ratio == 1.0 and t[2].dup_ratio == 1.0
     assert t[1].n_chunks == t[2].n_chunks
+
+
+def test_prefix_budget_integer_arithmetic_boundary(spark):
+    """The review-confirmed float bug: with threshold 0.8 and a
+    5-gram document, floor((1.0-0.8)*5) evaluates to 0 in IEEE and
+    under-sizes the prefix index, silently dropping the exact-
+    boundary containment pair (1,2,0.8). The integerized budget must
+    emit BOTH directions."""
+    from bootcamp_stackacademy_datalake_minio_airflow_spark.operators.dedup import (
+        ngram_containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g"), (2, "b c d e f g")], "doc_id long, text string"
+    )
+    got = {
+        (r.id_a, r.id_b): r.containment
+        for r in ngram_containment_pairs(docs, "doc_id", "text", n=3, threshold=0.8).collect()
+    }
+    assert got == {(1, 2): 0.8, (2, 1): 1.0}
+    # jaccard twin at an exact-boundary threshold: J(1,2) = 4/5 = 0.8
+    jp = {
+        (r.id_a, r.id_b): r.jaccard_sim
+        for r in ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.8).collect()
+    }
+    assert jp == {(1, 2): 0.8}
+
+
+def test_interval_overlap_join_rejects_reserved_columns(spark):
+    from bootcamp_stackacademy_datalake_minio_airflow_spark.operators.temporal import (
+        interval_overlap_join,
+    )
+
+    left = spark.createDataFrame([(1, 0, 10, 5)], "lid long, l_start long, l_end long, overlap long")
+    right = spark.createDataFrame([(2, 5, 15)], "rid long, r_start long, r_end long")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="reserves column"):
+        interval_overlap_join(left, right)
