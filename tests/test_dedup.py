@@ -355,3 +355,29 @@ def test_interval_overlap_join_rejects_reserved_columns(spark):
 
     with _pytest.raises(ValueError, match="reserves column"):
         interval_overlap_join(left, right)
+
+
+def test_prefix_budget_matches_exact_rational_sweep(spark):
+    """The integerized prefix budget |A| - ceil(t|A|) + 1 must equal
+    exact rational arithmetic for every size x threshold combination
+    (the float expression failed at every (1-t)*sz that was an exact
+    integer). Evaluated through the same Spark expressions the
+    operators use."""
+    from fractions import Fraction
+
+    from pyspark.sql import functions as F
+
+    from bootcamp_stackacademy_datalake_minio_airflow_spark.operators.dedup import (
+        _int_div,
+        _threshold_10k,
+    )
+
+    sizes = spark.range(1, 201).select(F.col("id").cast("int").alias("sz"))
+    for t in (0.5, 0.6, 0.7, 0.75, 0.8, 0.85, 0.9, 0.95, 0.3333, 0.6667):
+        T = _threshold_10k(t)
+        budget = _int_div(F.col("sz") * (10000 - T), 10000) + F.lit(1)
+        got = {r.sz: r.b for r in sizes.select("sz", budget.alias("b")).collect()}
+        frac = Fraction(T, 10000)
+        for sz in range(1, 201):
+            exact = sz - (-(-frac.numerator * sz // frac.denominator)) + 1
+            assert got[sz] == exact, (t, sz, got[sz], exact)
