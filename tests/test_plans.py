@@ -179,3 +179,58 @@ def test_power_iteration_single_aggregation_pass(spark, sf_dir):
     # one partial+final agg pair over the scan; the stack() explode of
     # the 1-row result adds no Exchange beyond the single-partition agg
     assert plan.count("HashAggregate") == 2 or "SortAggregate" in plan
+
+
+def test_q18_scans_lineitem_once(spark, sf_dir):
+    """The r5 rewrite's whole point: the HAVING aggregate IS the
+    output quantity, so lineitem must appear in exactly one scan (the
+    old shape re-joined lineitem after the semi-join)."""
+    df = ep.queries()["tpch_q18_shaped"](spark, sf_dir)
+    plan = _formatted(df)
+    assert plan.count("lineitem.parquet") == 1
+
+
+def test_basket_rules_single_corpus_exchange(spark, sf_dir):
+    """Basket count, item supports, and pair supports all read ONE
+    grouped (collect_set) table. The registered query materialize-
+    releases its cache (the returned plan is a checkpoint scan), so
+    the pin rebuilds the same pre-release shape inline."""
+    from pyspark.sql import functions as F
+
+    from bootcamp_stackacademy_datalake_minio_airflow_spark.catalog import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    grouped = li.groupBy("l_orderkey").agg(
+        F.collect_set("l_partkey").alias("__items")
+    )
+    pair_supp = (
+        grouped.select(F.explode("__items").alias("ante"), "__items")
+        .select("ante", F.explode("__items").alias("cons"))
+        .filter(F.col("ante") != F.col("cons"))
+        .groupBy("ante", "cons")
+        .agg(F.count("*").alias("c"))
+    )
+    plan = _formatted(pair_supp)
+    assert plan.count("lineitem.parquet") == 1
+
+
+def test_q21_scans_lineitem_twice_not_thrice(spark, sf_dir):
+    """The aggregate rewrite derives the late table once (join side)
+    and the multi-supplier counts once — the correlated semi+anti
+    form scanned the lineitem+orders join subtree once per side."""
+    df = ep.queries()["tpch_q21_shaped"](spark, sf_dir)
+    plan = _formatted(df)
+    assert plan.count("lineitem.parquet") == 2
+
+
+def test_cdc_boundary_hashing_stays_in_codegen(spark, sf_dir):
+    """The position-dense boundary md5 must run inside whole-stage
+    codegen over the exploded position stream — an interpreted HOF
+    lambda here would evaluate millions of md5s in the expression
+    interpreter."""
+    df = ep.queries()["cdc_chunk_dedup"](spark, sf_dir)
+    plan = _formatted(df)
+    assert "BatchEvalPython" not in plan
+    # the boundary-position explode feeds codegen'd expressions:
+    # Generate nodes present, and codegen spans exist in the plan
+    assert "Generate" in plan and "[codegen id :" in plan
