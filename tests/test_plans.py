@@ -231,6 +231,12 @@ def test_cdc_boundary_hashing_stays_in_codegen(spark, sf_dir):
     df = ep.queries()["cdc_chunk_dedup"](spark, sf_dir)
     plan = _formatted(df)
     assert "BatchEvalPython" not in plan
-    # the boundary-position explode feeds codegen'd expressions:
-    # Generate nodes present, and codegen spans exist in the plan
-    assert "Generate" in plan and "[codegen id :" in plan
+    assert "Generate" in plan  # the exploded position stream
+    # codegen spans only materialize once AQE finalizes — execute THIS
+    # DataFrame's own query execution (count() would build a separate
+    # one and leave this plan isFinalPlan=false), then check the
+    # boundary hashing ran inside WholeStageCodegen
+    df.collect()
+    # the finalized AQE plan marks WholeStageCodegen stages with the
+    # "*(n)" prefix in toString form
+    assert "*(" in _executed_plan(df)
