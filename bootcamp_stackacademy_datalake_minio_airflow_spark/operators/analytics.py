@@ -158,11 +158,20 @@ def linear_trend(
     denx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
     deny = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
     # degenerate fits report NULL, not an ANSI divide-by-zero: a
-    # single distinct x has no slope (denx = 0); constant y has no
-    # variance to explain (deny = 0 -> r2 undefined)
-    slope = F.when(denx > 0, num / denx)
-    intercept = F.when(denx > 0, (F.col("sy") - slope * F.col("sx")) / F.col("n"))
-    r2 = F.when((denx > 0) & (deny > 0), (num * num) / (denx * deny))
+    # single distinct x has no slope; constant y has no variance to
+    # explain (r2 undefined). The guard is RELATIVE (> n^2 * 1e-10),
+    # not > 0: with truly-constant inputs the n*S2 - S1^2 form
+    # accumulates O(n^2 * y^2 * ulp) of float noise whose SIGN depends
+    # on summation order, so a zero test classified "constant y" as
+    # fittable on one engine and degenerate on the other (caught live:
+    # heaps_law_fit on a vocabulary that saturates in bucket 0 — Spark
+    # deny was +3e-13, DuckDB exactly 0). Any legitimate variance is
+    # orders of magnitude above the threshold; both engines apply the
+    # identical guard, so the classification agrees.
+    eps = F.col("n") * F.col("n") * F.lit(1e-10)
+    slope = F.when(denx > eps, num / denx)
+    intercept = F.when(denx > eps, (F.col("sy") - slope * F.col("sx")) / F.col("n"))
+    r2 = F.when((denx > eps) & (deny > eps), (num * num) / (denx * deny))
     return agg.select(
         F.col("n").cast("long").alias("n"),
         (F.round(slope, round_to) + F.lit(0.0)).alias("slope"),

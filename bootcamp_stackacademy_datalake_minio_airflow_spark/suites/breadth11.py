@@ -220,12 +220,12 @@ _ZIPF_ORACLE = r"""
       FROM xy
     )
     SELECT CAST(n AS BIGINT) AS n,
-           CASE WHEN n * sxx - sx * sx > 0 THEN
+           CASE WHEN n * sxx - sx * sx > n * n * 1e-10 THEN
              ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 4) + 0.0 END AS slope,
-           CASE WHEN n * sxx - sx * sx > 0 THEN
+           CASE WHEN n * sxx - sx * sx > n * n * 1e-10 THEN
              ROUND((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 4)
                + 0.0 END AS intercept,
-           CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0 THEN
+           CASE WHEN n * sxx - sx * sx > n * n * 1e-10 AND n * syy - sy * sy > n * n * 1e-10 THEN
              ROUND(((n * sxy - sx * sy) * (n * sxy - sx * sy))
                    / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 4) + 0.0 END AS r2
     FROM s
@@ -293,12 +293,12 @@ _HEAPS_ORACLE = r"""
       FROM xy
     )
     SELECT CAST(n AS BIGINT) AS n,
-           CASE WHEN n * sxx - sx * sx > 0 THEN
+           CASE WHEN n * sxx - sx * sx > n * n * 1e-10 THEN
              ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 4) + 0.0 END AS slope,
-           CASE WHEN n * sxx - sx * sx > 0 THEN
+           CASE WHEN n * sxx - sx * sx > n * n * 1e-10 THEN
              ROUND((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 4)
                + 0.0 END AS intercept,
-           CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0 THEN
+           CASE WHEN n * sxx - sx * sx > n * n * 1e-10 AND n * syy - sy * sy > n * n * 1e-10 THEN
              ROUND(((n * sxy - sx * sy) * (n * sxy - sx * sy))
                    / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 4) + 0.0 END AS r2
     FROM s
