@@ -37,7 +37,18 @@ def l2_norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+    """Cosine similarity, NULL when either vector has zero norm.
+
+    The guard matters operationally, not just semantically: under
+    ANSI mode (Spark 4 default) the unguarded division is a
+    DIVIDE_BY_ZERO *task failure*, so ONE zeroed/failed embedding row
+    in a corpus kills the whole job — found by the degenerate-data
+    gate (tools/degenerate_data.py), which planted a zero vector and
+    crashed four cosine queries. NULL scores sort last under the
+    operators' cos_sim DESC orderings, so degenerate rows simply
+    never rank."""
+    denom = l2_norm(a) * l2_norm(b)
+    return F.when(denom != 0.0, dot(a, b) / denom)
 
 
 def cosine_topk(
@@ -552,7 +563,17 @@ def ivf_topk_seeded(
 
     base = df.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
-    ).withColumn("__nv", l2_norm(F.col("__v")))
+    ).withColumn(
+        "__nv",
+        # same `or 1.0` convention as the centroid norms: a zero-norm
+        # vector scores cos 0.0 against every seed (dot is 0) instead
+        # of raising ANSI DIVIDE_BY_ZERO inside the assignment SQL —
+        # one zeroed embedding row must not kill the job (found by
+        # tools/degenerate_data.py)
+        F.when(l2_norm(F.col("__v")) == 0.0, F.lit(1.0)).otherwise(
+            l2_norm(F.col("__v"))
+        ),
+    )
     # one selectExpr parse instead of n_lists nested Column/lambda
     # builds (py4j round-trips dominate wide expression construction)
     cnorms = [math.sqrt(sum(x * x for x in c)) or 1.0 for c in cents]

@@ -273,3 +273,33 @@ def test_pq_codes_in_range_and_deterministic(spark, sf_dir):
     r2 = pq_seeded_recall(emb, QUERY_VEC, k=10, m=4, ks=8).collect()[0]
     assert r1 == r2
     assert 0.0 <= r1.recall <= 1.0
+
+
+def test_cosine_zero_norm_vector_does_not_crash(spark):
+    """ANSI mode turns an unguarded norm division into a TASK FAILURE:
+    one zeroed/failed embedding row would kill the whole job. cosine()
+    must yield NULL for zero-norm inputs (sorting last in DESC
+    rankings) and the seeded-IVF assignment must not raise."""
+    from pyspark.sql import functions as F
+
+    from bootcamp_stackacademy_datalake_minio_airflow_spark.operators.similarity import (
+        cosine,
+        cosine_topk,
+        ivf_seeded_recall,
+    )
+
+    rows = [(1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [0.0, 0.0])] + [
+        (10 + i, [float(i + 1), 1.0]) for i in range(8)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    scored = df.select(
+        "vec_id", cosine(F.col("embedding"), F.array(F.lit(1.0), F.lit(0.0))).alias("c")
+    ).collect()
+    by_id = {r.vec_id: r.c for r in scored}
+    assert by_id[3] is None  # zero-norm -> NULL, not a crash
+    assert by_id[1] == 1.0
+    top = cosine_topk(df, [1.0, 0.0], k=20).collect()
+    assert [r.vec_id for r in top][-1] == 3  # NULL ranks last
+    # seeded IVF end-to-end with the zero vector present
+    rec = ivf_seeded_recall(df, [1.0, 0.0], k=3, n_lists=4, n_probe=2).collect()
+    assert len(rec) == 1 and rec[0].recall is not None
