@@ -101,10 +101,21 @@ def _word_shingles_of(c: Column, n: int) -> Column:
 def _norm_base(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(__id, __txt) with normalization materialized via an exchange
     boundary so downstream per-element expressions read a concrete
-    column instead of re-running the regex per element."""
-    return df.select(
-        F.col(id_col).alias("__id"), normalize_text(text_col).alias("__txt")
-    ).repartition("__id")
+    column instead of re-running the regex per element.
+
+    NULL text is dropped at the scan (pushdown-friendly IsNotNull):
+    a NULL document cannot participate in text dedup, and letting it
+    through is actively wrong — Spark's NULL-skipping greatest() in
+    the gram builders turns a NULL token array into one EMPTY-STRING
+    gram, which then spuriously pairs with genuinely-empty documents
+    while an independent engine (whose unnest drops NULL lists)
+    emits nothing (found by the NULL tier of
+    tools/degenerate_data.py)."""
+    return (
+        df.filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col).alias("__id"), normalize_text(text_col).alias("__txt"))
+        .repartition("__id")
+    )
 
 
 def minhash_signature(shingles: Column, num_hashes: int = 64) -> Column:
@@ -743,10 +754,16 @@ def _gram_prefix_index(
     # per-row expressions (safe to inline — no per-element re-eval risk
     # until the transform below references the token array), so routing
     # through _norm_base here would shuffle the corpus twice for nothing.
-    norm = df.select(
-        F.col(id_col).alias("__id"),
-        F.split(normalize_text(text_col), " ").alias("__toks"),
-    ).repartition("__id")
+    # NULL text dropped at the scan — see _norm_base's docstring for
+    # the empty-gram failure mode it prevents.
+    norm = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col).alias("__id"),
+            F.split(normalize_text(text_col), " ").alias("__toks"),
+        )
+        .repartition("__id")
+    )
     toks = F.col("__toks")
     grams = F.array_distinct(
         F.transform(
@@ -875,7 +892,8 @@ def cross_doc_ngram_stats(
     instead of 32-hex strings).
     """
     hasher = F.md5 if hash_fn == "md5" else F.xxhash64
-    norm = df.select(
+    # NULL text dropped — see _norm_base's docstring
+    norm = df.filter(F.col(text_col).isNotNull()).select(
         F.col(id_col).alias("__id"),
         F.split(normalize_text(text_col), " ").alias("__w"),
     )

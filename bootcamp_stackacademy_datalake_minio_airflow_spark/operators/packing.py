@@ -46,6 +46,13 @@ def pack_sequences(
         F.col(id_col).cast("long").alias("__id"),
         F.pmod(F.col(id_col).cast("long"), F.lit(n_buckets)).alias("bucket"),
         token_count_col.cast("long").alias("n_tok"),
+    ).filter(
+        # a NULL token count (e.g. NULL document text) cannot be
+        # packed — and unguarded it reaches the greedy scan as pandas
+        # NaN, where int(NaN) KILLS the task (found by the NULL tier
+        # of tools/degenerate_data.py). Excluded explicitly; the
+        # oracle mirrors with WHERE text IS NOT NULL.
+        F.col("n_tok").isNotNull()
     )
 
     def _pack(pdf: pd.DataFrame) -> pd.DataFrame:

@@ -63,10 +63,12 @@ def q_semantic_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sequence_packing",
     """
     WITH RECURSIVE docs AS (
+      -- NULL text is unpackable (mirrors pack_sequences' filter; a
+      -- NULL n_tok would poison the recursive accumulator)
       SELECT doc_id, doc_id % 8 AS bucket,
              CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
              ROW_NUMBER() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id) AS rn
-      FROM documents
+      FROM documents WHERE text IS NOT NULL
     ), pack(bucket, rn, doc_id, n_tok, pack_id, acc) AS (
       SELECT bucket, rn, doc_id, n_tok, CAST(0 AS BIGINT), n_tok
       FROM docs WHERE rn = 1

@@ -1114,7 +1114,9 @@ def _png_roundtrip_oracle() -> str:
     hexd = "0123456789abcdef"
     return f"""
     WITH h AS (
-      SELECT doc_id, md5(text) AS hx FROM documents
+      -- NULL text has no payload to round-trip (mirrors the Spark
+      -- side's seed IS NOT NULL filter)
+      SELECT doc_id, md5(text) AS hx FROM documents WHERE text IS NOT NULL
     ), ex AS (
       SELECT doc_id, unnest(range(16)) AS i, hx FROM h
     ), byt AS (
@@ -1136,7 +1138,11 @@ def q_png_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     encode 16 deterministic bytes per doc as an actual PNG, decode it
     back with the real decoder, report decoded stats."""
     docs = load_table(spark, sf_dir, "documents")
-    src = docs.select("doc_id", F.unhex(F.md5("text")).alias("seed"))
+    # NULL text -> NULL seed -> bytes(None) would kill the batch; no
+    # payload means nothing to round-trip (degenerate-gate finding)
+    src = docs.select("doc_id", F.unhex(F.md5("text")).alias("seed")).filter(
+        F.col("seed").isNotNull()
+    )
 
     def _rt(batches):
         import numpy as np
@@ -1188,7 +1194,9 @@ def _wav_roundtrip_oracle() -> str:
     hi = byte.format(h=hexd, p="(i*2+1)")
     return f"""
     WITH h AS (
-      SELECT doc_id, md5(text) AS hx FROM documents
+      -- NULL text has no payload to round-trip (mirrors the Spark
+      -- side's seed IS NOT NULL filter)
+      SELECT doc_id, md5(text) AS hx FROM documents WHERE text IS NOT NULL
     ), ex AS (
       SELECT doc_id, unnest(range(8)) AS i, hx FROM h
     ), smp AS (
@@ -1208,7 +1216,11 @@ def q_wav_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic int16 samples per doc, encoded to RIFF/PCM and
     decoded back; DuckDB predicts the decoded stats."""
     docs = load_table(spark, sf_dir, "documents")
-    src = docs.select("doc_id", F.unhex(F.md5("text")).alias("seed"))
+    # NULL text -> NULL seed -> bytes(None) would kill the batch; no
+    # payload means nothing to round-trip (degenerate-gate finding)
+    src = docs.select("doc_id", F.unhex(F.md5("text")).alias("seed")).filter(
+        F.col("seed").isNotNull()
+    )
 
     def _rt(batches):
         import numpy as np
@@ -1468,8 +1480,10 @@ def q_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Spark and DuckDB, so the full fingerprint structure is verifiable
     """
     WITH norm AS (
+      -- NULL text dropped (mirrors _norm_base; a NULL doc has no
+      -- windows to fingerprint)
       SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
-      FROM documents
+      FROM documents WHERE text IS NOT NULL
     ), grams AS (
       SELECT doc_id,
              list_transform(range(1, greatest(length(t)-4, 1)+1),

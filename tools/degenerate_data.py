@@ -11,7 +11,9 @@ bug the heaps_law_fit constant-variance flake belonged to. Usage:
 NULL-heavy variants are deliberately NOT generated for key columns
 (driver fixtures never null keys; nulling them tests a contract no
 query promises), but text/value payloads do include empties and
-duplicates.
+duplicates. Pass ``--nulls`` to additionally null the PAYLOAD
+columns (document text, event value/type, order price) on a few
+rows — the crawler-reality tier.
 """
 
 from __future__ import annotations
@@ -25,7 +27,9 @@ SRC = "/root/testdata/sf0.001"
 
 
 def main() -> None:
-    out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/degenerate-sf"
+    args = [a for a in sys.argv[1:] if a != "--nulls"]
+    nulls = "--nulls" in sys.argv[1:]
+    out = args[0] if args else ("/tmp/degenerate-sf-nulls" if nulls else "/tmp/degenerate-sf")
     os.makedirs(out, exist_ok=True)
     con = duckdb.connect()
 
@@ -53,7 +57,17 @@ def main() -> None:
           (900006, 'copy of this exact text appears three times', 'en', 'degenerate', 43),
           (900007, 'copy of this exact text appears three times', 'en', 'degenerate', 43)
         ) AS t(doc_id, text, lang, source, n_chars)
-        """,
+        """
+        + (
+            """
+        UNION ALL SELECT * FROM (VALUES
+          (900008, CAST(NULL AS VARCHAR), 'en', 'degenerate', 0),
+          (900009, 'has null lang neighbor', CAST(NULL AS VARCHAR), 'degenerate', 22)
+        ) AS t2(doc_id, text, lang, source, n_chars)
+        """
+            if nulls
+            else ""
+        ),
     )
     # embeddings: zero vector (norm 0), two identical vectors (cosine
     # tie), a constant-component vector
@@ -81,9 +95,20 @@ def main() -> None:
         "events",
         80,
         """
-        SELECT event_id + 900000, ts, user_id, event_type, 1.0, props
-        FROM {src} ORDER BY event_id LIMIT 5
-        """,
+        SELECT * FROM (SELECT event_id + 900000, ts, user_id, event_type,
+                              1.0, props
+                       FROM {src} ORDER BY event_id LIMIT 5)
+        """
+        + (
+            """
+        UNION ALL
+        SELECT * FROM (SELECT event_id + 910000, ts, user_id, event_type,
+                              CAST(NULL AS DOUBLE), CAST(NULL AS VARCHAR)
+                       FROM {src} ORDER BY event_id LIMIT 3)
+        """
+            if nulls
+            else ""
+        ),
     )
     # lineitem/orders: a fully duplicated order (same items twice under
     # a new key), constant quantities
