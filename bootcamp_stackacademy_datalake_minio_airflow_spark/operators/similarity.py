@@ -422,6 +422,17 @@ def ivf_build(
         .limit(train_sample_rows)
         .select("__features")
     )
+    if not train.take(1):
+        # empty corpus: KMeans.fit raises; an empty index (no lists,
+        # no centroids) lets probes return empty instead of crashing
+        # on an empty day-partition (empty-lake degenerate tier). The
+        # take(1) probe is bounded: train is already LIMITed.
+        return (
+            featurized.drop("__features").withColumn(
+                "__list", F.lit(0).cast("int")
+            ),
+            [],
+        )
     km = KMeans(
         k=n_lists,
         seed=seed,
@@ -555,6 +566,12 @@ def ivf_topk_seeded(
         na = math.sqrt(sum(x * x for x in a)) or 1.0
         nb = math.sqrt(sum(x * x for x in b)) or 1.0
         return d / (na * nb)
+
+    if not cents:
+        # empty corpus: no seeds, no lists to probe (empty-lake tier)
+        return df.select(
+            F.col(id_col), F.lit(0.0).alias("cos_sim")
+        ).limit(0)
 
     probe = sorted(
         range(len(cents)),
@@ -699,6 +716,11 @@ def _pq_codebooks_seeded(
         .collect()
     )
     vecs = [list(map(float, r["__v"])) for r in seeds]
+    if not vecs:
+        # empty corpus: no codebooks (callers short-circuit to empty
+        # results instead of crashing on vecs[0] — empty-lake tier of
+        # the degenerate gate)
+        return []
     d = len(vecs[0])
     if d % m:
         raise ValueError(f"dim {d} not divisible by m={m}")
@@ -740,6 +762,8 @@ def pq_encode_seeded(
     ``4*d`` — the point of PQ at 100 TB is that the CODES fit in
     memory where the vectors don't."""
     books = _pq_codebooks_seeded(df, m, ks, id_col, vec_col)
+    if not books:
+        return df.select(F.col(id_col)).limit(0), []
     d0 = len(books[0][0])
     out = df.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
@@ -783,6 +807,10 @@ def pq_topk_seeded(
     encoded, books = pq_encode_seeded(
         df, m=m, ks=ks, id_col=id_col, vec_col=vec_col, round_to=round_to
     )
+    if not books:
+        return df.select(
+            F.col(id_col), F.lit(0.0).alias("approx_l2")
+        ).limit(0)
     d0 = len(books[0][0])
 
     def py_sq(a: list[float], b: list[float]) -> float:

@@ -953,17 +953,21 @@ def q_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dq_expectations_lineitem",
     """
     WITH wide AS (
+      -- COALESCE(..., 0) on every SUM: over ZERO rows SUM is NULL,
+      -- but an empty table is a vacuously PASSING contract (0
+      -- violations, 0 passing) — mirrors expectation_report's
+      -- documented coalesce (empty-lake degenerate tier)
       SELECT CAST(COUNT(*) AS BIGINT) AS n,
-             CAST(SUM(CASE WHEN COALESCE(l_extendedprice >= 0, FALSE)
-                           THEN 0 ELSE 1 END) AS BIGINT) AS v_price,
-             CAST(SUM(CASE WHEN COALESCE(l_discount BETWEEN 0 AND 0.6, FALSE)
-                           THEN 0 ELSE 1 END) AS BIGINT) AS v_discount,
-             CAST(SUM(CASE WHEN COALESCE(l_quantity BETWEEN 1 AND 50, FALSE)
-                           THEN 0 ELSE 1 END) AS BIGINT) AS v_quantity,
-             CAST(SUM(CASE WHEN COALESCE(l_shipdate IS NOT NULL, FALSE)
-                           THEN 0 ELSE 1 END) AS BIGINT) AS v_dates_known,
-             CAST(SUM(CASE WHEN COALESCE(l_returnflag IN ('A','N','R'), FALSE)
-                           THEN 0 ELSE 1 END) AS BIGINT) AS v_flag
+             CAST(COALESCE(SUM(CASE WHEN COALESCE(l_extendedprice >= 0, FALSE)
+                           THEN 0 ELSE 1 END), 0) AS BIGINT) AS v_price,
+             CAST(COALESCE(SUM(CASE WHEN COALESCE(l_discount BETWEEN 0 AND 0.6, FALSE)
+                           THEN 0 ELSE 1 END), 0) AS BIGINT) AS v_discount,
+             CAST(COALESCE(SUM(CASE WHEN COALESCE(l_quantity BETWEEN 1 AND 50, FALSE)
+                           THEN 0 ELSE 1 END), 0) AS BIGINT) AS v_quantity,
+             CAST(COALESCE(SUM(CASE WHEN COALESCE(l_shipdate IS NOT NULL, FALSE)
+                           THEN 0 ELSE 1 END), 0) AS BIGINT) AS v_dates_known,
+             CAST(COALESCE(SUM(CASE WHEN COALESCE(l_returnflag IN ('A','N','R'), FALSE)
+                           THEN 0 ELSE 1 END), 0) AS BIGINT) AS v_flag
       FROM lineitem
     )
     SELECT 'price_non_negative' AS expectation, n AS n_rows,

@@ -1014,9 +1014,12 @@ def _hll_oracle(p: int = 8) -> str:
     )
     SELECT (SELECT COUNT(DISTINCT user_id) FROM events) AS n_exact,
            ROUND(e, 2) AS hll_est,
-           ROUND(ABS(ROUND(e, 2)
-                     - (SELECT COUNT(DISTINCT user_id) FROM events))
-                 / (SELECT COUNT(DISTINCT user_id) FROM events), 4) AS rel_err
+           -- NULL rel_err on an empty stream (division by the exact
+           -- count of zero is an ANSI task failure on the Spark side)
+           CASE WHEN (SELECT COUNT(DISTINCT user_id) FROM events) > 0 THEN
+             ROUND(ABS(ROUND(e, 2)
+                       - (SELECT COUNT(DISTINCT user_id) FROM events))
+                   / (SELECT COUNT(DISTINCT user_id) FROM events), 4) END AS rel_err
     FROM est
     """
 
@@ -1036,8 +1039,13 @@ def q_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact.crossJoin(est).select(
         "n_exact",
         "hll_est",
-        F.round(
-            F.abs(F.col("hll_est") - F.col("n_exact")) / F.col("n_exact"), 4
+        # NULL on an empty stream: /0 under ANSI is a task failure
+        # (empty-lake tier of the degenerate gate)
+        F.when(
+            F.col("n_exact") > 0,
+            F.round(
+                F.abs(F.col("hll_est") - F.col("n_exact")) / F.col("n_exact"), 4
+            ),
         ).alias("rel_err"),
     )
 

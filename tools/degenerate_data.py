@@ -14,6 +14,16 @@ query promises), but text/value payloads do include empties and
 duplicates. Pass ``--nulls`` to additionally null the PAYLOAD
 columns (document text, event value/type, order price) on a few
 rows — the crawler-reality tier.
+
+A third tier is ALL-EMPTY tables (``LIMIT 0`` of every sf0.001
+parquet — the empty-day-partition scenario); generate with a plain
+duckdb COPY loop, see the commit history. Known UNFIXABLE divergence
+on that tier: Spark emits ZERO rows for ROLLUP/CUBE/GROUPING SETS
+over empty input while DuckDB (following the SQL standard) emits the
+grand-total row of the empty grouping set — both the DataFrame API
+and Spark SQL behave this way, so ``rollup_agg``, ``cube_agg``, and
+``grouping_sets_agg`` legitimately report rows spark=0 duck=1 there.
+Everything else is expected green on all three tiers.
 """
 
 from __future__ import annotations
