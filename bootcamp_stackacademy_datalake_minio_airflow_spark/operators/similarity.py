@@ -66,7 +66,10 @@ def cosine_topk(
     sort, no collect of the corpus. Ties broken by id for determinism.
     """
     q = _lit_vec(query)
-    scored = df.select(
+    # NULL embeddings (failed embedding jobs) are EXCLUDED, not ranked
+    # last: the cross-engine convention, since DuckDB's list_cosine
+    # refuses NULL inputs outright (degenerate-gate NULL tier)
+    scored = df.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col),
         F.round(cosine(F.col(vec_col).cast("array<double>"), q), round_to).alias("cos_sim"),
     )
@@ -125,7 +128,9 @@ def cosine_all_pairs_matmul(
     import numpy as np
     import pandas as pd
 
-    rows = df.select(id_col, vec_col).collect()
+    # NULL embeddings (failed embedding jobs) cannot participate and
+    # would crash the ragged numpy conversion — dropped at the scan
+    rows = df.filter(F.col(vec_col).isNotNull()).select(id_col, vec_col).collect()
     ids = np.array([r[0] for r in rows], dtype=np.int64)
     mat = np.array([r[1] for r in rows], dtype=np.float64)
     mat /= np.linalg.norm(mat, axis=1, keepdims=True)
@@ -151,7 +156,9 @@ def cosine_all_pairs_matmul(
                 {"id_a": l_ids[li], "id_b": r_ids[ri], "cos_sim": sims[li, ri]}
             )
 
-    left = df.select(id_col, vec_col)
+    # the streaming side needs the same NULL filter as the broadcast
+    # side — a NULL row in any Arrow batch crashes the conversion
+    left = df.filter(F.col(vec_col).isNotNull()).select(id_col, vec_col)
     n_parts = spark.sparkContext.defaultParallelism
     return left.repartition(n_parts).mapInPandas(_pairs, out_schema)
 
@@ -185,7 +192,10 @@ def cosine_all_pairs_blocked(
     if n_blocks is None:
         n_blocks = max(4, math.isqrt(spark.sparkContext.defaultParallelism * 2))
 
-    base = df.select(
+    # NULL embeddings dropped at the scan — the per-cell numpy
+    # conversion would otherwise crash on a ragged batch (found by the
+    # NULL-embedding probe of the degenerate gate)
+    base = df.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).cast("long").alias("__id"),
         F.col(vec_col).cast("array<double>").alias("__vec"),
         F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).alias("__blk"),
@@ -407,7 +417,10 @@ def ivf_build(
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector, vector_to_array  # noqa: F401
 
-    featurized = df.withColumn(
+    # NULL embeddings excluded BEFORE featurization: MLlib's
+    # array_to_vector raises a JVM NullPointerException on NULL arrays
+    # (degenerate-gate NULL tier)
+    featurized = df.filter(F.col(vec_col).isNotNull()).withColumn(
         "__features", array_to_vector(F.col(vec_col).cast("array<double>"))
     )
     # Sample by smallest id-hash, NOT limit(): limit takes whatever
@@ -551,7 +564,8 @@ def ivf_topk_seeded(
     the rerank inherits cosine_topk's TakeOrderedAndProject.
     """
     seeds = (
-        df.select(id_col, F.col(vec_col).cast("array<double>").alias("__v"))
+        df.filter(F.col(vec_col).isNotNull())
+        .select(id_col, F.col(vec_col).cast("array<double>").alias("__v"))
         .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
         .limit(n_lists)
         .collect()
@@ -710,7 +724,8 @@ def _pq_codebooks_seeded(
     contiguous subspaces. A trained PQ would KMeans each subspace;
     the seeded variant trades recall for end-to-end replayability."""
     seeds = (
-        df.select(id_col, F.col(vec_col).cast("array<double>").alias("__v"))
+        df.filter(F.col(vec_col).isNotNull())
+        .select(id_col, F.col(vec_col).cast("array<double>").alias("__v"))
         .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
         .limit(ks)
         .collect()
@@ -765,7 +780,7 @@ def pq_encode_seeded(
     if not books:
         return df.select(F.col(id_col)).limit(0), []
     d0 = len(books[0][0])
-    out = df.select(
+    out = df.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
     )
     for j, book in enumerate(books):
@@ -854,7 +869,9 @@ def l2_topk(
         lambda acc, x: acc + x,
     )
     return (
-        df.select(F.col(id_col), F.round(sq, round_to).alias("l2_sq"))
+        # NULL embeddings excluded (same convention as cosine_topk)
+        df.filter(F.col(vec_col).isNotNull())
+        .select(F.col(id_col), F.round(sq, round_to).alias("l2_sq"))
         .orderBy(F.asc("l2_sq"), F.asc(id_col))
         .limit(k)
     )

@@ -128,6 +128,7 @@ def q_orders_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH e AS (
       SELECT i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS x
       FROM embeddings CROSS JOIN range(1, 65) t(i)
+      WHERE embedding IS NOT NULL
     )
     SELECT CAST(dim AS BIGINT) AS dim,
            CAST(COUNT(*) AS BIGINT) AS n,

@@ -171,7 +171,7 @@ _VEC_SQL = "[" + ", ".join(str(v) for v in QUERY_VEC) + "]"
     SELECT vec_id,
            ROUND(list_cosine_similarity(embedding::DOUBLE[], {_VEC_SQL}::DOUBLE[]), 4)
              AS cos_sim
-    FROM embeddings
+    FROM embeddings WHERE embedding IS NOT NULL
     ORDER BY cos_sim DESC, vec_id
     LIMIT 10
     """,
@@ -201,7 +201,9 @@ def _ann_lsh_oracle() -> str:
         for i, p in enumerate(planes)
     )
     return f"""
-    WITH b AS (SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings)
+    WITH nn AS MATERIALIZED (
+      SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL
+    ), b AS (SELECT vec_id, embedding, {bucket} AS bucket FROM nn)
     SELECT vec_id,
            ROUND(list_cosine_similarity(embedding::DOUBLE[], {_VEC_SQL}::DOUBLE[]), 4)
              AS cos_sim
@@ -1325,7 +1327,7 @@ def _ivf_recall_oracle(k: int = 10, n_lists: int = 8, n_probe: int = 3) -> str:
       SELECT embedding::DOUBLE[] AS sv,
              ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
                - 1 AS j
-      FROM embeddings
+      FROM embeddings WHERE embedding IS NOT NULL
       ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
       LIMIT {n_lists}
     ),
@@ -1342,7 +1344,7 @@ def _ivf_recall_oracle(k: int = 10, n_lists: int = 8, n_probe: int = 3) -> str:
                  ORDER BY ROUND(list_cosine_similarity(
                             e.embedding::DOUBLE[], s.sv), 4) DESC, s.j
                ) AS rn
-        FROM embeddings e CROSS JOIN seeds s
+        FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL) e CROSS JOIN seeds s
       ) WHERE rn = 1
     ),
     ivf AS (
@@ -1352,7 +1354,7 @@ def _ivf_recall_oracle(k: int = 10, n_lists: int = 8, n_probe: int = 3) -> str:
       LIMIT {k}
     ),
     exact AS (
-      SELECT vec_id FROM embeddings
+      SELECT vec_id FROM embeddings WHERE embedding IS NOT NULL
       ORDER BY ROUND(list_cosine_similarity(embedding::DOUBLE[], {q}), 4)
         DESC, vec_id
       LIMIT {k}
@@ -1392,7 +1394,7 @@ def _pq_core_sql(m: int = 4, ks: int = 8, d: int = 64) -> str:
       SELECT embedding::DOUBLE[] AS sv,
              ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
                - 1 AS c
-      FROM embeddings
+      FROM embeddings WHERE embedding IS NOT NULL
       ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
       LIMIT {ks}
     ), subs AS (
@@ -1409,7 +1411,7 @@ def _pq_core_sql(m: int = 4, ks: int = 8, d: int = 64) -> str:
                    'sum'), 4) AS qd
       FROM book b JOIN qsub q USING (j)
     ), base AS (
-      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE embedding IS NOT NULL
     ), assign AS (
       SELECT vec_id, j, c FROM (
         SELECT e.vec_id, b.j, b.c,

@@ -303,3 +303,18 @@ def test_cosine_zero_norm_vector_does_not_crash(spark):
     # seeded IVF end-to-end with the zero vector present
     rec = ivf_seeded_recall(df, [1.0, 0.0], k=3, n_lists=4, n_probe=2).collect()
     assert len(rec) == 1 and rec[0].recall is not None
+
+
+def test_all_pairs_paths_skip_null_embeddings(spark):
+    """A NULL embedding row (failed embedding job) must not crash the
+    numpy-backed pair paths — it is excluded, and both paths agree."""
+    from bootcamp_stackacademy_datalake_minio_airflow_spark.operators.similarity import (
+        cosine_all_pairs_blocked,
+        cosine_all_pairs_matmul,
+    )
+
+    rows = [(1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, None), (4, [0.0, 1.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    a = sorted((r.id_a, r.id_b) for r in cosine_all_pairs_blocked(df, 0.5).collect())
+    b = sorted((r.id_a, r.id_b) for r in cosine_all_pairs_matmul(df, 0.5).collect())
+    assert a == b == [(1, 2)]

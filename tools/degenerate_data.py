@@ -81,6 +81,12 @@ def main() -> None:
     )
     # embeddings: zero vector (norm 0), two identical vectors (cosine
     # tie), a constant-component vector
+    null_vec = (
+        "UNION ALL SELECT CAST(900003 AS BIGINT), "
+        "CAST(NULL AS FLOAT[]), CAST(1 AS INTEGER)"
+        if nulls
+        else ""
+    )
     con.execute(
         f"""
         COPY (
@@ -97,6 +103,7 @@ def main() -> None:
             SELECT CAST(900002 AS BIGINT), embedding, label
             FROM read_parquet('{SRC}/embeddings.parquet')
             ORDER BY vec_id LIMIT 1)
+          {null_vec}
         ) TO '{out}/embeddings.parquet' (FORMAT PARQUET)
         """
     )
