@@ -1051,7 +1051,11 @@ def _impute_oracle() -> str:
     SELECT m.event_type,
            CAST(SUM(CASE WHEN m.v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_masked,
            ROUND(AVG(COALESCE(m.v, mu.mu)), 4) AS mean_imputed
-    FROM masked m JOIN mu ON m.event_type = mu.event_type
+    -- NULL-safe join: a NULL event_type is a GROUP like any other on
+    -- the Spark side (window partitioning and GROUP BY both treat
+    -- NULL as one key); a plain equi-join silently dropped it
+    -- (degenerate-gate NULL-key tier)
+    FROM masked m JOIN mu ON m.event_type IS NOT DISTINCT FROM mu.event_type
     GROUP BY m.event_type
     """
 

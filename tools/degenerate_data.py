@@ -122,6 +122,14 @@ def main() -> None:
         SELECT * FROM (SELECT event_id + 910000, ts, user_id, event_type,
                               CAST(NULL AS DOUBLE), CAST(NULL AS VARCHAR)
                        FROM {src} ORDER BY event_id LIMIT 3)
+        UNION ALL
+        SELECT * FROM (SELECT event_id + 920000, ts, CAST(NULL AS BIGINT),
+                              event_type, value, props
+                       FROM {src} ORDER BY event_id LIMIT 2)
+        UNION ALL
+        SELECT * FROM (SELECT event_id + 930000, ts, user_id,
+                              CAST(NULL AS VARCHAR), value, props
+                       FROM {src} ORDER BY event_id LIMIT 2)
         """
             if nulls
             else ""
