@@ -61,11 +61,51 @@ def replace_by_group(
         return
     key_df = (keys if keys is not None else new_rows).select(group_key).distinct()
     target = spark.read.parquet(path)
+    missing = [c for c in target.columns if c not in new_rows.columns]
+    if missing:
+        # silently intersecting would write rows without the target's
+        # columns (schema drift); crashing inside unionByName would be
+        # inscrutable. The common case is a partition-derived column
+        # (vendas_gold's MES_VENDA) absent from a raw build_vendas
+        # frame — derive it before calling (review finding).
+        raise ValueError(
+            f"new_rows lacks target column(s) {missing}; derive them "
+            "before replace_by_group (e.g. MES_VENDA = "
+            "date_format(DATA_VENDA, 'yyyy-MM') for a partitioned "
+            "vendas gold)"
+        )
     kept = target.join(F.broadcast(key_df), group_key, "left_anti")
     merged = kept.unionByName(new_rows.select(*target.columns))
     staging = f"{path.rstrip('/')}__staging"
-    merged.write.mode("overwrite").parquet(staging)
+    # preserve the target's hive partitioning: `col=`-style subdirs
+    # identify the partition column; an unpartitioned staging write
+    # would silently flatten the layout on the first incremental
+    # update (review finding)
+    from ..fsutil import list_subdirs
+
+    part_cols = sorted(
+        {
+            d.split("=", 1)[0]
+            for d in list_subdirs(spark, path)
+            if "=" in d and d.split("=", 1)[0] in target.columns
+        }
+    )
+    writer = merged.write.mode("overwrite")
+    if part_cols:
+        writer = writer.partitionBy(*part_cols)
+    writer.parquet(staging)
     publish_swap(spark, staging, path)
+
+
+def _gold_group_key(build_kwargs: dict) -> str:
+    """The gold-side order column name for a build_vendas kwargs set:
+    the DEFAULT rename map yields PEDIDO; a custom mapping without an
+    order_id entry leaves the column named order_id. ONE definition —
+    the two hand-maintained copies this replaces had already started
+    to drift in layout (review finding)."""
+    if "renames" in build_kwargs:
+        return (build_kwargs["renames"] or {}).get("order_id", "order_id")
+    return "PEDIDO"
 
 
 def incremental_vendas_update(
@@ -100,14 +140,24 @@ def incremental_vendas_update(
         order_payments.join(ch, "order_id", "left_semi"),
         **build_kwargs,
     )
-    # build_vendas renames order_id per its mapping: the DEFAULT
-    # mapping yields PEDIDO; a custom mapping without an order_id
-    # entry leaves the column named order_id (deriving PEDIDO there
-    # would anti-join on a column the frame doesn't have)
-    if "renames" in build_kwargs:
-        group_key = (build_kwargs["renames"] or {}).get("order_id", "order_id")
-    else:
-        group_key = "PEDIDO"
+    group_key = _gold_group_key(build_kwargs)
+    # a gold table written by vendas_gold is partitioned by MES_VENDA
+    # (derived at write time) — the raw build_vendas frame lacks it,
+    # so derive it the same way before the group replace, which would
+    # otherwise refuse the column mismatch (review finding)
+    from ..fsutil import _fs_for, _jp
+
+    fs, jvm = _fs_for(spark, gold_path)
+    if fs.exists(_jp(jvm, gold_path)):
+        gold_cols = spark.read.parquet(gold_path).columns
+        if (
+            "MES_VENDA" in gold_cols
+            and "MES_VENDA" not in sub.columns
+            and "DATA_VENDA" in sub.columns
+        ):
+            sub = sub.withColumn(
+                "MES_VENDA", F.date_format("DATA_VENDA", "yyyy-MM")
+            )
     keys = changed_orders.select(F.col("order_id").alias(group_key)).distinct()
     replace_by_group(spark, gold_path, sub, group_key, keys=keys)
 
@@ -238,8 +288,19 @@ def incremental_vendas_from_snapshots(
     from .snapshots import _read_json, _write_json_atomic, read_snapshot, table_versions
 
     facts = ["order_items", "orders", "order_payments"]
+    # dimensions are tracked too (review finding): a corrected product
+    # category or customer city committed as a new dimension snapshot
+    # must refresh the gold rows of every order that JOINS it — with
+    # fact-only tracking those rows stayed permanently stale, breaking
+    # incremental==full parity. (dim table, dim key, fact table whose
+    # rows map dim keys to order ids, fact-side key column)
+    dims = [
+        ("products", "product_id", "order_items"),
+        ("customers", "customer_id", "orders"),
+    ]
+    tracked = facts + [d[0] for d in dims]
     latest = {}
-    for t in facts:
+    for t in tracked:
         vs = table_versions(spark, silver_roots[t])
         latest[t] = vs[-1] if vs else 0
 
@@ -252,9 +313,9 @@ def incremental_vendas_from_snapshots(
     def at(t: str, version: int | None) -> DataFrame:
         return read_snapshot(spark, silver_roots[t], version)
 
-    full_build = any(t not in state for t in facts)
-    if not full_build and all(state[t] == latest[t] for t in facts):
-        return {t: state[t] for t in facts}  # no-op: nothing advanced
+    full_build = any(t not in state for t in tracked)
+    if not full_build and all(state[t] == latest[t] for t in tracked):
+        return {t: state[t] for t in tracked}  # no-op: nothing advanced
 
     changed = None
     if not full_build:
@@ -262,6 +323,16 @@ def incremental_vendas_from_snapshots(
             if state[t] == latest[t]:
                 continue
             part = changed_groups(at(t, state[t]), at(t, None), "order_id")
+            changed = part if changed is None else changed.unionByName(part)
+        for dim, dim_key, via_fact in dims:
+            if state[dim] == latest[dim]:
+                continue
+            dim_changed = changed_groups(at(dim, state[dim]), at(dim, None), dim_key)
+            part = (
+                at(via_fact, None)
+                .join(F.broadcast(dim_changed), dim_key, "left_semi")
+                .select("order_id")
+            )
             changed = part if changed is None else changed.unionByName(part)
     if full_build or changed is None:
         changed = at("orders", None).select("order_id").unionByName(
@@ -271,14 +342,9 @@ def incremental_vendas_from_snapshots(
         if gold_fs.exists(_jp(gold_jvm, gold_path)):
             # recovery full build: orders deleted from silver exist
             # only in gold — include them or their rows survive forever
-            group_key = (
-                (build_kwargs["renames"] or {}).get("order_id", "order_id")
-                if "renames" in build_kwargs
-                else "PEDIDO"
-            )
             changed = changed.unionByName(
                 spark.read.parquet(gold_path).select(
-                    F.col(group_key).alias("order_id")
+                    F.col(_gold_group_key(build_kwargs)).alias("order_id")
                 )
             )
     changed = changed.distinct()
@@ -294,7 +360,7 @@ def incremental_vendas_from_snapshots(
         changed,
         **build_kwargs,
     )
-    new_state = {t: latest[t] for t in facts}
+    new_state = {t: latest[t] for t in tracked}
     # CAS-write: a concurrent run losing the race simply reprocesses
     # a delta on its next cycle (idempotent via group replace)
     if fs.exists(_jp(jvm, state_path)):

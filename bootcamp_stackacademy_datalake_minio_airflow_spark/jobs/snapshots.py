@@ -167,6 +167,25 @@ def rollback_snapshot(spark: SparkSession, root: str, to_version: int) -> int:
             "segments": target["segments"],
         }
         if _write_json_atomic(spark, _manifest_path(root, version), doc):
+            # Post-commit segment verification: a concurrent vacuum may
+            # have deleted to_version's segments between our manifest
+            # read and the CAS (they were only referenced by expired
+            # manifests). Publishing a latest that points at deleted
+            # data would break EVERY subsequent read — un-commit and
+            # raise instead (review finding).
+            fs, jvm = _fs_for(spark, root)
+            missing = [
+                s
+                for s in target["segments"]
+                if not fs.exists(_jp(jvm, f"{root}/{_DATA_DIR}/{s}"))
+            ]
+            if missing:
+                fs.delete(_jp(jvm, _manifest_path(root, version)), False)
+                raise RuntimeError(
+                    f"rollback to v{to_version} aborted: segment(s) "
+                    f"{missing} were vacuumed concurrently; the committed "
+                    "manifest was removed to keep the log readable"
+                )
             return version
     raise RuntimeError("rollback lost the version race 10 times")
 
@@ -204,6 +223,17 @@ def vacuum_snapshots(
         fs.delete(_jp(jvm, _manifest_path(root, v)), False)
     n_seg = 0
     ddir = f"{root}/{_DATA_DIR}"
+    # Optimistic re-check against concurrent commits (incl. rollback):
+    # any manifest that appeared since the first version listing —
+    # e.g. a rollback re-referencing old segments — contributes its
+    # segments to the live set before anything is deleted. Together
+    # with rollback's post-commit verification this closes the
+    # vacuum-vs-rollback race from both sides (review finding).
+    for v in table_versions(spark, root):
+        if v not in keep:
+            live.update(
+                _read_json(spark, _manifest_path(root, v))["segments"]
+            )
     if fs.exists(_jp(jvm, ddir)):
         import time as _time
 

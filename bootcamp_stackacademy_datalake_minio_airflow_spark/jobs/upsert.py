@@ -80,6 +80,18 @@ def merge_upsert(
     tombstone-retention semantics. Requires the target schema to
     carry ``tombstone_col``."""
     cols = target.columns
+    if retain_tombstones and not order_col:
+        # without a version watermark a retained tombstone cannot
+        # out-version anything, and the non-versioned branch below
+        # hard-deletes via anti-join — silently ignoring the flag
+        # loses exactly the resurrection guard it promises (review
+        # finding; the order_col branch already raises for the
+        # analogous misuse)
+        raise ValueError(
+            "retain_tombstones requires order_col: tombstone retention "
+            "exists to keep the version watermark, which the "
+            "non-versioned merge does not have"
+        )
     if order_col:
         t = target.alias("t")
         u = updates.alias("u")
@@ -232,6 +244,7 @@ def upsert_parquet(
     tombstone_col: str | None = None,
     order_col: str | None = None,
     retain_tombstones: bool = False,
+    validate_immutable_partitions: bool = False,
 ) -> None:
     """Apply ``merge_upsert`` against a parquet path.
 
@@ -243,6 +256,18 @@ def upsert_parquet(
     With ``partition_col``: reads ONLY the partitions the updates
     touch, merges, and swaps just those partition directories — the
     rest of the table's files are untouched.
+
+    CONTRACT: ``partition_col`` must be IMMUTABLE per key. The
+    pruned merge never reads partitions the updates don't name, so
+    an update that MOVES a key to a new partition value would insert
+    it there while the stale copy survives untouched in the old
+    partition — a duplicate key (review finding; the same contract
+    Hive/Glue partitioned MERGEs impose). Time-derived partition
+    columns (event month, ingest date) satisfy it naturally. Set
+    ``validate_immutable_partitions=True`` to enforce it with an
+    extra key-column scan of the UNTOUCHED partitions (column-pruned
+    — cheap relative to the merge, but a full-table key read): the
+    call raises instead of writing a duplicate.
     """
     from ..fsutil import publish_swap, recover_swaps
 
@@ -256,6 +281,21 @@ def upsert_parquet(
         # the restored backup with the rows-lost merge.
         recover_swaps(spark, path, backup_root)
         parts = [r[0] for r in updates.select(partition_col).distinct().collect()]
+        if validate_immutable_partitions:
+            moved = (
+                spark.read.parquet(path)
+                .filter(~_default_partition_pred(partition_col, parts))
+                .select(key)
+                .join(updates.select(key).distinct(), key, "left_semi")
+                .limit(1)
+                .count()
+            )
+            if moved:
+                raise ValueError(
+                    f"update moves key(s) across {partition_col} partitions: "
+                    "the pruned merge would duplicate them (partition_col "
+                    "must be immutable per key)"
+                )
         target = spark.read.parquet(path).filter(
             _default_partition_pred(partition_col, parts)
         )
@@ -305,8 +345,13 @@ def vacuum_tombstones(
     from ..fsutil import publish_swap, recover_swaps
 
     staging = f"{path.rstrip('/')}__staging"
+    # NULL order = LOWEST version (merge_upsert's documented
+    # semantics), so a NULL-version tombstone is always past any
+    # horizon; without the isNull arm it failed BOTH dead and ~dead
+    # filters — silently dropped uncounted when its partition was
+    # rewritten, immortal otherwise (review finding)
     dead = F.coalesce(F.col(tombstone_col), F.lit(False)) & (
-        F.col(order_col) <= F.lit(horizon)
+        F.col(order_col).isNull() | (F.col(order_col) <= F.lit(horizon))
     )
     if partition_col:
         backup_root = f"{path.rstrip('/')}__backup"

@@ -13,6 +13,19 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import StringType, StructField, StructType
 
+#: The pinned Olist CSV parse options, shared by the batch reader
+#: below AND streaming/ingest.py's stream_bronze_to_silver — ONE
+#: definition so a parsing fix applies to both paths (they feed the
+#: same silver zone; duplicated literals had already drifted into
+#: review findings once)
+CSV_PARSE_OPTIONS: dict[str, str] = {
+    "header": "true",
+    "timestampFormat": "yyyy-MM-dd HH:mm:ss",
+    "recursiveFileLookup": "true",
+    "quote": '"',
+    "escape": '"',
+}
+
 
 def read_csv(
     spark: SparkSession,
@@ -50,11 +63,9 @@ def read_csv(
         )
     reader = (
         spark.read.schema(read_schema)
+        .options(**CSV_PARSE_OPTIONS)
         .option("header", str(header).lower())
         .option("timestampFormat", timestamp_format)
-        .option("recursiveFileLookup", "true")
-        .option("quote", '"')
-        .option("escape", '"')
         .option("mode", "PERMISSIVE")
     )
     if corrupt_col is not None:

@@ -39,13 +39,14 @@ def stream_bronze_to_silver(
     src = bronze_path or zone_path("bronze", table, base)
     dst = silver_path or zone_path("silver", table, base)
 
+    from ..sources.csv import CSV_PARSE_OPTIONS
+
+    # ONE option set shared with the batch reader (sources/csv.py):
+    # batch backfill and streaming ingest feed the same silver zone
+    # and must parse identically (review finding)
     reader = (
         spark.readStream.schema(OLIST_SCHEMAS[table])
-        .option("header", "true")
-        .option("timestampFormat", "yyyy-MM-dd HH:mm:ss")
-        .option("recursiveFileLookup", "true")
-        .option("quote", '"')
-        .option("escape", '"')
+        .options(**CSV_PARSE_OPTIONS)
         .option("maxFilesPerTrigger", str(max_files_per_trigger))
     )
     if table in MULTILINE_TABLES:
@@ -129,8 +130,23 @@ def stream_upsert_apply(
             .filter(F.col("__rn") == 1)
             .drop("__rn")
         )
+        spark_b = batch_df.sparkSession
+        # bootstrap: the FIRST micro-batch against a not-yet-existing
+        # target is a plain write — upsert_parquet reads the target
+        # unconditionally and PATH_NOT_FOUND would kill the streaming
+        # query (review finding; replace_by_group already handles the
+        # analogous bootstrap)
+        from ..fsutil import _fs_for, _jp
+
+        fs, jvm = _fs_for(spark_b, target_path)
+        if not fs.exists(_jp(jvm, target_path)):
+            writer = latest.write.mode("overwrite")
+            if partition_col:
+                writer = writer.partitionBy(partition_col)
+            writer.parquet(target_path)
+            return
         upsert_parquet(
-            batch_df.sparkSession,
+            spark_b,
             target_path,
             latest,
             key,

@@ -77,25 +77,30 @@ def _sessionize(
     if not ts_ms:
         return
 
+    # Gap-merge the batch's events WITH the open-session interval in
+    # EVENT-TIME order (review finding: the old fold compared each
+    # event only against the open session's end, so a late event more
+    # than one gap BEFORE the session's start was widened into it —
+    # one session spanning a silence longer than the gap, diverging
+    # from the batch twin whenever watermark > gap). Intervals sorted
+    # by start merge iff separated by <= gap; everything but the most
+    # recent interval is closed, the last becomes the new state.
+    items: list[list[int]] = [[t, t, 1] for t in ts_ms]
     if state.exists:
         start_ms, last_ms, n = state.get
-    else:
-        start_ms = last_ms = ts_ms[0]
-        n = 0
+        items.append([start_ms, last_ms, n])
+        items.sort(key=lambda iv: (iv[0], iv[1]))
 
-    closed: list[tuple[int, int, int]] = []
-    for t in ts_ms:
-        if t - last_ms > _GAP_MS:
-            closed.append((start_ms, last_ms, n))
-            start_ms, last_ms, n = t, t, 0
+    merged: list[list[int]] = []
+    for s, e, c in items:
+        if merged and s - merged[-1][1] <= _GAP_MS:
+            merged[-1][1] = max(merged[-1][1], e)
+            merged[-1][2] += c
         else:
-            # a late (within-watermark) event may precede the open
-            # session's bounds: widen, never regress — last_ms must
-            # stay the session's true end or the next gap check and
-            # the emitted session_end are wrong
-            start_ms = min(start_ms, t)
-            last_ms = max(last_ms, t)
-        n += 1
+            merged.append([s, e, c])
+
+    closed = [tuple(iv) for iv in merged[:-1]]
+    start_ms, last_ms, n = merged[-1]
 
     state.update((start_ms, last_ms, n))
     state.setTimeoutTimestamp(last_ms + _GAP_MS)

@@ -213,7 +213,10 @@ def test_incremental_from_snapshots_end_to_end(spark, tmp_path):
     # cold start: NO gold table and no state -- the first run must
     # bootstrap the full build itself
     s1 = incremental_vendas_from_snapshots(spark, roots, gold, state)
-    assert s1 == {"order_items": 1, "orders": 1, "order_payments": 1}
+    assert s1 == {
+        "order_items": 1, "orders": 1, "order_payments": 1,
+        "products": 1, "customers": 1,
+    }
     got1 = {_key(r): tuple(r) for r in spark.read.parquet(gold).collect()}
     full1 = {
         _key(r): tuple(r)
@@ -228,7 +231,10 @@ def test_incremental_from_snapshots_end_to_end(spark, tmp_path):
         if k in ("items", "orders", "payments"):
             commit_snapshot(spark, v2[k], roots[t], mode="overwrite")
     s2 = incremental_vendas_from_snapshots(spark, roots, gold, state)
-    assert s2 == {"order_items": 2, "orders": 2, "order_payments": 2}
+    assert s2 == {
+        "order_items": 2, "orders": 2, "order_payments": 2,
+        "products": 1, "customers": 1,
+    }
 
     got = {_key(r): tuple(r) for r in spark.read.parquet(gold).collect()}
     full = {
@@ -266,3 +272,55 @@ def test_mirror_to_snapshot_digest_gated(spark, tmp_path):
     ).parquet(src)
     assert mirror_to_snapshot(spark, src, root) == 2
     assert {r.s for r in read_snapshot(spark, root).collect()} == {"a", "B"}
+
+
+def test_dimension_change_refreshes_joined_orders(spark, tmp_path):
+    """Review-finding pin: a products-only snapshot commit (facts
+    unchanged) must refresh the gold rows of orders that JOIN the
+    changed product — fact-only tracking left them permanently
+    stale."""
+    from bootcamp_stackacademy_datalake_minio_airflow_spark.jobs.incremental_gold import (
+        incremental_vendas_from_snapshots,
+    )
+    from bootcamp_stackacademy_datalake_minio_airflow_spark.jobs.snapshots import (
+        commit_snapshot,
+    )
+    from bootcamp_stackacademy_datalake_minio_airflow_spark.plans.vendas import build_vendas
+
+    v1 = _lake_v1(spark)
+    roots = {
+        t: str(tmp_path / f"s_{t}")
+        for t in ["order_items", "orders", "order_payments", "products", "customers"]
+    }
+    table_map = {
+        "order_items": "items", "orders": "orders",
+        "order_payments": "payments", "products": "products",
+        "customers": "customers",
+    }
+    for t, k in table_map.items():
+        commit_snapshot(spark, v1[k], roots[t], mode="overwrite")
+    gold = str(tmp_path / "gold")
+    state = str(tmp_path / "state.json")
+    incremental_vendas_from_snapshots(spark, roots, gold, state)
+
+    # correct one product's category; commit ONLY the products snapshot
+    from pyspark.sql import functions as F
+
+    some_pid = v1["items"].select("product_id").first()[0]
+    fixed = v1["products"].withColumn(
+        "product_category_name",
+        F.when(F.col("product_id") == some_pid, F.lit("corrigida"))
+        .otherwise(F.col("product_category_name")),
+    )
+    commit_snapshot(spark, fixed, roots["products"], mode="overwrite")
+    s = incremental_vendas_from_snapshots(spark, roots, gold, state)
+    assert s["products"] == 2
+
+    got = {_key(r): tuple(r) for r in spark.read.parquet(gold).collect()}
+    full = {
+        _key(r): tuple(r)
+        for r in build_vendas(
+            v1["items"], v1["orders"], fixed, v1["customers"], v1["payments"]
+        ).collect()
+    }
+    assert got == full  # the corrected category reached gold

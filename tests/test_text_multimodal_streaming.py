@@ -583,3 +583,53 @@ def test_stream_psi_monitor_matches_batch(spark, tmp_path):
     key = lambda r: (r["bucket"], r["n_a"], r["n_b"], r["pa"], r["pb"], r["contrib"])  # noqa: E731
     assert sorted(map(key, report)) == sorted(map(key, batch))
     assert len(report) > 0
+
+
+def test_sessionize_interval_merge_unit():
+    """Unit-level pin for the review finding: a late event more than
+    one gap BEFORE the open session must form its OWN session, never
+    widen the open one across the silence; late events within the gap
+    still widen; chains of late events merge among themselves."""
+    import pandas as pd
+
+    from bootcamp_stackacademy_datalake_minio_airflow_spark.streaming.sessions import (
+        _GAP_MS,
+        _sessionize,
+    )
+
+    class FakeState:
+        def __init__(self, tup):
+            self._t = tup
+            self.exists = tup is not None
+            self.hasTimedOut = False
+        @property
+        def get(self):
+            return self._t
+        def update(self, t):
+            self._t = t
+            self.exists = True
+        def setTimeoutTimestamp(self, ts):
+            self.timeout = ts
+        def remove(self):
+            self._t, self.exists = None, False
+
+    MIN = 60_000
+    # open session [100min, 110min], 3 events
+    st = FakeState((100 * MIN, 110 * MIN, 3))
+    # late events at 10min and 15min: 85min before the session start,
+    # far beyond the 30-min gap -> their own session, closed
+    batch = pd.DataFrame({"ts": [pd.Timestamp(10 * MIN, unit="ms"),
+                                 pd.Timestamp(15 * MIN, unit="ms")]})
+    out = list(_sessionize((7,), [batch], st))
+    assert len(out) == 1
+    closed = out[0]
+    assert closed["n_events"].tolist() == [2]
+    assert closed["session_start"].iloc[0] == pd.Timestamp(10 * MIN, unit="ms")
+    assert closed["session_end"].iloc[0] == pd.Timestamp(15 * MIN, unit="ms")
+    # the open session is untouched
+    assert st.get == (100 * MIN, 110 * MIN, 3)
+    # late event WITHIN the gap of the start still widens
+    st2 = FakeState((100 * MIN, 110 * MIN, 3))
+    batch2 = pd.DataFrame({"ts": [pd.Timestamp(80 * MIN, unit="ms")]})
+    assert list(_sessionize((7,), [batch2], st2)) == []
+    assert st2.get == (80 * MIN, 110 * MIN, 4)

@@ -429,3 +429,41 @@ def test_versioned_merge_tombstone_wins_equal_version_any_order(spark):
     ra = {r.k: (r.deleted, r.ver) for r in a.collect()}
     rb = {r.k: (r.deleted, r.ver) for r in b.collect()}
     assert ra == rb == {1: (True, 5)}
+
+
+def test_retain_tombstones_requires_order_col(spark):
+    """Review-finding pin: silently ignoring retain_tombstones in the
+    non-versioned branch lost the resurrection guard — it must raise."""
+    import pytest as _pytest
+
+    from bootcamp_stackacademy_datalake_minio_airflow_spark.jobs.upsert import merge_upsert
+
+    t = spark.createDataFrame([(1, "a", False)], "k long, v string, dead boolean")
+    u = spark.createDataFrame([(1, "a", True)], "k long, v string, dead boolean")
+    with _pytest.raises(ValueError, match="retain_tombstones requires order_col"):
+        merge_upsert(t, u, "k", tombstone_col="dead", retain_tombstones=True)
+
+
+def test_partition_move_validation_raises(spark, tmp_path):
+    """Review-finding pin: an update that moves a key to another
+    partition would duplicate it under pruned merge; the opt-in
+    validator must refuse loudly."""
+    import pytest as _pytest
+
+    from bootcamp_stackacademy_datalake_minio_airflow_spark.jobs.upsert import upsert_parquet
+
+    path = str(tmp_path / "t")
+    spark.createDataFrame(
+        [(1, "2024-01", "a"), (2, "2024-02", "b")], "k long, mes string, v string"
+    ).write.partitionBy("mes").parquet(path)
+    moved = spark.createDataFrame([(1, "2024-02", "a2")], "k long, mes string, v string")
+    with _pytest.raises(ValueError, match="moves key"):
+        upsert_parquet(
+            spark, path, moved, "k", partition_col="mes",
+            validate_immutable_partitions=True,
+        )
+    # the same update without validation is the documented contract
+    # violation: it silently duplicates — pin the hazard so the
+    # docstring's claim stays true
+    upsert_parquet(spark, path, moved, "k", partition_col="mes")
+    assert spark.read.parquet(path).filter("k = 1").count() == 2
