@@ -12,16 +12,26 @@ Each query is forced to execute fully (count via a noop write-less
 action) after a warm-up of the session; timings are wall-clock per
 query, end to end (scan -> compute -> materialize counts).
 
-Timings are STEADY-STATE: before each timed run at $SPARK_GRAFT_SF_DIR
-the same query runs once, untimed, at $SPARK_GRAFT_WARM_DIR (default
-sf0.001 — trivial data). The warm-up compiles this query's generated
-code (Janino) and lets C2 JIT it, so the timed number measures the
-throughput that scales with data — on a long-lived cluster JIT
-happens once per executor lifetime, not once per query. Measured:
-the first wide dedup query pays ~5s of one-time compile/JIT at any
-SF from 0.001 to 0.1 (execution itself is ~1.5s at sf0.1); without
-warm-up that process one-timer lands on whichever query runs first.
-The JSON records "warmup_sf" so the methodology is explicit.
+Timings are COLD AND WARM per query (VERDICT r5 next-round #2 — a
+single number kept mispricing cache-heavy queries and every round
+devolved into host-noise arguments):
+
+- an untimed run at $SPARK_GRAFT_WARM_DIR (default sf0.001 — trivial
+  data) first compiles this query's generated code (Janino) and lets
+  C2 JIT it, so neither timed number carries process one-timers (on a
+  long-lived cluster JIT happens once per executor lifetime, not once
+  per query; measured ~5s on the first wide dedup query at ANY sf);
+- "cold" is the first timed run at the bench SF from a cleared SQL
+  cache — it pays cache fills, broadcast builds, and shared-
+  projection materialization (the honest end-to-end cost);
+- "warm" is an immediate second timed run WITHOUT clearing — the
+  steady-state throughput a long-lived pipeline sees.
+
+The headline "value" is the COLD sum; "warm_total" sits alongside.
+The stdout "queries" map stays name->cold seconds (the documented
+driver schema), with "queries_warm" carrying the same names' warm
+seconds; full maps go to BENCH_FULL.json. The JSON records
+"warmup_sf" so the methodology is explicit.
 """
 
 from __future__ import annotations
@@ -62,11 +72,12 @@ def main() -> None:
 
     warm_dir = os.environ.get("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
     timings: dict[str, float] = {}
+    warm_timings: dict[str, float] = {}
     warmups_ok = 0
     for name, fn in qs.items():
-        # untimed steady-state warm-up at the tiny SF (see module
+        # untimed JIT/codegen warm-up at the tiny SF (see module
         # docstring); identical plan constants -> codegen cache hit
-        # on the timed run
+        # on the timed runs
         try:
             fn(spark, warm_dir).count()
             warmups_ok += 1
@@ -75,12 +86,22 @@ def main() -> None:
         spark.catalog.clearCache()
         t0 = time.perf_counter()
         try:
-            df = fn(spark, sf_dir)
-            df.count()
+            fn(spark, sf_dir).count()
             timings[name] = round(time.perf_counter() - t0, 3)
         except Exception as e:  # noqa: BLE001
             print(f"bench error in {name}: {e}", file=sys.stderr)
             timings[name] = -1.0
+        # warm run: immediately, WITHOUT clearing — steady state
+        if timings[name] >= 0:
+            t0 = time.perf_counter()
+            try:
+                fn(spark, sf_dir).count()
+                warm_timings[name] = round(time.perf_counter() - t0, 3)
+            except Exception as e:  # noqa: BLE001
+                print(f"bench warm error in {name}: {e}", file=sys.stderr)
+                warm_timings[name] = -1.0
+        else:
+            warm_timings[name] = -1.0
         # operators persist() intermediates; clear between queries so
         # later timings don't inherit earlier queries' cache pressure
         spark.catalog.clearCache()
@@ -91,14 +112,17 @@ def main() -> None:
         f"bench covered {len(timings)} of {len(qs)} registered queries"
     )
     total = round(sum(t for t in timings.values() if t >= 0), 3)
+    warm_total = round(sum(t for t in warm_timings.values() if t >= 0), 3)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     full = {
         "metric": "headline_queries_total",
-        "value": total,
+        "value": total,  # COLD sum — the honest end-to-end headline
         "unit": "sec",
         "n_queries": len(timings),
         "n_errors": sum(1 for t in timings.values() if t < 0),
+        "warm_total": warm_total,
         "queries": timings,
+        "queries_warm": warm_timings,
         "sf": sf_val,
         # honest methodology record: claim the warm-up only if it
         # actually ran for every query (a missing warm dir would
@@ -111,7 +135,7 @@ def main() -> None:
         ),
         "warmups_ok": warmups_ok,
     }
-    # full per-query map: stderr + a sibling file (never stdout)
+    # full per-query maps: stderr + a sibling file (never stdout)
     print(json.dumps(full), file=sys.stderr)
     try:
         with open(
@@ -126,6 +150,7 @@ def main() -> None:
     )
     compact = dict(full)
     compact["queries"] = slowest  # 10 slowest only; full map in BENCH_FULL.json
+    compact["queries_warm"] = {k: warm_timings[k] for k in slowest}
     print(json.dumps(compact, separators=(",", ":")))
 
 

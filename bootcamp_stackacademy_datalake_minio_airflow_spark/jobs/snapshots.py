@@ -226,14 +226,15 @@ def vacuum_snapshots(
     # Optimistic re-check against concurrent commits (incl. rollback):
     # any manifest that appeared since the first version listing —
     # e.g. a rollback re-referencing old segments — contributes its
-    # segments to the live set before anything is deleted. Together
-    # with rollback's post-commit verification this closes the
-    # vacuum-vs-rollback race from both sides (review finding).
-    for v in table_versions(spark, root):
-        if v not in keep:
-            live.update(
-                _read_json(spark, _manifest_path(root, v))["segments"]
-            )
+    # segments to the live set. Candidates are gathered first and the
+    # manifest re-list runs IMMEDIATELY before the deletes, so the
+    # remaining race window is just the delete loop itself. Together
+    # with rollback's post-commit verification this NARROWS (does not
+    # fully close — a rollback that commits after the re-list and
+    # verifies before our deletes land can still lose segments; see
+    # ADVICE r5) the vacuum-vs-rollback race; min_segment_age plus
+    # the rollback retry loop covers the residual in practice.
+    candidates = []
     if fs.exists(_jp(jvm, ddir)):
         import time as _time
 
@@ -245,7 +246,17 @@ def vacuum_snapshots(
             age_s = (now_ms - st.getModificationTime()) / 1000.0
             if age_s < min_segment_age_seconds:
                 continue  # possibly an in-flight commit's segment
-            fs.delete(st.getPath(), True)
+            candidates.append((name, st.getPath()))
+    if candidates:
+        for v in table_versions(spark, root):
+            if v not in keep:
+                live.update(
+                    _read_json(spark, _manifest_path(root, v))["segments"]
+                )
+        for name, jpath in candidates:
+            if name in live:
+                continue
+            fs.delete(jpath, True)
             n_seg += 1
     return len(expire), n_seg
 

@@ -282,9 +282,21 @@ def upsert_parquet(
         recover_swaps(spark, path, backup_root)
         parts = [r[0] for r in updates.select(partition_col).distinct().collect()]
         if validate_immutable_partitions:
+            # The untouched-partition scan must INCLUDE the NULL
+            # (__HIVE_DEFAULT_PARTITION__) partition when the updates
+            # don't touch it: for a NULL partition value the isin pred
+            # is NULL, and ~NULL is NULL, so a bare negation silently
+            # drops exactly the rows a NULL->named partition move
+            # leaves stale (ADVICE r5). coalesce(pred, FALSE) makes
+            # "not in the touched set" true for them.
             moved = (
                 spark.read.parquet(path)
-                .filter(~_default_partition_pred(partition_col, parts))
+                .filter(
+                    ~F.coalesce(
+                        _default_partition_pred(partition_col, parts),
+                        F.lit(False),
+                    )
+                )
                 .select(key)
                 .join(updates.select(key).distinct(), key, "left_semi")
                 .limit(1)

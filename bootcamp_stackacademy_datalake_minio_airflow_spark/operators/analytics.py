@@ -224,7 +224,12 @@ def psi_bucket_counts(
     # clamped on BOTH ends: without the greatest() a negative value
     # column would mint one bucket per distinct negative multiple of
     # the width, breaking the <= n_buckets state bound the streaming
-    # twin's driver-side accumulator relies on
+    # twin's driver-side accumulator relies on.
+    # NULL payloads are EXCLUDED, not bucketed: floor(NULL/width) is
+    # NULL and both engines' least/greatest SKIP NULLs, so without the
+    # filter a NULL value silently inflated the TOP bucket of the
+    # drift report (ADVICE r5) — the repo-wide NULL-payload convention
+    # is exclusion, mirrored in the doc_length_psi oracle.
     b = F.greatest(
         F.least(
             F.floor(F.col(value_col) / F.lit(bucket_width)),
@@ -232,7 +237,9 @@ def psi_bucket_counts(
         ),
         F.lit(0),
     ).cast("long")
-    tagged = df.select(b.alias("bucket"), split_pred.cast("int").alias("__a"))
+    tagged = df.filter(F.col(value_col).isNotNull()).select(
+        b.alias("bucket"), split_pred.cast("int").alias("__a")
+    )
     return tagged.groupBy("bucket").agg(
         F.sum("__a").cast("long").alias("n_a"),
         (F.count("*") - F.sum("__a")).cast("long").alias("n_b"),

@@ -71,6 +71,7 @@ def pagerank(
     out_round: int = 6,
     broadcast_rank_budget: int = 5_000_000,
     edges_prepartitioned: bool = False,
+    external_edge_cache: bool = False,
 ) -> DataFrame:
     """Fixed-iteration PageRank by power method over a symmetric edge
     set: ``rank'(v) = (1-d)/N + d * sum_{u->v} rank(u)/outdeg(u)``.
@@ -94,8 +95,14 @@ def pagerank(
     Dangling nodes cannot exist here (a symmetric edge set gives
     every node an out-edge); for general digraphs add the
     dangling-mass redistribution term before reusing this.
+
+    ``external_edge_cache``: the caller owns the edge materialization
+    (e.g. the suite-level shared co-occurrence projection,
+    suites/graph_shared.py) — this function then neither caches nor
+    unpersists the input, so a cache shared across several graph
+    algorithms survives the call.
     """
-    e = edges.cache()
+    e = edges if external_edge_cache else edges.cache()
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("__outdeg")).cache()
     # the node set IS deg's key set (symmetric edges: every node has an
     # out-edge) — deriving it from the |V|-row degree table instead of
@@ -108,7 +115,8 @@ def pagerank(
         # return an empty frame with the output schema instead of a
         # driver-side ZeroDivisionError
         deg.unpersist()
-        e.unpersist()
+        if not external_edge_cache:
+            e.unpersist()
         return nodes.select(
             "node", F.lit(0.0).alias("rank")
         ).select("node", F.round("rank", out_round).alias("pagerank"))
@@ -131,14 +139,14 @@ def pagerank(
     # holding a full copy of |E|.
     if small and edges_prepartitioned:
         ce = e.join(hint(deg), "src")
-        iter_caches: tuple[DataFrame, ...] = (deg, e)
+        iter_caches: tuple[DataFrame, ...] = (deg,) if external_edge_cache else (deg, e)
     else:
         ce = (
             e.join(hint(deg), "src")
             .repartition("dst" if small else "src")
             .cache()
         )
-        iter_caches = (ce, deg, e)
+        iter_caches = (ce, deg) if external_edge_cache else (ce, deg, e)
     ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
     for _ in range(iters):
         ranks = (
@@ -168,6 +176,7 @@ def label_propagation(
     iters: int = 3,
     broadcast_label_budget: int = 5_000_000,
     edges_prepartitioned: bool = False,
+    external_edge_cache: bool = False,
 ) -> DataFrame:
     """Synchronous label propagation (community detection) over a
     symmetric, distinct ``(src, dst)`` edge set with NUMERIC node
@@ -192,11 +201,14 @@ def label_propagation(
     small = n <= broadcast_label_budget
     hint = F.broadcast if small else (lambda df: df)
     # cache exactly ONE form of the edge set (caching the raw edges
-    # and then a repartition of them would fill both)
+    # and then a repartition of them would fill both); under
+    # external_edge_cache the caller owns the materialization
+    # (suites/graph_shared.py) and nothing here caches or unpersists it
     if small and edges_prepartitioned:
-        e = edges.cache()
+        e = edges if external_edge_cache else edges.cache()
     else:
         e = edges.repartition("dst" if small else "src").cache()
+        external_edge_cache = False  # the repartitioned copy is ours
     labels = nodes.select("node", F.col("node").alias("lab"))
     for _ in range(iters):
         votes = e.join(hint(labels), e.src == labels.node).select(
@@ -211,6 +223,8 @@ def label_propagation(
     out = labels.select("node", F.col("lab").alias("community"))
     from .dedup import _materialize_release
 
+    if external_edge_cache:
+        return _materialize_release(out, nodes)
     return _materialize_release(out, e, nodes)
 
 
@@ -218,6 +232,7 @@ def k_core(
     edges: DataFrame,
     k: int,
     rounds: int = 4,
+    edges_materialized: bool = False,
 ) -> DataFrame:
     """Bounded-round k-core peeling over a symmetric, distinct
     ``(src, dst)`` edge set: repeatedly delete nodes of degree < k
@@ -242,7 +257,10 @@ def k_core(
     per-round cost is non-increasing; everything is shuffle-join/agg,
     nothing driver-side.
     """
-    e = edges.localCheckpoint(eager=True)
+    # round-0 state: a caller whose edge stream is already eagerly
+    # materialized (the shared co-occurrence projection) skips the
+    # initial copy — the first round's joins read it directly
+    e = edges if edges_materialized else edges.localCheckpoint(eager=True)
     for _ in range(rounds):
         deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("__deg"))
         keep = deg.filter(F.col("__deg") >= k).select(F.col("src").alias("node"))
@@ -268,6 +286,7 @@ def triangle_counts(
     broadcast_edge_budget: int = 5_000_000,
     edges_canonical: bool = False,
     edge_count_hint: int | None = None,
+    edges_distinct: bool = False,
 ) -> DataFrame:
     """Per-node triangle counts over an undirected graph given as a
     (src, dst) edge list (either or both directions; self-loops and
@@ -315,13 +334,20 @@ def triangle_counts(
     # already HALVED the dedup exchange's input map-side. For a
     # both-directions stream the distinct otherwise shuffles 2|E| rows
     # to keep |E|.
+    # ``edges_distinct``: the caller's stream is already duplicate-free
+    # AND materialized by an external cache (suites/graph_shared.py's
+    # shared projection) — skip the dedup exchange and the second
+    # cache; both und consumers (degree agg, orientation join) read
+    # the caller's materialized table map-side instead.
     if edges_canonical:
         canon = edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
     else:
         canon = edges.select(
             F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
         )
-    und = canon.filter(F.col("u") < F.col("v")).distinct().cache()
+    und = canon.filter(F.col("u") < F.col("v"))
+    if not edges_distinct:
+        und = und.distinct().cache()
     # regime decision up front (the count fills und's cache): the
     # broadcast hints — degree table for orientation, adjacency for
     # the intersection — are only legal under the budget. |V| <= 2|E|,
@@ -422,6 +448,8 @@ def triangle_counts(
             .groupBy("node")
             .agg(F.sum("c").cast("long").alias("n_triangles"))
         )
+        if edges_distinct:
+            return _materialize_release(out, oriented)
         return _materialize_release(out, und, oriented)
 
     # scale path: wedge join; spillable end to end
@@ -444,4 +472,6 @@ def triangle_counts(
         .groupBy("node")
         .agg(F.count("*").cast("long").alias("n_triangles"))
     )
+    if edges_distinct:
+        return _materialize_release(out, oriented)
     return _materialize_release(out, und, oriented)

@@ -56,23 +56,22 @@ def oracle_sql() -> dict[str, str]:
 #: displaced queries stay registered, locally oracle-gated, and
 #: pytest-covered.
 #:
-#: Cumulative driver-hash-checked families after r4: 76 of 133.
-#: r5 rotates 14 slots (the 6 r4-rotation queries that went green,
-#: plus 8 family-redundant slots: dedup_minhash_documents,
-#: dedup_simhash_pairs, embedding_ann_lsh_topk,
-#: embedding_centroid_confusion, text_clean_stats,
-#: text_repetition_signals, doc_winnow_fingerprints,
-#: sample_source_mixture).
-#:
-#: r6 rotation queue, in priority order (never-window-checked
-#: families first): source_overlap_kmv, token_chunks, phrase_search,
+#: Cumulative driver-hash-checked families after r5: 90 of 161.
+#: r6 rotates the 14 r5-rotation slots (all went green in
+#: CORRECTNESS_r05) for 14 never-window-checked families: VERDICT
+#: r5's named seven (graph_label_propagation, graph_kcore_membership,
+#: activity_interval_overlap, cdc_chunk_dedup, token_zipf_fit,
+#: heaps_law_fit, fuzzy_name_neighbors_k2) plus the queue's next
+#: seven (source_overlap_kmv, token_chunks, phrase_search,
 #: events_ewma_scores, doc_length_outliers, orders_sampled_quantiles,
-#: unpivot_roundtrip, orders_ntile_quartiles, doc_char_entropy,
+#: unpivot_roundtrip).
+#:
+#: r7 rotation queue, in priority order (never-window-checked
+#: families first): orders_ntile_quartiles, doc_char_entropy,
 #: basket_association_rules, event_transition_matrix,
 #: events_debounced, k_anonymity_audit, dq_expectations_lineitem,
 #: orders_winsorized_stats, events_imputed_values, tpch_q21_shaped,
-#: bigram_pmi, events_sliding_exact, ann_batch_topk, plus the twenty-one
-#: families registered new in r5: fuzzy_name_neighbors_k2,
+#: bigram_pmi, events_sliding_exact, ann_batch_topk,
 #: mixture_temperature_weights, training_shuffle_topk,
 #: blocklist_filter_stats, incremental_dedup_new_batch,
 #: embedding_int8_quantize, embedding_random_projection,
@@ -81,10 +80,8 @@ def oracle_sql() -> dict[str, str]:
 #: embedding_dim_stats, embedding_power_iteration,
 #: events_changepoint, orders_revenue_trend, doc_length_psi,
 #: events_ab_test_z, langid_eval_metrics, orders_key_skew,
-#: dedup_canonical_docs, dedup_ngram_containment_pairs,
-#: cdc_chunk_dedup, token_zipf_fit, heaps_law_fit,
-#: graph_label_propagation, activity_interval_overlap,
-#: graph_kcore_membership.
+#: dedup_canonical_docs, dedup_ngram_containment_pairs, plus any
+#: families newly registered in r6.
 PRIORITY = [
     # -- reference parity (the deliverable) --
     "vendas_flagship",
@@ -128,22 +125,22 @@ PRIORITY = [
     "user_sessionization",
     "explode_unnest",
     "dq_orphan_lineitems",
-    # -- r5 rotation block: 14 families never driver-checked before,
-    # in the order recorded by the r4 queue --
-    "lm_bigram_nll",
-    "bm25_search_topk",
-    "graph_triangle_counts",
-    "curation_chunks_v2",
-    "sample_weighted_reservoir",
-    "events_rate_anomaly",
-    "fuzzy_name_neighbors",
-    "events_salted_distinct_users",
-    "dp_source_counts",
-    "multimodal_wav_roundtrip",
-    "table_change_feed",
-    "token_cms_heavy_hitters",
-    "events_distinct_users_hll",
-    "bpe_merge_table",
+    # -- r6 rotation block: 14 families never driver-checked before —
+    # VERDICT r5's named seven, then the r6 queue's next seven --
+    "graph_label_propagation",
+    "graph_kcore_membership",
+    "activity_interval_overlap",
+    "cdc_chunk_dedup",
+    "token_zipf_fit",
+    "heaps_law_fit",
+    "fuzzy_name_neighbors_k2",
+    "source_overlap_kmv",
+    "token_chunks",
+    "phrase_search",
+    "events_ewma_scores",
+    "doc_length_outliers",
+    "orders_sampled_quantiles",
+    "unpivot_roundtrip",
 ]
 
 _LOADED = False
@@ -170,6 +167,7 @@ def _ensure_loaded() -> None:
         breadth9,
         breadth10,
         breadth11,
+        breadth12,
         extensions,
     )
 

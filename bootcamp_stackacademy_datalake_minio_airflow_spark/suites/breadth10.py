@@ -303,6 +303,7 @@ def q_orders_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS bucket,
              CASE WHEN source = 'src0' THEN 1 ELSE 0 END AS a
       FROM documents
+      WHERE n_chars IS NOT NULL
     ), per AS (
       SELECT bucket, CAST(SUM(a) AS BIGINT) AS n_a,
              CAST(COUNT(*) - SUM(a) AS BIGINT) AS n_b

@@ -141,11 +141,11 @@ def q_graph_kcore_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     anything). Execution is progressive shrinking state: one degree
     aggregation + two semi-joins per round over an eagerly
     checkpointed, only-ever-smaller edge table."""
-    from ..operators.graph import cooccurrence_edges, k_core
+    from ..operators.graph import k_core
+    from .graph_shared import part_cooccurrence_edges
 
-    li = load_table(spark, sf_dir, "lineitem")
-    edges = cooccurrence_edges(li, "l_orderkey", "l_partkey")
-    return k_core(edges, k=110, rounds=4)
+    edges, _ = part_cooccurrence_edges(spark, sf_dir)
+    return k_core(edges, k=110, rounds=4, edges_materialized=True)
 
 
 # --- synchronous label propagation (community detection) --------------------
@@ -192,13 +192,13 @@ def q_graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     dst-prepartitioned cached edges with the label vector broadcast
     under budget. The oracle replays every round exactly — integer
     state, no rounding."""
-    from ..operators.graph import cooccurrence_edges, label_propagation
+    from ..operators.graph import label_propagation
+    from .graph_shared import part_cooccurrence_edges
 
-    li = load_table(spark, sf_dir, "lineitem")
-    edges = cooccurrence_edges(
-        li, "l_orderkey", "l_partkey", partition_by="dst"
+    edges, _ = part_cooccurrence_edges(spark, sf_dir)
+    return label_propagation(
+        edges, iters=3, edges_prepartitioned=True, external_edge_cache=True
     )
-    return label_propagation(edges, iters=3, edges_prepartitioned=True)
 
 
 # --- Zipf's-law fit of the token frequency spectrum -------------------------

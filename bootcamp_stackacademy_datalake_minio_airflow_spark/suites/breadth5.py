@@ -203,7 +203,7 @@ def q_source_term_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = (
         st.join(stot, "source")
         .join(ttot, "term")
-        .crossJoin(grand)
+        .crossJoin(F.broadcast(grand))
         .select(
             "source",
             "term",

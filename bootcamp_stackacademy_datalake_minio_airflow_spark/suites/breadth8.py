@@ -300,21 +300,23 @@ def q_graph_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     wedge generation is bounded O(sqrt(E)) per node — hub-safe at
     scale). The oracle counts the same triangles declaratively via the
     a<b<c triple join; per-node participation must match exactly."""
-    from ..operators.graph import cooccurrence_edges, triangle_counts
+    from ..operators.graph import triangle_counts
+    from .graph_shared import part_cooccurrence_edges
 
-    li = load_table(spark, sf_dir, "lineitem")
-    # src<dst keeps one orientation of the symmetric co-occurrence
-    # stream map-side, halving the dedup exchange (edges_canonical
-    # skips the then-redundant least/greatest). The edge-count hint is
-    # a true upper bound — sum over orders of C(items,2) <= rows * 3
-    # for <=7-item orders — computed from the parquet metadata count,
-    # and skips triangle_counts' regime-probe job when it fits the
-    # broadcast budget.
-    edges = cooccurrence_edges(li, "l_orderkey", "l_partkey", dedup=False)
+    # Shared co-occurrence projection (graph_shared.py): built and
+    # materialized once per process for all four graph queries. The
+    # src<dst filter is map-side over the materialized symmetric
+    # distinct edges, so edges_canonical + edges_distinct skip both
+    # the least/greatest canonicalization AND the dedup exchange;
+    # n_sym/2 is the EXACT undirected edge count (each undirected
+    # edge appears in both directions), so the regime probe job is
+    # skipped too.
+    edges, n_sym = part_cooccurrence_edges(spark, sf_dir)
     return triangle_counts(
         edges.filter(F.col("src") < F.col("dst")),
         edges_canonical=True,
-        edge_count_hint=li.count() * 3,
+        edges_distinct=True,
+        edge_count_hint=max(n_sym // 2, 1),
     )
 
 

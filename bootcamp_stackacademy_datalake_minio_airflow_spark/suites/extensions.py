@@ -442,11 +442,13 @@ def q_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over parts co-occurring in the same order — the
     link-analysis importance signal (domain authority in a web-corpus
     pipeline) as 5 power-method iterations of pure DataFrame joins."""
-    from ..operators.graph import cooccurrence_edges, pagerank
+    from ..operators.graph import pagerank
+    from .graph_shared import part_cooccurrence_edges
 
-    li = load_table(spark, sf_dir, "lineitem")
-    edges = cooccurrence_edges(li, "l_orderkey", "l_partkey", partition_by="dst")
-    return pagerank(edges, iters=5, edges_prepartitioned=True)
+    edges, _ = part_cooccurrence_edges(spark, sf_dir)
+    return pagerank(
+        edges, iters=5, edges_prepartitioned=True, external_edge_cache=True
+    )
 
 
 # --- event attribution (batch twin of the stream-stream join) ---------------

@@ -7,6 +7,13 @@ import pytest
 from bootcamp_stackacademy_datalake_minio_airflow_spark.session import get_spark
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "minio: live object-store round-trip (needs S3_ENDPOINT + creds)",
+    )
+
+
 @pytest.fixture(scope="session")
 def spark():
     warehouse = tempfile.mkdtemp(prefix="spark-warehouse-")

