@@ -107,3 +107,58 @@ def expectation_report(
         F.col("r.n_violations").alias("n_violations"),
         (F.col("r.n_rows") - F.col("r.n_violations")).alias("n_passing"),
     )
+
+
+def profile_table(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+    """Column-level table profile — the ANALYZE/data-catalog stats
+    every lake needs before query planning or contract design: one
+    row per column with ``(col_name, n_rows, n_nulls, n_distinct,
+    min_num, max_num)``. Numeric columns report min/max as double;
+    timestamps as epoch seconds; other types leave them NULL (a
+    cross-engine-stable total order for arbitrary strings is not
+    worth the collation trap).
+
+    ONE aggregate pass like expectation_report, unpivoted by literal-
+    array explode. The exact multi-column COUNT(DISTINCT) compiles to
+    an Expand (one duplicated row per profiled column) — the honest
+    cost of exactness; at 100 TB swap in approx_count_distinct per
+    column (same single pass, no Expand) and keep the rest unchanged.
+    """
+    from pyspark.sql import functions as F
+
+    names = columns if columns is not None else [f.name for f in df.schema.fields]
+    dtypes = dict(df.dtypes)
+    numeric = {"tinyint", "smallint", "int", "bigint", "float", "double"}
+    aggs = [F.count(F.lit(1)).cast("long").alias("__n")]
+    for i, c in enumerate(names):
+        dt = dtypes[c]
+        aggs.append(
+            F.coalesce(
+                F.sum(F.col(c).isNull().cast("int")), F.lit(0)
+            ).cast("long").alias(f"__nn_{i}")
+        )
+        aggs.append(F.countDistinct(F.col(c)).cast("long").alias(f"__nd_{i}"))
+        if dt in numeric or dt.startswith("decimal"):
+            mn, mx = F.min(F.col(c)).cast("double"), F.max(F.col(c)).cast("double")
+        elif dt.startswith("timestamp"):
+            mn = F.unix_seconds(F.min(F.col(c)).cast("timestamp")).cast("double")
+            mx = F.unix_seconds(F.max(F.col(c)).cast("timestamp")).cast("double")
+        else:
+            mn = mx = F.lit(None).cast("double")
+        aggs.append(mn.alias(f"__mn_{i}"))
+        aggs.append(mx.alias(f"__mx_{i}"))
+    wide = df.agg(*aggs)
+    packed = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("col_name"),
+                F.col("__n").alias("n_rows"),
+                F.col(f"__nn_{i}").alias("n_nulls"),
+                F.col(f"__nd_{i}").alias("n_distinct"),
+                F.col(f"__mn_{i}").alias("min_num"),
+                F.col(f"__mx_{i}").alias("max_num"),
+            )
+            for i, c in enumerate(names)
+        ]
+    )
+    return wide.select(F.explode(packed).alias("r")).select("r.*")

@@ -87,3 +87,59 @@ def decontaminate(
         F.col("n_shared_grams") > max_shared
     )
     return corpus.join(hits.select(id_col), id_col, "left_anti")
+
+
+def ngram_novelty(
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+) -> DataFrame:
+    """Per-document n-gram NOVELTY against everything that came
+    before it (ascending ``id_col`` = ingest order): the fraction of
+    a document's distinct word n-grams whose FIRST corpus appearance
+    is this document. Freshly-written content scores ~1; a re-crawl
+    or near-copy of earlier documents scores ~0 — the incremental-
+    curation signal for "is this batch adding anything new".
+
+    Emits ``(id_col, n_grams, n_novel, novelty)`` for every non-NULL-
+    text document.
+
+    Shape (the scale knob is that doc x doc comparison never
+    happens): one distinct-gram stream (1 row per token, md5
+    16-byte keys), ONE aggregation to first-appearance per gram
+    (min doc id — partial-aggregated map-side), then two tiny
+    per-document count aggregations joined at |docs| cardinality.
+    Cost is O(corpus tokens) regardless of duplication structure —
+    contrast with pairwise dedup, which this complements as a cheap
+    corpus-level screen.
+    """
+    grams = _gram_table(
+        corpus.filter(F.col(text_col).isNotNull()), id_col, text_col, n
+    )
+    first = grams.groupBy("__g").agg(F.min("__id").alias("__first"))
+    novel = first.groupBy("__first").agg(
+        F.count(F.lit(1)).cast("long").alias("n_novel")
+    )
+    totals = grams.groupBy("__id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_grams")
+    )
+    return (
+        totals.join(
+            novel.withColumnRenamed("__first", "__id"), "__id", "left"
+        )
+        .select(
+            F.col("__id").alias(id_col),
+            "n_grams",
+            F.coalesce("n_novel", F.lit(0).cast("long")).alias("n_novel"),
+            (
+                F.round(
+                    F.coalesce("n_novel", F.lit(0).cast("long"))
+                    * F.lit(1.0)
+                    / F.col("n_grams"),
+                    4,
+                )
+                + F.lit(0.0)
+            ).alias("novelty"),
+        )
+    )

@@ -290,3 +290,74 @@ def shuffle_order_topk(
         top.withColumn("position", F.row_number().over(w).cast("long"))
         .select(key_col, "position")
     )
+
+
+def dsir_importance(
+    df: DataFrame,
+    target_pred: Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """DSIR-style importance weights (Data Selection via Importance
+    Resampling, Xie et al. 2023 — public paper): score every document
+    by how target-like its unigram distribution is, as the mean
+    log-ratio ln(p_target(w) / p_raw(w)) over its tokens, with
+    add-one smoothing over the joint vocabulary. ``target_pred``
+    marks the in-domain rows (the small high-quality slice); the
+    complement is the raw pool. The resample step is then a
+    weighted/top-k draw over these weights (weighted_reservoir_topn /
+    shuffle_order_topk compose directly).
+
+    Emits ``(id_col, n_tokens, logratio)`` for every non-NULL-text
+    document with >= 1 token.
+
+    Shape: one token explode (map-side), ONE vocabulary aggregation
+    (|vocab| rows, partial-aggregated), a 1-row totals broadcast,
+    then the corpus token stream joins the |vocab|-row ratio table —
+    AQE broadcasts it under threshold; past it (open-vocab web text)
+    it degrades to a co-partitioned shuffle join — and re-aggregates
+    per document. Cost is O(corpus tokens); nothing driver-side.
+
+    The per-token log-ratio is computed as ONE division of integer-
+    exact products, identically ordered on both engines, so only the
+    final per-doc mean is float-order-sensitive (house-accepted
+    ROUND residual).
+    """
+    from .dedup import normalize_text
+
+    tok = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col).alias("__id"),
+            target_pred.cast("int").alias("__t"),
+            F.explode(F.split(normalize_text(text_col), " ")).alias("__w"),
+        )
+        .filter(F.col("__w") != "")
+    )
+    cnt = tok.groupBy("__w").agg(
+        F.sum("__t").cast("long").alias("n_t"),
+        (F.count(F.lit(1)) - F.sum("__t")).cast("long").alias("n_r"),
+    )
+    tot = cnt.agg(
+        F.sum("n_t").cast("long").alias("tt"),
+        F.sum("n_r").cast("long").alias("rr"),
+        F.count(F.lit(1)).cast("long").alias("v"),
+    )
+    lr = cnt.crossJoin(F.broadcast(tot)).select(
+        "__w",
+        F.log(
+            ((F.col("n_t") + F.lit(1.0)) * (F.col("rr") + F.col("v")))
+            / ((F.col("n_r") + F.lit(1.0)) * (F.col("tt") + F.col("v")))
+        ).alias("lr"),
+    )
+    return (
+        tok.join(lr, "__w")
+        .groupBy("__id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            (F.round(F.sum("lr") / F.count(F.lit(1)), 4) + F.lit(0.0)).alias(
+                "logratio"
+            ),
+        )
+        .select(F.col("__id").alias(id_col), "n_tokens", "logratio")
+    )
