@@ -292,6 +292,32 @@ def shuffle_order_topk(
     )
 
 
+def group_split(
+    df: DataFrame,
+    group_key: Column,
+    weights: dict[str, float],
+    salt: str = "",
+    split_col: str = "split",
+) -> DataFrame:
+    """Leakage-safe train/val/test split: the md5 draw is taken on a
+    GROUP key (duplicate-cluster fingerprint, URL domain, author id)
+    instead of the row key, so every member of a group lands in the
+    SAME split — a near-duplicate of a training document can never
+    leak into the eval split, which row-level ``hash_split`` cannot
+    guarantee.
+
+    Same contract as ``hash_split`` otherwise: pure map-side
+    projection (the group key is an expression over the row — no
+    group materialization, no shuffle), deterministic, stable under
+    corpus growth. Rows whose group key is NULL get a NULL split,
+    visibly, matching the repo-wide NULL-payload convention.
+    """
+    gk = "__group_split_key"
+    return hash_split(
+        df.withColumn(gk, group_key), gk, weights, salt, split_col
+    ).drop(gk)
+
+
 def dsir_importance(
     df: DataFrame,
     target_pred: Column,

@@ -414,3 +414,86 @@ def blocklist_stats(
         F.sum((F.col("__hits") > 0).cast("long")).cast("long").alias("n_blocked_docs"),
         F.sum("__hits").cast("long").alias("n_hits"),
     )
+
+
+def boilerplate_ngram_stats(
+    df: "DataFrame",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+    n: int = 6,
+    min_pct: int = 20,
+):
+    """Per-document share of word n-grams that are SOURCE-LEVEL
+    BOILERPLATE — grams occurring in at least ``min_pct`` percent of
+    the source's documents (nav bars, license footers, crawl
+    banners). The C4/RefinedWeb-style signal for "this document is
+    mostly template": emits ``(id_col, n_grams, n_boiler,
+    boiler_ratio)`` for every non-NULL-text document.
+
+    Shape (O(corpus tokens), never doc x doc): one distinct-gram
+    stream with md5 16-byte keys (operators/contamination.py's gram
+    table idiom), document frequency per (source, gram) via a window
+    over the gram shuffle (grams are distinct per doc, so count(*)
+    IS the doc frequency — no self-join), per-source doc totals as a
+    broadcast-sized side (|sources| rows), then one per-document
+    re-aggregation. Two gram-stream shuffles total; the boilerplate
+    test is the integer comparison ``n_with * 100 >= min_pct *
+    n_src_docs`` so no float threshold can split engines.
+
+    NULL sources form their own group: the doc-total join is
+    null-safe (``eqNullSafe``) because a plain equi-join would
+    silently DROP the NULL-source docs the window happily counted
+    (the repo's NULL-group join-vs-window lesson).
+    """
+    from .contamination import word_ngrams
+
+    base = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("__id"),
+        F.col(source_col).alias("__src"),
+        F.split(normalize_text(text_col), " ").alias("__toks"),
+    ).repartition("__id")
+    grams = base.select(
+        "__id",
+        "__src",
+        F.explode(
+            F.array_distinct(word_ngrams(F.col("__toks"), n))
+        ).alias("__gram"),
+    ).select("__id", "__src", F.md5("__gram").alias("__g"))
+    # the dim side shares lineage with the gram stream, so the join
+    # key must be RENAMED — a same-name eqNullSafe resolves both
+    # references to one attribute (trivially-true predicate). It
+    # counts from the RAW projection, not ``base``: reusing base
+    # would re-run the tokenize + repartition pipeline just to count
+    # docs per source (the scan prunes to two columns instead).
+    src_docs = (
+        df.filter(F.col(text_col).isNotNull())
+        .groupBy(F.col(source_col).alias("__src_d"))
+        .agg(F.count(F.lit(1)).cast("long").alias("__n_src"))
+    )
+    w = Window.partitionBy("__src", "__g")
+    flagged = (
+        grams.withColumn("__n_with", F.count(F.lit(1)).over(w).cast("long"))
+        .join(
+            F.broadcast(src_docs),
+            F.col("__src").eqNullSafe(F.col("__src_d")),
+        )
+        .select(
+            "__id",
+            (F.col("__n_with") * 100 >= F.lit(min_pct) * F.col("__n_src"))
+            .cast("long")
+            .alias("__boiler"),
+        )
+    )
+    return flagged.groupBy("__id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_grams"),
+        F.sum("__boiler").cast("long").alias("n_boiler"),
+    ).select(
+        F.col("__id").alias(id_col),
+        "n_grams",
+        "n_boiler",
+        (
+            F.round(F.col("n_boiler") * F.lit(1.0) / F.col("n_grams"), 4)
+            + F.lit(0.0)
+        ).alias("boiler_ratio"),
+    )

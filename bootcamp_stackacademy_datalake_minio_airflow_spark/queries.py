@@ -80,8 +80,11 @@ def oracle_sql() -> dict[str, str]:
 #: embedding_dim_stats, embedding_power_iteration,
 #: events_changepoint, orders_revenue_trend, doc_length_psi,
 #: events_ab_test_z, langid_eval_metrics, orders_key_skew,
-#: dedup_canonical_docs, dedup_ngram_containment_pairs, plus any
-#: families newly registered in r6.
+#: dedup_canonical_docs, dedup_ngram_containment_pairs, plus the
+#: families newly registered in r6: lineitem_hot_key_join,
+#: ngram_novelty_scores, dsir_importance_weights,
+#: orders_table_profile, split_leakage_safe, filter_funnel_report,
+#: doc_boilerplate_ratio.
 PRIORITY = [
     # -- reference parity (the deliverable) --
     "vendas_flagship",
@@ -168,6 +171,7 @@ def _ensure_loaded() -> None:
         breadth10,
         breadth11,
         breadth12,
+        breadth13,
         extensions,
     )
 

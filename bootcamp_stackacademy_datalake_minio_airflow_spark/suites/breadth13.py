@@ -1,0 +1,216 @@
+"""Round-6 breadth: curation-operations coverage — leakage-safe
+splitting, filter-funnel attribution, and source-level boilerplate
+detection.
+
+These are the operational questions a 100 TB curation run answers
+daily: "can a near-dup of a training doc leak into eval?" (group-
+aware split), "which rule ate 40% of my crawl?" (first-kill funnel),
+"is this source mostly template?" (boilerplate grams).
+
+Oracle discipline (house rules): identical aliases both sides; kill
+counts and gram counts are integer-exact; the only floats emitted are
+final per-doc ratios ROUNDed identically on both engines; the
+boilerplate threshold is an integer cross-multiplication so no float
+comparison can split engines; NULL sources/splits are preserved as
+groups on both sides (GROUP BY keeps NULL; the one join on a nullable
+key is null-safe on both sides).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..operators.dedup import normalize_text
+from ..operators.funnel import funnel_report
+from ..operators.sampling import _hex_threshold, group_split
+from ..operators.text import (
+    boilerplate_ngram_stats,
+    language_id,
+    quality_score,
+    token_count,
+    tokens,
+)
+from ..queries import register
+
+_NORM_SQL = r"regexp_replace(lower(trim(text)), '\s+', ' ', 'g')"
+
+# --- leakage-safe group split ------------------------------------------------
+
+_T80 = _hex_threshold(0.8)
+_T90 = _hex_threshold(0.9)
+
+_GROUP_SPLIT_ORACLE = rf"""
+    WITH g AS (
+      SELECT doc_id, source, md5({_NORM_SQL}) AS fp
+      FROM documents
+    ), s AS (
+      SELECT source, fp,
+             CASE WHEN fp IS NULL THEN NULL
+                  WHEN substr(md5(fp), 1, 8) < '{_T80}' THEN 'train'
+                  WHEN substr(md5(fp), 1, 8) < '{_T90}' THEN 'val'
+                  ELSE 'test' END AS split
+      FROM g
+    )
+    SELECT split, source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_groups
+    FROM s GROUP BY 1, 2
+    """
+
+
+@register("split_leakage_safe", _GROUP_SPLIT_ORACLE)
+def q_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-aware train/val/test split (operators/sampling.py:
+    group_split): the md5 draw is on the exact-duplicate content
+    fingerprint, so every copy of a document lands in the SAME split
+    and a train→eval near-dup leak is impossible by construction —
+    the property a row-keyed split (sample_split_counts) cannot give.
+    Reports per (split, source) document and duplicate-group counts;
+    NULL-text docs surface as a NULL split, visibly. Pure map-side
+    assignment — the one shuffle is the report's groupBy."""
+    docs = load_table(spark, sf_dir, "documents")
+    tagged = group_split(
+        docs.select(
+            "doc_id", "source", F.md5(normalize_text("text")).alias("fp")
+        ),
+        F.col("fp"),
+        {"train": 0.8, "val": 0.1, "test": 0.1},
+    )
+    return tagged.groupBy("split", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.countDistinct("fp").cast("long").alias("n_groups"),
+    )
+
+
+# --- filter-funnel first-kill attribution ------------------------------------
+
+_FUNNEL_ORACLE = rf"""
+    WITH base AS (
+      SELECT doc_id, text, string_split({_NORM_SQL}, ' ') AS ts
+      FROM documents
+    ), sig AS (
+      SELECT doc_id, text,
+             CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(ts) END AS tok,
+             len(list_filter(ts, x -> x IN ('the','and','of','to','in','is','a'))) AS s_en,
+             len(list_filter(ts, x -> x IN ('der','die','und','das','ist','ein'))) AS s_de,
+             len(list_filter(ts, x -> x IN ('el','la','de','que','los','es'))) AS s_es,
+             len(list_filter(ts, x -> x IN ('le','la','les','des','est','une'))) AS s_fr,
+             len(list_distinct(ts)) AS nd, len(ts) AS nt,
+             CASE WHEN length(text) > 0
+                  THEN round(length(regexp_replace(text, '[^.,;:!?''"()\[\]{{}}-]', '', 'g'))
+                             * 1.0 / length(text), 4)
+                  ELSE 0.0 END AS pr
+      FROM base
+    ), att AS (
+      SELECT doc_id,
+             CASE
+               WHEN text IS NULL THEN 'null_text'
+               WHEN tok < 30 THEN 'too_short'
+               WHEN NOT (greatest(s_en, s_de, s_es, s_fr) > 0
+                         AND s_en = greatest(s_en, s_de, s_es, s_fr))
+                 THEN 'not_english'
+               WHEN nd * 2 < nt THEN 'repetitive'
+               WHEN round(0.4 * (CASE WHEN length(text) BETWEEN 50 AND 10000 THEN 1.0 ELSE 0.0 END)
+                        + 0.3 * least(CASE WHEN tok > 0 THEN s_en * 1.0 / tok ELSE 0.0 END, 0.3) / 0.3
+                        + 0.3 * (CASE WHEN pr <= 0.2 THEN 1.0 ELSE 0.0 END), 4) < 0.5
+                 THEN 'low_quality'
+               ELSE NULL
+             END AS killed_by
+      FROM sig
+    ), rules(stage, rule) AS (
+      VALUES (1, 'null_text'), (2, 'too_short'), (3, 'not_english'),
+             (4, 'repetitive'), (5, 'low_quality')
+    ), cnt AS (
+      SELECT killed_by AS rule, CAST(COUNT(*) AS BIGINT) AS n_killed
+      FROM att WHERE killed_by IS NOT NULL GROUP BY 1
+    ), tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS total FROM att
+    )
+    SELECT CAST(r.stage AS INT) AS stage, r.rule,
+           CAST(total - COALESCE(SUM(COALESCE(c.n_killed, 0)) OVER (
+                  ORDER BY r.stage
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                AS BIGINT) AS n_in,
+           CAST(COALESCE(c.n_killed, 0) AS BIGINT) AS n_killed,
+           CAST(total - COALESCE(SUM(COALESCE(c.n_killed, 0)) OVER (
+                  ORDER BY r.stage
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                - COALESCE(c.n_killed, 0) AS BIGINT) AS n_out
+    FROM rules r LEFT JOIN cnt c USING (rule) CROSS JOIN tot
+    """
+
+
+@register("filter_funnel_report", _FUNNEL_ORACLE)
+def q_filter_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-kill funnel over a 5-rule curation cascade (operators/
+    funnel.py): NULL text → too short (<30 tokens) → not English
+    (stopword langid) → repetitive (distinct-token ratio < 0.5) →
+    low quality (composite score < 0.5). Each rejected doc is
+    attributed to the FIRST rule that fired; the report is one row
+    per rule with in/killed/out counts, zero-kill rules included.
+    One map-side CASE pass + one tiny aggregation — same plan at
+    100 TB. Rules reuse the registered signal expressions
+    (text_language_id / text_quality_score / text_token_count), so
+    the funnel is the composition gate over already-proven parts."""
+    docs = load_table(spark, sf_dir, "documents")
+    rules = [
+        ("null_text", F.col("text").isNull()),
+        ("too_short", token_count("text") < 30),
+        ("not_english", language_id("text") != "en"),
+        (
+            "repetitive",
+            F.size(F.array_distinct(tokens("text"))) * 2
+            < F.size(tokens("text")),
+        ),
+        ("low_quality", quality_score("text") < 0.5),
+    ]
+    return funnel_report(docs, rules, "doc_id")
+
+
+# --- source-level boilerplate n-grams ----------------------------------------
+
+_BOILER_ORACLE = rf"""
+    WITH base AS (
+      SELECT doc_id, source, string_split({_NORM_SQL}, ' ') AS toks
+      FROM documents WHERE text IS NOT NULL
+    ), grams AS (
+      SELECT doc_id, source,
+             unnest(list_distinct(list_transform(
+               range(1, greatest(len(toks) - 5, 1) + 1),
+               i -> array_to_string(toks[i:i+5], ' ')))) AS g
+      FROM base
+    ), src AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_src FROM base GROUP BY 1
+    ), gs AS (
+      SELECT doc_id, source, g,
+             COUNT(*) OVER (PARTITION BY source, g) AS n_with
+      FROM grams
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(SUM(CASE WHEN n_with * 100 >= 20 * s.n_src THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_boiler,
+           ROUND(SUM(CASE WHEN n_with * 100 >= 20 * s.n_src THEN 1 ELSE 0 END)
+                 * 1.0 / COUNT(*), 4) + 0.0 AS boiler_ratio
+    FROM gs JOIN src s ON gs.source IS NOT DISTINCT FROM s.source
+    GROUP BY doc_id
+    """
+
+
+@register("doc_boilerplate_ratio", _BOILER_ORACLE)
+def q_doc_boilerplate_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document boilerplate share (operators/text.py:
+    boilerplate_ngram_stats): fraction of a doc's distinct word
+    6-grams occurring in ≥20% of its source's documents — the
+    template/footer signal C4-style cleaning thresholds on. Gram
+    document-frequency comes from a window over the gram shuffle
+    (grams are per-doc-distinct, so count(*) IS the doc frequency);
+    the threshold is an integer cross-multiplication. Oracle replays
+    the attribution on raw gram strings (Spark keys on md5
+    fingerprints — count-identical)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return boilerplate_ngram_stats(
+        docs, "doc_id", "text", "source", n=6, min_pct=20
+    )

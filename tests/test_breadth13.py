@@ -1,0 +1,160 @@
+"""Planted-fixture semantics for the round-6 curation-operations
+additions: leakage-safe group split, filter-funnel first-kill
+attribution, and source-level boilerplate n-grams."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bootcamp_stackacademy_datalake_minio_airflow_spark.operators.funnel import (
+    funnel_attribution,
+    funnel_report,
+)
+from bootcamp_stackacademy_datalake_minio_airflow_spark.operators.sampling import group_split
+from bootcamp_stackacademy_datalake_minio_airflow_spark.operators.text import (
+    boilerplate_ngram_stats,
+)
+
+
+def test_group_split_never_splits_a_group(spark):
+    # 200 rows in 40 groups of 5 — every group must land whole
+    df = spark.range(200).select(
+        F.col("id"), (F.col("id") % 40).cast("string").alias("grp")
+    )
+    out = group_split(df, F.col("grp"), {"train": 0.5, "val": 0.25, "test": 0.25})
+    spans = (
+        out.groupBy("grp")
+        .agg(F.countDistinct("split").alias("ns"), F.count("*").alias("n"))
+        .collect()
+    )
+    assert all(r["ns"] == 1 and r["n"] == 5 for r in spans)
+    # all three labels actually occur across 40 groups
+    labels = {r["split"] for r in out.select("split").distinct().collect()}
+    assert labels == {"train", "val", "test"}
+
+
+def test_group_split_null_group_gets_null_split(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "a")], "id long, grp string"
+    )
+    out = {r["id"]: r["split"] for r in group_split(
+        df, F.col("grp"), {"train": 1.0}
+    ).collect()}
+    assert out[2] is None and out[1] == "train" and out[1] == out[3]
+
+
+def test_group_split_agrees_with_row_split_on_group_key(spark):
+    # a group key that IS the row key degenerates to hash_split
+    from bootcamp_stackacademy_datalake_minio_airflow_spark.operators.sampling import hash_split
+
+    df = spark.range(100).select(F.col("id").cast("string").alias("k"))
+    a = {r["k"]: r["split"] for r in group_split(
+        df, F.col("k"), {"x": 0.5, "y": 0.5}
+    ).collect()}
+    b = {r["k"]: r["split"] for r in hash_split(
+        df, "k", {"x": 0.5, "y": 0.5}
+    ).collect()}
+    assert a == b
+
+
+def test_funnel_first_kill_attribution(spark):
+    df = spark.createDataFrame(
+        [
+            (1, 5, "x"),   # killed by r1 (v < 10) even though r2 also fires
+            (2, 50, "x"),  # killed by r2 (tag = x)
+            (3, 50, "y"),  # survivor
+            (4, None, "y"),# NULL v: r1 predicate NULL -> does not fire
+        ],
+        "id long, v long, tag string",
+    )
+    rules = [("small", F.col("v") < 10), ("tag_x", F.col("tag") == "x")]
+    att = {r["id"]: r["killed_by"] for r in funnel_attribution(df, rules, "id").collect()}
+    assert att == {1: "small", 2: "tag_x", 3: None, 4: None}
+
+
+def test_funnel_report_cascade_counts(spark):
+    df = spark.createDataFrame(
+        [(i, i) for i in range(10)], "id long, v long"
+    )
+    rules = [
+        ("lt3", F.col("v") < 3),        # kills 0,1,2
+        ("never", F.col("v") > 100),    # kills nothing - must still appear
+        ("even", F.col("v") % 2 == 0),  # kills 4,6,8 (3 already gone)
+    ]
+    rows = {r["rule"]: r for r in funnel_report(df, rules, "id").collect()}
+    assert rows["lt3"]["stage"] == 1
+    assert (rows["lt3"]["n_in"], rows["lt3"]["n_killed"], rows["lt3"]["n_out"]) == (10, 3, 7)
+    assert (rows["never"]["n_in"], rows["never"]["n_killed"], rows["never"]["n_out"]) == (7, 0, 7)
+    assert (rows["even"]["n_in"], rows["even"]["n_killed"], rows["even"]["n_out"]) == (7, 3, 4)
+
+
+def test_funnel_zero_kills_and_empty_input(spark):
+    # no rule fires: n_in must still carry the full row count (the
+    # sentinel-survivor total path), and an empty input yields zeros
+    df = spark.createDataFrame([(i,) for i in range(7)], "id long")
+    rules = [("never", F.col("id") > 100)]
+    r = funnel_report(df, rules, "id").collect()
+    assert len(r) == 1 and (r[0]["n_in"], r[0]["n_killed"], r[0]["n_out"]) == (7, 0, 7)
+    empty = funnel_report(df.filter(F.col("id") < 0), rules, "id").collect()
+    assert (empty[0]["n_in"], empty[0]["n_killed"], empty[0]["n_out"]) == (0, 0, 0)
+
+
+def test_funnel_empty_rules_rejected(spark):
+    import pytest
+
+    df = spark.range(1)
+    with pytest.raises(ValueError):
+        funnel_report(df, [], "id")
+
+
+def test_boilerplate_planted_template(spark):
+    # source s1: footer "x y z w q r" present in 3/4 docs (75% >= 20%);
+    # each doc also carries a unique 6-token tail. 6-grams of a
+    # 12-token doc: 7; footer contributes grams only where the window
+    # stays inside the footer (1 per doc here since footer leads).
+    footer = "x y z w q r"
+    rows = [
+        (1, "s1", footer + " a1 b1 c1 d1 e1 f1"),
+        (2, "s1", footer + " a2 b2 c2 d2 e2 f2"),
+        (3, "s1", footer + " a3 b3 c3 d3 e3 f3"),
+        (4, "s1", "p1 p2 p3 p4 p5 p6 p7 p8 p9 pa pb pc"),
+        (5, "s2", footer),  # different source: own 20% threshold
+        (6, None, None),    # NULL text excluded entirely
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    # min_pct=60 over 4 s1 docs: boilerplate needs n_with*100 >= 240,
+    # i.e. presence in >= 3 docs — the footer gram (3/4) qualifies,
+    # unique tails (1/4) do not
+    out = {r["doc_id"]: r for r in boilerplate_ngram_stats(
+        df, "doc_id", "text", "source", n=6, min_pct=60
+    ).collect()}
+    assert 6 not in out  # NULL text never scored
+    # docs 1-3: 7 grams each, exactly the leading footer gram shared
+    for d in (1, 2, 3):
+        assert out[d]["n_grams"] == 7 and out[d]["n_boiler"] == 1
+        assert abs(out[d]["boiler_ratio"] - round(1 / 7, 4)) < 1e-9
+    # doc 4: all grams unique (1/4 docs = 25% < 60%) -> zero boiler
+    assert out[4]["n_grams"] == 7 and out[4]["n_boiler"] == 0
+    # doc 5 is the only s2 doc: its single whole-doc gram trivially
+    # clears the threshold within its own source
+    assert out[5]["n_grams"] == 1 and out[5]["n_boiler"] == 1
+
+
+def test_boilerplate_null_source_is_its_own_group(spark):
+    # two NULL-source docs sharing a footer must see each other (the
+    # null-safe join); a named source must not absorb them
+    rows = [
+        (1, None, "x y z w q r a b c d e f"),
+        (2, None, "x y z w q r g h i j k l"),
+        (3, "s1", "x y z w q r m n o p q2 r2"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {r["doc_id"]: r for r in boilerplate_ngram_stats(
+        df, "doc_id", "text", "source", n=6, min_pct=60
+    ).collect()}
+    # NULL group has 2 docs: shared leading gram = 2/2 = 100% >= 60%;
+    # unique tails = 1/2 = 50% < 60%
+    for d in (1, 2):
+        assert out[d]["n_grams"] == 7 and out[d]["n_boiler"] == 1
+    # s1 has 1 doc: every gram is 1/1 = 100%
+    assert out[3]["n_boiler"] == out[3]["n_grams"] == 7
