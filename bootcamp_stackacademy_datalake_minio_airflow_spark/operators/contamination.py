@@ -143,3 +143,57 @@ def ngram_novelty(
             ).alias("novelty"),
         )
     )
+
+
+def semantic_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.35,
+    round_to: int = 4,
+) -> DataFrame:
+    """Embedding-level eval-set contamination screen: for every
+    corpus vector, the MAX cosine similarity against ANY benchmark
+    vector, plus a ``contaminated`` flag at ``threshold`` — the
+    semantic complement of ``ngram_contamination`` (paraphrased eval
+    questions share no 8-gram but sit next to the eval set in
+    embedding space). Emits ``(id_col, max_cos, contaminated)`` for
+    every non-NULL-embedding corpus row.
+
+    Shape: the benchmark side is eval-suite-sized, so it broadcasts
+    and the corpus NEVER shuffles raw vectors — scoring is map-side
+    JVM expressions over the broadcast batch, and the per-id max is
+    partial-aggregated before its one |corpus|-row shuffle. At a
+    benchmark too big to broadcast, pre-filter candidates with the
+    LSH/IVF buckets (similarity.py) and apply the same max within
+    buckets.
+
+    Zero-norm rows follow the cosine() NULL convention on BOTH sides:
+    a degenerate benchmark vector contributes NULL (never NaN) so it
+    cannot poison the max; a corpus row with no defined score emits a
+    NULL max_cos and ``contaminated = false``, visibly.
+    """
+    from .similarity import cosine
+
+    c = corpus.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("__vc")
+    )
+    b = benchmark.filter(F.col(vec_col).isNotNull()).select(
+        F.col(vec_col).cast("array<double>").alias("__vb")
+    )
+    scored = c.crossJoin(F.broadcast(b)).select(
+        id_col,
+        F.round(cosine(F.col("__vc"), F.col("__vb")), round_to).alias("__cs"),
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(F.max("__cs").alias("max_cos"))
+        .select(
+            id_col,
+            "max_cos",
+            F.coalesce(F.col("max_cos") >= threshold, F.lit(False)).alias(
+                "contaminated"
+            ),
+        )
+    )

@@ -18,10 +18,32 @@ def read_json(
     path: str,
     schema: StructType | None = None,
     multi_line: bool = False,
+    corrupt_col: str | None = None,
 ) -> DataFrame:
     """JSON-lines scan (one object per line scales — each file splits
-    by line; ``multi_line`` single-document files do not split)."""
+    by line; ``multi_line`` single-document files do not split).
+
+    ``corrupt_col`` enables quarantine ingestion, mirroring
+    ``sources/csv.py``: undecodable lines land with their raw text in
+    that column (PERMISSIVE mode) instead of silently nulling or — at
+    lake scale, worse — FAILFAST sinking a multi-TB ingest on one bad
+    crawler record. Requires an explicit ``schema`` (with inference
+    Spark drops the corrupt column after the inference pass). Same
+    caveat as CSV: select at least one real column alongside the
+    corrupt column before filtering on it alone.
+    """
+    from pyspark.sql.types import StringType, StructField
+
     reader = spark.read
+    if corrupt_col is not None:
+        if schema is None:
+            raise ValueError("corrupt_col quarantine requires an explicit schema")
+        schema = StructType(
+            list(schema.fields) + [StructField(corrupt_col, StringType(), True)]
+        )
+        reader = reader.option("mode", "PERMISSIVE").option(
+            "columnNameOfCorruptRecord", corrupt_col
+        )
     if schema is not None:
         reader = reader.schema(schema)  # skip the inference pass
     if multi_line:

@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..operators.dedup import normalize_text
+from ..operators.contamination import semantic_contamination
 from ..operators.funnel import funnel_report
 from ..operators.sampling import _hex_threshold, group_split
 from ..operators.text import (
@@ -213,4 +214,42 @@ def q_doc_boilerplate_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return boilerplate_ngram_stats(
         docs, "doc_id", "text", "source", n=6, min_pct=20
+    )
+
+
+# --- semantic eval-set contamination ------------------------------------------
+
+_SEM_CONTAM_ORACLE = """
+    WITH c AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+      WHERE vec_id % 20 <> 0 AND embedding IS NOT NULL
+    ), b AS (
+      SELECT embedding::DOUBLE[] AS v FROM embeddings
+      WHERE vec_id % 20 = 0 AND embedding IS NOT NULL
+    ), scored AS (
+      SELECT c.vec_id,
+             CASE WHEN list_inner_product(c.v, c.v) * list_inner_product(b.v, b.v) <> 0
+                  THEN ROUND(list_cosine_similarity(c.v, b.v), 4) END AS cs
+      FROM c CROSS JOIN b
+    )
+    SELECT vec_id, MAX(cs) AS max_cos,
+           COALESCE(MAX(cs) >= 0.35, FALSE) AS contaminated
+    FROM scored GROUP BY vec_id
+    """
+
+
+@register("contamination_semantic", _SEM_CONTAM_ORACLE)
+def q_contamination_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-level decontamination (operators/contamination.py:
+    semantic_contamination): per corpus vector, max cosine against a
+    held-out eval slice (vec_id % 20 == 0) with a contaminated flag
+    at 0.35 — catches the paraphrased eval leak ngram screening
+    misses. Eval side broadcasts; corpus vectors never shuffle; the
+    oracle guards zero norms to NULL exactly like cosine() so a
+    degenerate benchmark vector cannot poison the max with NaN."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semantic_contamination(
+        emb.filter(F.col("vec_id") % 20 != 0),
+        emb.filter(F.col("vec_id") % 20 == 0),
+        threshold=0.35,
     )

@@ -158,3 +158,33 @@ def test_boilerplate_null_source_is_its_own_group(spark):
         assert out[d]["n_grams"] == 7 and out[d]["n_boiler"] == 1
     # s1 has 1 doc: every gram is 1/1 = 100%
     assert out[3]["n_boiler"] == out[3]["n_grams"] == 7
+
+
+def test_semantic_contamination_planted(spark):
+    from bootcamp_stackacademy_datalake_minio_airflow_spark.operators.contamination import (
+        semantic_contamination,
+    )
+
+    bench = spark.createDataFrame(
+        [(100, [1.0, 0.0]), (101, [0.0, 0.0])],  # second is zero-norm
+        "vec_id long, embedding array<float>",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, [2.0, 0.0]),    # parallel to bench 100 -> cos 1.0
+            (2, [0.0, 3.0]),    # orthogonal -> cos 0.0
+            (3, [1.0, 1.0]),    # 45 degrees -> ~0.7071
+            (4, [0.0, 0.0]),    # zero-norm corpus row: NULL max, not contaminated
+            (5, None),          # NULL embedding excluded entirely
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    out = {r["vec_id"]: r for r in semantic_contamination(
+        corpus, bench, threshold=0.7
+    ).collect()}
+    assert 5 not in out
+    assert out[1]["max_cos"] == 1.0 and out[1]["contaminated"]
+    assert out[2]["max_cos"] == 0.0 and not out[2]["contaminated"]
+    assert abs(out[3]["max_cos"] - 0.7071) < 1e-9 and out[3]["contaminated"]
+    # the zero-norm BENCH vector must not poison any max (NULL, never NaN)
+    assert out[4]["max_cos"] is None and out[4]["contaminated"] is False

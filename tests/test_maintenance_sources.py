@@ -202,3 +202,35 @@ def test_parquet_merge_schema_evolution(spark, tmp_path):
     assert set(out.columns) == {"k", "s", "score"}
     rows = {r.k: r.score for r in out.collect()}
     assert rows == {1: None, 2: 9.5}
+
+
+def test_read_json_quarantines_corrupt_lines(spark, tmp_path):
+    # three good JSONL records, one truncated object, one plain garbage
+    p = tmp_path / "docs.jsonl"
+    p.write_text(
+        '{"doc_id": 1, "text": "alpha"}\n'
+        '{"doc_id": 2, "text": "beta"}\n'
+        '{"doc_id": 3, "text": "gam\n'
+        "not json at all\n"
+        '{"doc_id": 4, "text": "delta"}\n'
+    )
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType(), True),
+            StructField("text", StringType(), True),
+        ]
+    )
+    df = read_json(spark, str(p), schema=schema, corrupt_col="_corrupt").cache()
+    clean = df.filter(F.col("_corrupt").isNull())
+    bad = df.filter(F.col("_corrupt").isNotNull())
+    assert {r.doc_id for r in clean.collect()} == {1, 2, 4}
+    raws = [r._corrupt for r in bad.collect()]
+    assert len(raws) == 2 and "not json at all" in raws
+    # quarantine demands a pinned schema - inference would drop the column
+    import pytest
+
+    with pytest.raises(ValueError):
+        read_json(spark, str(p), corrupt_col="_corrupt")
+    df.unpersist()
