@@ -396,3 +396,38 @@ def tfidf_top_terms(
         .filter(F.col("__rk") <= k)
         .select("grp", "term", "tf", F.round("__s", round_to).alias("score"))
     )
+
+
+def rrf_fuse(
+    ranked_a: DataFrame,
+    ranked_b: DataFrame,
+    id_col: str = "doc_id",
+    rank_col: str = "rnk",
+    k_rrf: int = 60,
+    topk: int = 10,
+    round_to: int = 4,
+) -> DataFrame:
+    """Reciprocal-rank fusion of two ranked candidate lists (Cormack
+    et al. 2009): score(d) = Σ_lists 1/(k + rank_d) — the standard
+    hybrid-retrieval combiner for a lexical arm (BM25) and a semantic
+    arm (embedding cosine), robust to the arms' incomparable score
+    scales because only RANKS enter the sum. Documents present in one
+    arm contribute that arm's term alone (full outer join).
+
+    Both inputs carry ``(id_col, rank_col)`` with 1-based ranks. The
+    arms are top-k-sized (not corpus-sized) by construction, so the
+    fusion join is trivially small whatever the corpus size; output
+    is the fused top-``topk`` ordered by (ROUNDed score DESC, id) —
+    rounded-then-tie-broken so both engines cut the same boundary.
+    """
+    a = ranked_a.select(F.col(id_col), F.col(rank_col).alias("__ra"))
+    b = ranked_b.select(F.col(id_col), F.col(rank_col).alias("__rb"))
+    fused = a.join(b, id_col, "full_outer").select(
+        id_col,
+        F.round(
+            F.coalesce(F.lit(1.0) / (F.lit(k_rrf) + F.col("__ra")), F.lit(0.0))
+            + F.coalesce(F.lit(1.0) / (F.lit(k_rrf) + F.col("__rb")), F.lit(0.0)),
+            round_to,
+        ).alias("rrf_score"),
+    )
+    return fused.orderBy(F.desc("rrf_score"), F.asc(id_col)).limit(topk)

@@ -387,3 +387,70 @@ def dsir_importance(
         )
         .select(F.col("__id").alias(id_col), "n_tokens", "logratio")
     )
+
+
+def token_budget_select(
+    df: DataFrame,
+    quality: Column,
+    n_tokens: Column,
+    budget: int,
+    id_col: str = "doc_id",
+    round_to: int = 4,
+) -> DataFrame:
+    """Token-budgeted corpus selection: keep the highest-quality
+    documents, in (quality DESC, id ASC) order, until the cumulative
+    token count exceeds ``budget`` — "fill a 10B-token training run
+    with the best of the lake". Emits ``(id_col, quality, n_tokens,
+    cum_tokens)`` for the selected docs, ``cum_tokens`` being the
+    GLOBAL running total at that doc.
+
+    The naive form is a single global-order window — one reducer owns
+    the whole corpus at 100 TB. This runs the histogram two-phase
+    instead: (1) aggregate token totals per ROUNDED quality value
+    (bounded key space — the curation score is a round(.,4) in [0,1]),
+    cumulate over that tiny table to find the BOUNDARY quality, then
+    (2) every doc strictly above the boundary passes with no
+    per-row ordering at all, and only the boundary bucket runs an
+    ordered in-bucket cumsum (one partition of ties, parallel to
+    nothing but itself — the only part of the problem that is
+    inherently ordered). Cost: one groupBy on quality + one window
+    over |distinct qualities| + one broadcast join + one in-bucket
+    window.
+
+    Everything is integer arithmetic on token counts; ties order by
+    ``id_col`` so the selection is a total order both engines agree
+    on. NULL quality/token rows are excluded (callers filter NULL
+    text upstream; the guard here keeps the boundary algebra NULL-free).
+    """
+    q = F.round(quality, round_to)
+    scored = df.select(
+        F.col(id_col),
+        q.alias("__q"),
+        n_tokens.cast("long").alias("__nt"),
+    ).filter(F.col("__q").isNotNull() & F.col("__nt").isNotNull())
+    per_q = scored.groupBy("__q").agg(F.sum("__nt").cast("long").alias("__tot"))
+    wq = Window.orderBy(F.desc("__q")).rowsBetween(Window.unboundedPreceding, -1)
+    buckets = per_q.select(
+        F.col("__q").alias("__qb"),
+        F.coalesce(F.sum("__tot").over(wq), F.lit(0).cast("long")).alias(
+            "__before"
+        ),
+    ).filter(F.col("__before") < budget)
+    # buckets: every quality level whose FIRST doc still fits the
+    # budget; all better levels are fully in iff before+tot <= budget,
+    # which the in-bucket cumsum reproduces without a special case
+    joined = scored.join(
+        F.broadcast(buckets), F.col("__q") == F.col("__qb")
+    )
+    win = Window.partitionBy("__q").orderBy(F.asc(id_col))
+    cum = (F.col("__before") + F.sum("__nt").over(win)).cast("long")
+    return (
+        joined.withColumn("__cum", cum)
+        .filter(F.col("__cum") <= budget)
+        .select(
+            id_col,
+            (F.col("__q") + F.lit(0.0)).alias("quality"),
+            F.col("__nt").alias("n_tokens"),
+            F.col("__cum").alias("cum_tokens"),
+        )
+    )

@@ -84,7 +84,8 @@ def oracle_sql() -> dict[str, str]:
 #: families newly registered in r6: lineitem_hot_key_join,
 #: ngram_novelty_scores, dsir_importance_weights,
 #: orders_table_profile, split_leakage_safe, filter_funnel_report,
-#: doc_boilerplate_ratio.
+#: doc_boilerplate_ratio, contamination_semantic,
+#: token_budget_selection, hybrid_rrf_search.
 PRIORITY = [
     # -- reference parity (the deliverable) --
     "vendas_flagship",

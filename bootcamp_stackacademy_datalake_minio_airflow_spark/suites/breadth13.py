@@ -18,14 +18,14 @@ key is null-safe on both sides).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..operators.dedup import normalize_text
 from ..operators.contamination import semantic_contamination
 from ..operators.funnel import funnel_report
-from ..operators.sampling import _hex_threshold, group_split
+from ..operators.sampling import _hex_threshold, group_split, token_budget_select
 from ..operators.text import (
     boilerplate_ngram_stats,
     language_id,
@@ -253,3 +253,158 @@ def q_contamination_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.filter(F.col("vec_id") % 20 == 0),
         threshold=0.35,
     )
+
+
+# --- token-budgeted corpus selection ------------------------------------------
+
+_BUDGET_ORACLE = rf"""
+    WITH base AS (
+      SELECT doc_id, text, string_split({_NORM_SQL}, ' ') AS ts
+      FROM documents WHERE text IS NOT NULL
+    ), sig AS (
+      SELECT doc_id, text,
+             CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(ts) END AS tok,
+             len(list_filter(ts, x -> x IN ('the','and','of','to','in','is','a'))) AS s_en,
+             CASE WHEN length(text) > 0
+                  THEN round(length(regexp_replace(text, '[^.,;:!?''"()\[\]{{}}-]', '', 'g'))
+                             * 1.0 / length(text), 4)
+                  ELSE 0.0 END AS pr
+      FROM base
+    ), scored AS (
+      SELECT doc_id,
+             round(0.4 * (CASE WHEN length(text) BETWEEN 50 AND 10000 THEN 1.0 ELSE 0.0 END)
+                 + 0.3 * least(CASE WHEN tok > 0 THEN s_en * 1.0 / tok ELSE 0.0 END, 0.3) / 0.3
+                 + 0.3 * (CASE WHEN pr <= 0.2 THEN 1.0 ELSE 0.0 END), 4) AS q,
+             tok AS nt
+      FROM sig
+    ), c AS (
+      SELECT doc_id, q, nt,
+             CAST(SUM(nt) OVER (ORDER BY q DESC, doc_id
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+      FROM scored
+    )
+    SELECT doc_id, q + 0.0 AS quality, CAST(nt AS BIGINT) AS n_tokens,
+           cum AS cum_tokens
+    FROM c WHERE cum <= 20000
+    """
+
+
+@register("token_budget_selection", _BUDGET_ORACLE)
+def q_token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fill a 20k-token budget with the highest-quality documents
+    (operators/sampling.py:token_budget_select). The oracle is the
+    textbook single global-order cumsum; the Spark side runs the
+    HISTOGRAM two-phase instead — per-quality token totals, boundary
+    bucket from a tiny window, per-row ordering confined to the
+    boundary bucket — because one reducer owning a 100 TB global sort
+    is exactly the plan this operator exists to avoid. Identical
+    selection, identical cum_tokens, by construction (the in-bucket
+    cumsum resumes from the bucket's global prefix)."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    return token_budget_select(
+        docs, quality_score("text"), token_count("text"), budget=20000
+    )
+
+
+# --- hybrid retrieval: reciprocal-rank fusion ---------------------------------
+
+_RRF_ORACLE = rf"""
+    WITH base AS (
+      SELECT doc_id, string_split({_NORM_SQL}, ' ') AS toks
+      FROM documents WHERE length(trim(text)) > 0
+    ), dls AS (
+      SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM base
+    ), stats AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, AVG(dl) AS avgdl FROM dls
+    ), tf AS (
+      SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf
+      FROM (SELECT doc_id, unnest(toks) AS term FROM base)
+      WHERE term IN ('spark', 'hash', 'window', 'merge')
+      GROUP BY doc_id, term
+    ), dfreq AS (
+      SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY term
+    ), idf AS (
+      SELECT term, ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) AS idf
+      FROM dfreq CROSS JOIN stats
+    ), bm AS (
+      SELECT tf.doc_id,
+             ROUND(SUM(idf.idf * (tf.tf * 2.2)
+                       / (tf.tf + 1.2 * (0.25 + 0.75 * dls.dl / stats.avgdl))),
+                   4) AS score
+      FROM tf
+      JOIN idf ON tf.term = idf.term
+      JOIN dls ON tf.doc_id = dls.doc_id
+      CROSS JOIN stats
+      GROUP BY tf.doc_id
+      ORDER BY score DESC, tf.doc_id
+      LIMIT 20
+    ), lexr AS (
+      SELECT doc_id,
+             ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rl
+      FROM bm
+    ), semsc AS (
+      SELECT e.vec_id AS doc_id,
+             CASE WHEN list_inner_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])
+                       * list_inner_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]) <> 0
+                  THEN ROUND(list_cosine_similarity(e.embedding::DOUBLE[],
+                                                    q.embedding::DOUBLE[]), 4) END AS cs
+      FROM embeddings e,
+           (SELECT embedding FROM embeddings WHERE vec_id = 7) q
+      WHERE e.vec_id <> 7 AND e.embedding IS NOT NULL
+    ), semtop AS (
+      SELECT doc_id, cs FROM semsc WHERE cs IS NOT NULL
+      ORDER BY cs DESC, doc_id LIMIT 20
+    ), semr AS (
+      SELECT doc_id, ROW_NUMBER() OVER (ORDER BY cs DESC, doc_id) AS rs
+      FROM semtop
+    )
+    SELECT COALESCE(l.doc_id, s.doc_id) AS doc_id,
+           ROUND(COALESCE(1.0 / (60 + rl), 0.0)
+                 + COALESCE(1.0 / (60 + rs), 0.0), 4) AS rrf_score
+    FROM lexr l FULL OUTER JOIN semr s ON l.doc_id = s.doc_id
+    ORDER BY rrf_score DESC, COALESCE(l.doc_id, s.doc_id)
+    LIMIT 10
+    """
+
+
+@register("hybrid_rrf_search", _RRF_ORACLE)
+def q_hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid search: BM25 top-20 for a fixed 4-term query fused with
+    embedding-cosine top-20 around doc 7's vector via reciprocal-rank
+    fusion (operators/retrieval.py:rrf_fuse, k=60) — the standard
+    lexical+semantic combiner whose rank-only arithmetic sidesteps the
+    arms' incomparable score scales. Both arms reuse already-gated
+    operators (bm25_topk, cosine()); the fusion join is top-k-sized
+    regardless of corpus size. NULL/zero-norm embeddings are excluded
+    from the semantic arm on both engines (cosine()'s NULL convention
+    mirrored by the oracle's inner-product guard)."""
+    from ..operators.retrieval import bm25_topk, rrf_fuse
+    from ..operators.similarity import cosine
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    lex = bm25_topk(docs, ["spark", "hash", "window", "merge"], k=20)
+    wl = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    lex_r = lex.select("doc_id", F.row_number().over(wl).alias("rnk"))
+    qv = emb.filter(F.col("vec_id") == 7).select(
+        F.col("embedding").cast("array<double>").alias("__qv")
+    )
+    sem = (
+        emb.filter((F.col("vec_id") != 7) & F.col("embedding").isNotNull())
+        .crossJoin(F.broadcast(qv))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(
+                cosine(F.col("embedding").cast("array<double>"), F.col("__qv")),
+                4,
+            ).alias("cs"),
+        )
+        .filter(F.col("cs").isNotNull())
+        .orderBy(F.desc("cs"), F.asc("doc_id"))
+        .limit(20)
+    )
+    ws = Window.orderBy(F.desc("cs"), F.asc("doc_id"))
+    sem_r = sem.select("doc_id", F.row_number().over(ws).alias("rnk"))
+    return rrf_fuse(lex_r, sem_r, "doc_id", "rnk", k_rrf=60, topk=10)

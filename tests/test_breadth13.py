@@ -188,3 +188,59 @@ def test_semantic_contamination_planted(spark):
     assert abs(out[3]["max_cos"] - 0.7071) < 1e-9 and out[3]["contaminated"]
     # the zero-norm BENCH vector must not poison any max (NULL, never NaN)
     assert out[4]["max_cos"] is None and out[4]["contaminated"] is False
+
+
+def test_token_budget_select_boundary(spark):
+    from bootcamp_stackacademy_datalake_minio_airflow_spark.operators.sampling import (
+        token_budget_select,
+    )
+
+    # qualities: 0.9 (two docs, 40+30 tokens), 0.5 (three docs,
+    # 25+25+25), 0.1 (one doc). budget=100: both 0.9s (70), then the
+    # 0.5 bucket admits docs 3 (95) but NOT 4 (120) — id order.
+    rows = [
+        (1, 0.9, 40), (2, 0.9, 30),
+        (3, 0.5, 25), (4, 0.5, 25), (5, 0.5, 25),
+        (6, 0.1, 10),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, q double, nt long")
+    out = {r["doc_id"]: r for r in token_budget_select(
+        df, F.col("q"), F.col("nt"), budget=100, id_col="doc_id"
+    ).collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[1]["cum_tokens"] == 40 and out[2]["cum_tokens"] == 70
+    assert out[3]["cum_tokens"] == 95 and out[3]["quality"] == 0.5
+    # exact-fit budget keeps the boundary doc
+    out2 = {r["doc_id"] for r in token_budget_select(
+        df, F.col("q"), F.col("nt"), budget=120, id_col="doc_id"
+    ).collect()}
+    assert out2 == {1, 2, 3, 4}
+    # budget smaller than the first doc selects nothing
+    assert token_budget_select(
+        df, F.col("q"), F.col("nt"), budget=5, id_col="doc_id"
+    ).count() == 0
+    # NULL quality rows are excluded, not ranked
+    df2 = spark.createDataFrame(
+        [(1, None, 10), (2, 0.5, 10)], "doc_id long, q double, nt long"
+    )
+    kept = token_budget_select(
+        df2, F.col("q"), F.col("nt"), budget=100, id_col="doc_id"
+    ).collect()
+    assert [r["doc_id"] for r in kept] == [2]
+
+
+def test_rrf_fuse_single_arm_and_overlap(spark):
+    from bootcamp_stackacademy_datalake_minio_airflow_spark.operators.retrieval import rrf_fuse
+
+    a = spark.createDataFrame([(1, 1), (2, 2)], "doc_id long, rnk int")
+    b = spark.createDataFrame([(2, 1), (3, 2)], "doc_id long, rnk int")
+    out = {r["doc_id"]: r["rrf_score"] for r in rrf_fuse(
+        a, b, k_rrf=60, topk=10
+    ).collect()}
+    # doc 2 fuses both arms: 1/62 + 1/61
+    assert abs(out[2] - round(1 / 62 + 1 / 61, 4)) < 1e-12
+    # single-arm docs carry only their own term
+    assert abs(out[1] - round(1 / 61, 4)) < 1e-12
+    assert abs(out[3] - round(1 / 62, 4)) < 1e-12
+    # fused overlap outranks either single arm
+    assert out[2] > out[1] > out[3]
