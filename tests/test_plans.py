@@ -290,3 +290,40 @@ def test_hot_key_join_aqe_skew_split(spark, sf_dir, tmp_path):
     total = sum(r["n_li"] for r in rows)
     li_rows = spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
     assert total == li_rows
+
+
+def test_token_budget_orders_only_the_boundary_bucket(spark, sf_dir):
+    # the histogram two-phase must never compile a corpus-sized
+    # unpartitioned window: every windowspec over the doc stream is
+    # partitioned by the quality bucket; the only unpartitioned
+    # window runs over the per-quality aggregate (tiny by key space)
+    df = ep.queries()["token_budget_selection"](spark, sf_dir)
+    plan = _executed_plan(df)
+    import re
+
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs, "expected window definitions in the plan"
+    # per-row cumsum: partitioned by __q (appears as 'partition' cols
+    # before the ORDER spec); the bucket-prefix window has no
+    # partition col but consumes the per-__q aggregate
+    partitioned = [s for s in specs if s.startswith("__q")]
+    assert partitioned, f"no __q-partitioned window in: {specs}"
+    # and the raw document scan feeds an Aggregate before any
+    # unpartitioned window (the histogram), never a global Sort
+    assert "Sort [__q" in plan or "HashAggregate" in plan
+
+
+def test_boilerplate_window_partitioned_by_source_gram(spark, sf_dir):
+    df = ep.queries()["doc_boilerplate_ratio"](spark, sf_dir)
+    plan = _executed_plan(df)
+    assert "windowspecdefinition(__src" in plan
+    # the per-source doc totals broadcast; the gram stream must not
+    assert "BroadcastExchange" in plan
+
+
+def test_rrf_arms_stay_topk_sized(spark, sf_dir):
+    # both arms compile to TakeOrderedAndProject (partition-local
+    # top-k + driver merge), never a global Sort of the corpus
+    df = ep.queries()["hybrid_rrf_search"](spark, sf_dir)
+    plan = _executed_plan(df)
+    assert "TakeOrderedAndProject" in plan
