@@ -408,3 +408,49 @@ def q_hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     ws = Window.orderBy(F.desc("cs"), F.asc("doc_id"))
     sem_r = sem.select("doc_id", F.row_number().over(ws).alias("rnk"))
     return rrf_fuse(lex_r, sem_r, "doc_id", "rnk", k_rrf=60, topk=10)
+
+
+# --- flagship through the SQL API ---------------------------------------------
+
+#: the flagship as ONE SQL string, runnable verbatim by Spark SQL and
+#: (as the oracle) by DuckDB — dialect-shared subset on purpose
+_VENDAS_SQL = """
+WITH pay AS (
+  SELECT l_orderkey AS order_id,
+         ROUND(SUM(CASE WHEN l_returnflag = 'A' THEN l_extendedprice END), 2) AS va,
+         ROUND(SUM(CASE WHEN l_returnflag = 'N' THEN l_extendedprice END), 2) AS vn,
+         ROUND(SUM(CASE WHEN l_returnflag = 'R' THEN l_extendedprice END), 2) AS vr
+  FROM lineitem GROUP BY l_orderkey
+)
+SELECT i.l_extendedprice AS VALOR_VENDA,
+       i.l_tax AS FRETE,
+       CAST(o.o_orderdate AS DATE) AS DATA_VENDA,
+       i.l_orderkey AS PEDIDO,
+       i.l_partkey AS ID_PRODUTO,
+       o.o_custkey AS ID_CLIENTE,
+       REPLACE(UPPER(p.p_type), '_', ' ') AS CATEGORIA_PRODUTO,
+       UPPER(c.c_mktsegment) AS CIDADE_CLIENTE,
+       c.c_name AS ESTADO_CLIENTE,
+       COALESCE(pay.va, 0) AS VALOR_A,
+       COALESCE(pay.vn, 0) AS VALOR_N,
+       COALESCE(pay.vr, 0) AS VALOR_R
+FROM lineitem i
+LEFT JOIN orders o ON i.l_orderkey = o.o_orderkey
+LEFT JOIN part p ON i.l_partkey = p.p_partkey
+LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+LEFT JOIN pay ON i.l_orderkey = pay.order_id
+"""
+
+
+@register("vendas_flagship_sqlapi", _VENDAS_SQL)
+def q_vendas_flagship_sqlapi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship executed through the ``spark.sql`` SURFACE: the
+    tables register as temp views and the exact SQL text the DuckDB
+    oracle runs is handed to Spark SQL verbatim (dialect-shared
+    subset). Proves a reference user can bring plain SQL — not just
+    the DataFrame API — and that Catalyst compiles it to the same
+    broadcast-join plan as plans/vendas.py builds declaratively
+    (pinned in tests/test_plans.py for the DataFrame twin)."""
+    for t in ("lineitem", "orders", "part", "customer"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_VENDAS_SQL)
