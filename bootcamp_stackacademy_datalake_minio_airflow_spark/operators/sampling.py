@@ -435,10 +435,12 @@ def token_budget_select(
         F.coalesce(F.sum("__tot").over(wq), F.lit(0).cast("long")).alias(
             "__before"
         ),
-    ).filter(F.col("__before") < budget)
-    # buckets: every quality level whose FIRST doc still fits the
-    # budget; all better levels are fully in iff before+tot <= budget,
-    # which the in-bucket cumsum reproduces without a special case
+    ).filter(F.col("__before") <= budget)
+    # buckets: every quality level whose prefix does not already
+    # overshoot. <= not <: a bucket whose prefix EQUALS the budget
+    # can still admit zero-token docs (cum unchanged, still within
+    # budget — hypothesis found the < form dropping exactly those);
+    # the in-bucket cumsum filter rejects everything else.
     joined = scored.join(
         F.broadcast(buckets), F.col("__q") == F.col("__qb")
     )
