@@ -68,6 +68,21 @@ def funnel_report(
     counts = att.groupBy(
         F.coalesce("killed_by", F.lit(SURVIVOR)).alias("rule")
     ).agg(F.count(F.lit(1)).cast("long").alias("n_killed"))
+    return funnel_report_from_counts(counts, rules)
+
+
+def funnel_report_from_counts(
+    counts: DataFrame,
+    rules: list[tuple[str, Column]],
+) -> DataFrame:
+    """The funnel-report arithmetic over an ALREADY-AGGREGATED count
+    table ``(rule, n_killed)`` that includes the ``SURVIVOR`` label —
+    shared by the batch path above and the streaming monitor
+    (streaming/curation.py), so stream and batch reports come from
+    one implementation.
+    """
+    if not rules:
+        raise ValueError("funnel needs at least one rule")
     # Everything below is arithmetic on the ≤|rules|+1-row count
     # table — ONE full pass over the input, total included. The
     # total is a whole-table window over counts (not a separate
@@ -83,7 +98,7 @@ def funnel_report(
         "__total", F.sum("n_killed").over(wall).cast("long")
     )
     names = [name for name, _ in rules] + [SURVIVOR]
-    stages = att.sparkSession.range(1).select(
+    stages = counts.sparkSession.range(1).select(
         F.posexplode(F.array(*[F.lit(n) for n in names])).alias("__pos", "rule")
     )
     joined = stages.join(counts, "rule", "left").select(

@@ -244,3 +244,51 @@ def test_rrf_fuse_single_arm_and_overlap(spark):
     assert abs(out[3] - round(1 / 62, 4)) < 1e-12
     # fused overlap outranks either single arm
     assert out[2] > out[1] > out[3]
+
+
+def test_stream_funnel_monitor_matches_batch(spark, tmp_path):
+    """Drain the streaming funnel over sharded documents and compare
+    its final report against the batch funnel_report on the same data
+    — stream and batch share funnel_report_from_counts, so this pins
+    the complete-mode aggregation + assignment accumulator."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from bootcamp_stackacademy_datalake_minio_airflow_spark.streaming.curation import (
+        stream_funnel_monitor,
+    )
+
+    rows = [
+        (1, "the cat sat on the mat and the dog is here today again"),
+        (2, "short"),
+        (3, None),
+        (4, "x " * 40),         # repetitive: 1 distinct token of 40
+        (5, "der hund und die katze und der vogel und das haus ist hier"),
+        (6, "the " + " ".join(f"w{i}" for i in range(40))),
+    ]
+    schema = StructType(
+        [
+            StructField("doc_id", LongType(), True),
+            StructField("text", StringType(), True),
+        ]
+    )
+    docs = spark.createDataFrame(rows, schema)
+    src = str(tmp_path / "funnel_src")
+    docs.repartition(3).write.parquet(src)
+
+    rules = [
+        ("null_text", F.col("text").isNull()),
+        ("too_short", F.length("text") < 10),
+        ("not_en", ~F.col("text").contains("the")),
+        ("repetitive", F.size(F.array_distinct(F.split(F.col("text"), " "))) * 2
+         < F.size(F.split(F.col("text"), " "))),
+    ]
+    q, report = stream_funnel_monitor(
+        spark, src, rules, schema, max_files_per_trigger=1
+    )
+    q.awaitTermination()
+
+    batch = sorted(
+        funnel_report(docs, rules, "doc_id").collect(), key=lambda r: r["stage"]
+    )
+    assert [tuple(r) for r in report] == [tuple(r) for r in batch]
+    assert report[0]["n_in"] == 6 and report[-1]["n_out"] >= 1
