@@ -292,3 +292,48 @@ def test_stream_funnel_monitor_matches_batch(spark, tmp_path):
     )
     assert [tuple(r) for r in report] == [tuple(r) for r in batch]
     assert report[0]["n_in"] == 6 and report[-1]["n_out"] >= 1
+
+
+def test_curation_dag_task_bodies_end_to_end(spark, sf_dir, tmp_path, monkeypatch):
+    """Execute the four curation-DAG task bodies (plain functions —
+    no Airflow needed) against a local lake and check the hand-offs:
+    filtered ⊆ input, canonical has no duplicate texts, splits
+    partition the canonical docs group-safely, and every train doc
+    lands in exactly one pack."""
+    import dags.curation_pipeline as cp
+
+    monkeypatch.setenv("LAKE_BASE", str(tmp_path))
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs.write.parquet(str(tmp_path / "silver" / "olist" / "documents"))
+
+    cp._run_funnel_filter()
+    cp._run_dedup_canonical()
+    cp._run_leakage_split()
+    cp._run_pack_sequences()
+
+    from bootcamp_stackacademy_datalake_minio_airflow_spark.catalog import zone_path
+
+    filtered = spark.read.parquet(zone_path("gold", "docs_filtered"))
+    report = spark.read.parquet(zone_path("gold", "docs_filtered_report"))
+    canonical = spark.read.parquet(zone_path("gold", "docs_canonical"))
+    split = spark.read.parquet(zone_path("gold", "docs_split"))
+    packed = spark.read.parquet(zone_path("gold", "train_packed"))
+
+    n_docs = docs.count()
+    assert 0 < filtered.count() < n_docs
+    rep = sorted(report.collect(), key=lambda r: r["stage"])
+    assert rep[0]["n_in"] == n_docs and rep[-1]["n_out"] == filtered.count()
+    # canonical: one row per distinct text among the filtered
+    assert canonical.count() == filtered.select("text").distinct().count()
+    # split partitions canonical; identical texts share a split
+    assert split.count() == canonical.count()
+    from pyspark.sql import functions as FF
+
+    spans = split.groupBy("text").agg(
+        FF.countDistinct("split").alias("ns")
+    ).collect()
+    assert all(r["ns"] == 1 for r in spans)
+    # packing covers exactly the train split, one slot per doc
+    n_train = split.filter(FF.col("split") == "train").count()
+    assert packed.count() == n_train
+    assert packed.select("doc_id").distinct().count() == n_train

@@ -132,7 +132,7 @@ def test_dagbag_imports_clean_and_complete():
     bag = _dagbag()
     assert not bag.import_errors, f"DAG import errors: {bag.import_errors}"
     # 9 medallion DAGs (8 bronze->silver + vendas, reference O1-O5
-    # parity) + 2 incremental-CDC extension DAGs
+    # parity) + 2 incremental-CDC + 4 curation-pipeline extension DAGs
     expected = {f"ingestion_{t}_bronze_to_silver" for t in (
         "customers", "sellers", "geolocation", "products", "orders",
         "order_items", "order_payments", "order_reviews",
@@ -140,6 +140,10 @@ def test_dagbag_imports_clean_and_complete():
         "ingestion_vendas_silver_to_gold",
         "incremental_vendas_gold",
         "cdc_tombstone_vacuum",
+        "curation_docs_filtered",
+        "curation_docs_canonical",
+        "curation_docs_split",
+        "curation_train_packed",
     }
     assert expected <= set(bag.dags), (
         f"missing DAGs: {expected - set(bag.dags)}"
