@@ -456,3 +456,61 @@ def key_skew_profile(
             + F.lit(0.0)
         ).alias("gini"),
     )
+
+
+def chi2_independence(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+    round_to: int = 4,
+) -> DataFrame:
+    """Pearson chi-square test of independence between two categorical
+    columns — the data-audit answer to "is source correlated with
+    language / label / split?" (a curation run that accidentally made
+    quality depend on source wants to know loudly). Emits ONE row:
+    ``(chi2, dof, n)``.
+
+    Shape: one groupBy over the (a, b) cell space (the only
+    corpus-sized shuffle, partial-aggregated), then pure arithmetic on
+    the |a|x|b| cell table with row/column totals as windows over it —
+    nothing driver-side. NULL categories are excluded (the repo's
+    NULL-payload convention).
+
+    Cross-engine float discipline: each cell's term is computed as
+    pow(double(o*n - ra*cb), 2) / double(ra*cb*n) — the inner products
+    are exact BIGINT arithmetic (bounded by n^2 and n^3, fine under
+    2^63 for any corpus whose cell counts fit a table), ONE double
+    conversion each, ONE division, so both engines produce
+    bit-identical per-cell terms and only the final sum carries the
+    house-accepted ROUND residual.
+    """
+    cells = (
+        df.filter(F.col(col_a).isNotNull() & F.col(col_b).isNotNull())
+        .groupBy(F.col(col_a).alias("__a"), F.col(col_b).alias("__b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("__o"))
+    )
+    wa = Window.partitionBy("__a")
+    wb = Window.partitionBy("__b")
+    wall = Window.partitionBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    t = (
+        cells.withColumn("__ra", F.sum("__o").over(wa).cast("long"))
+        .withColumn("__cb", F.sum("__o").over(wb).cast("long"))
+        .withColumn("__n", F.sum("__o").over(wall).cast("long"))
+    )
+    term = (
+        F.pow((F.col("__o") * F.col("__n") - F.col("__ra") * F.col("__cb")).cast("double"), F.lit(2.0))
+        / (F.col("__ra") * F.col("__cb") * F.col("__n")).cast("double")
+    )
+    agg = t.agg(
+        (F.round(F.sum(term), round_to) + F.lit(0.0)).alias("chi2"),
+        F.countDistinct("__a").cast("long").alias("__na"),
+        F.countDistinct("__b").cast("long").alias("__nb"),
+        F.max("__n").cast("long").alias("n"),
+    )
+    return agg.select(
+        "chi2",
+        ((F.col("__na") - 1) * (F.col("__nb") - 1)).cast("long").alias("dof"),
+        F.coalesce("n", F.lit(0).cast("long")).alias("n"),
+    )

@@ -85,7 +85,8 @@ def oracle_sql() -> dict[str, str]:
 #: ngram_novelty_scores, dsir_importance_weights,
 #: orders_table_profile, split_leakage_safe, filter_funnel_report,
 #: doc_boilerplate_ratio, contamination_semantic,
-#: token_budget_selection, hybrid_rrf_search, vendas_flagship_sqlapi.
+#: token_budget_selection, hybrid_rrf_search, vendas_flagship_sqlapi,
+#: source_lang_chi2.
 PRIORITY = [
     # -- reference parity (the deliverable) --
     "vendas_flagship",

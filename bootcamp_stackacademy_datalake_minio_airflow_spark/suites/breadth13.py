@@ -454,3 +454,40 @@ def q_vendas_flagship_sqlapi(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t in ("lineitem", "orders", "part", "customer"):
         load_table(spark, sf_dir, t).createOrReplaceTempView(t)
     return spark.sql(_VENDAS_SQL)
+
+
+# --- chi-square independence audit ---------------------------------------------
+
+_CHI2_ORACLE = """
+    WITH cells AS (
+      SELECT source AS a, lang AS b, CAST(COUNT(*) AS BIGINT) AS o
+      FROM documents WHERE source IS NOT NULL AND lang IS NOT NULL
+      GROUP BY 1, 2
+    ), t AS (
+      SELECT o,
+             CAST(SUM(o) OVER (PARTITION BY a) AS BIGINT) AS ra,
+             CAST(SUM(o) OVER (PARTITION BY b) AS BIGINT) AS cb,
+             CAST(SUM(o) OVER () AS BIGINT) AS n,
+             a, b
+      FROM cells
+    )
+    SELECT ROUND(SUM(POW(CAST(o * n - ra * cb AS DOUBLE), 2)
+                     / CAST(ra * cb * n AS DOUBLE)), 4) + 0.0 AS chi2,
+           CAST((COUNT(DISTINCT a) - 1) * (COUNT(DISTINCT b) - 1) AS BIGINT) AS dof,
+           CAST(COALESCE(MAX(n), 0) AS BIGINT) AS n
+    FROM t
+    """
+
+
+@register("source_lang_chi2", _CHI2_ORACLE)
+def q_source_lang_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square independence audit of source x lang
+    (operators/analytics.py:chi2_independence) — "did curation make
+    language depend on source?". One corpus shuffle to the cell
+    table, then windowed totals over |sources|x|langs| rows; per-cell
+    terms are exact-integer products with ONE double division so both
+    engines agree bit-for-bit before the final ROUNDed sum."""
+    from ..operators.analytics import chi2_independence
+
+    docs = load_table(spark, sf_dir, "documents")
+    return chi2_independence(docs, "source", "lang")

@@ -337,3 +337,27 @@ def test_curation_dag_task_bodies_end_to_end(spark, sf_dir, tmp_path, monkeypatc
     n_train = split.filter(FF.col("split") == "train").count()
     assert packed.count() == n_train
     assert packed.select("doc_id").distinct().count() == n_train
+
+
+def test_chi2_independence_hand_computed(spark):
+    from bootcamp_stackacademy_datalake_minio_airflow_spark.operators.analytics import (
+        chi2_independence,
+    )
+
+    # 2x2 with counts [[10, 20], [20, 10]]: n=60, all margins 30.
+    # expected all 15 -> chi2 = 4 * (5^2/15) = 6.6667, dof = 1
+    rows = (
+        [("s1", "en")] * 10 + [("s1", "de")] * 20
+        + [("s2", "en")] * 20 + [("s2", "de")] * 10
+        + [(None, "en"), ("s1", None)]  # NULL categories excluded
+    )
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = chi2_independence(df, "a", "b").collect()[0]
+    assert r["dof"] == 1 and r["n"] == 60
+    assert abs(r["chi2"] - round(4 * 25 / 15, 4)) < 1e-9
+    # perfectly independent table -> chi2 == 0
+    rows2 = [("s1", "en")] * 6 + [("s1", "de")] * 6 + [("s2", "en")] * 3 + [("s2", "de")] * 3
+    r2 = chi2_independence(
+        spark.createDataFrame(rows2, "a string, b string"), "a", "b"
+    ).collect()[0]
+    assert r2["chi2"] == 0.0 and r2["dof"] == 1 and r2["n"] == 18
