@@ -775,12 +775,17 @@ def _gram_prefix_index(
     # re-reference the gram sets
     base = norm.select("__id", grams.alias("__g")).persist()
     inv = base.select("__id", F.size("__g").alias("__sz"), F.explode("__g").alias("gram"))
-    dfreq = inv.groupBy("gram").agg(F.count(F.lit(1)).alias("__df"))
+    # document frequency as a WINDOW over gram partitions, not an
+    # agg + join back: grams are distinct per doc, so count(*) per
+    # gram partition IS df, and the window saves one full exchange of
+    # the gram stream (agg-shuffle + join-shuffle -> one shuffle;
+    # the rank window below re-shuffles to __id either way)
+    wdf = Window.partitionBy("gram")
     w = Window.partitionBy("__id").orderBy(F.asc("__df"), F.asc("gram"))
     T = _threshold_10k(threshold)
     budget = _int_div(F.col("__sz") * (10000 - T), 10000) + F.lit(1)
     prefix = (
-        inv.join(dfreq, "gram")
+        inv.withColumn("__df", F.count(F.lit(1)).over(wdf))
         .withColumn("__rk", F.row_number().over(w))
         .filter(F.col("__rk") <= budget)
         .select("__id", "gram", "__sz", "__rk")
