@@ -491,3 +491,92 @@ def q_source_lang_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return chi2_independence(docs, "source", "lang")
+
+
+# --- BPE tokenizer APPLY (train -> segment round trip) --------------------------
+
+
+def _bpe_segment_oracle(n_merges: int = 10) -> str:
+    """Training replay (extensions._bpe_oracle's w/b CTE chain) plus
+    per-document segmentation: char-split each normalized text with
+    '␟' guarding word boundaries, then apply the learned merges in
+    order with the same doubled-separator replace as Spark's
+    _apply_merge. COALESCE('␟␟') makes an exhausted merge stage a
+    no-op ('␟␟' cannot occur — normalization collapses whitespace, so
+    separators are never adjacent), mirroring bpe_train's early
+    break."""
+    parts = [
+        r"""
+    WITH w0 AS MATERIALIZED (
+      SELECT trim(regexp_replace(word, '(.)', '\1 ', 'g')) AS w, cnt FROM (
+        SELECT word, COUNT(*) AS cnt FROM (
+          SELECT unnest(string_split(
+            regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS word
+          FROM documents
+        ) WHERE length(word) > 0 GROUP BY word
+      )
+    ), d0 AS MATERIALIZED (
+      SELECT doc_id,
+             trim(regexp_replace(
+               replace(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
+                       ' ', '␟'),
+               '(.)', '\1 ', 'g')) AS s
+      FROM documents WHERE text IS NOT NULL
+    )"""
+    ]
+    for k in range(n_merges):
+        parts.append(
+            f""", p{k} AS MATERIALIZED (
+      SELECT sym[i] || ' ' || sym[i+1] AS p, SUM(cnt) AS s FROM (
+        SELECT sym, cnt, unnest(range(1, len(sym))) AS i
+        FROM (SELECT string_split(w, ' ') AS sym, cnt FROM w{k})
+      ) GROUP BY 1
+    ), b{k} AS MATERIALIZED (
+      SELECT p, s FROM p{k} ORDER BY s DESC, p LIMIT 1
+    ), w{k + 1} AS MATERIALIZED (
+      SELECT replace(trim(replace(
+               ' ' || replace(w, ' ', '  ') || ' ',
+               ' ' || replace((SELECT p FROM b{k}), ' ', '  ') || ' ',
+               ' ' || replace((SELECT p FROM b{k}), ' ', '') || ' ')),
+             '  ', ' ') AS w,
+             cnt
+      FROM w{k}
+    ), d{k + 1} AS MATERIALIZED (
+      SELECT doc_id, replace(trim(replace(
+               ' ' || replace(s, ' ', '  ') || ' ',
+               COALESCE(' ' || replace((SELECT p FROM b{k}), ' ', '  ') || ' ',
+                        '␟␟'),
+               COALESCE(' ' || replace((SELECT p FROM b{k}), ' ', '') || ' ',
+                        '␟␟'))),
+             '  ', ' ') AS s
+      FROM d{k}
+    )"""
+        )
+    parts.append(
+        f"""
+    SELECT doc_id,
+           CASE WHEN length(s) = 0 THEN 0
+                ELSE len(string_split(s, ' ')) - len(string_split(s, '␟')) + 1
+           END AS bpe_tokens
+    FROM d{n_merges}
+    """
+    )
+    return "".join(parts)
+
+
+@register("bpe_segment_tokens", _bpe_segment_oracle(10))
+def q_bpe_segment_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer APPLY: train the 10-merge BPE table on the corpus
+    (the already-gated bpe_merge_table path) and segment every
+    document with it (operators/bpe.py:bpe_segment — map-only chained
+    replaces, word boundaries guarded by an unmergeable separator),
+    emitting per-doc subword counts. Closes the train->apply loop a
+    tokenizer user actually runs; the oracle replays BOTH halves."""
+    from ..operators.bpe import bpe_segment, bpe_train
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = bpe_train(docs, "text", n_merges=10)
+    return (
+        bpe_segment(docs.filter(F.col("text").isNotNull()), "text", merges)
+        .select("doc_id", "bpe_tokens")
+    )
