@@ -471,9 +471,23 @@ def boilerplate_ngram_stats(
         .groupBy(F.col(source_col).alias("__src_d"))
         .agg(F.count(F.lit(1)).cast("long").alias("__n_src"))
     )
-    w = Window.partitionBy("__src", "__g")
+    # doc frequency per (source, gram) as a partial-aggregated groupBy
+    # joined back — NOT a window over (source, gram) partitions: a
+    # boilerplate gram is BY DEFINITION a hot key (it appears in a
+    # large share of its source's docs), a window partition cannot be
+    # AQE-skew-split and has no map-side combine, so at web scale the
+    # hottest template gram becomes an unsplittable straggler. The
+    # join keys are null-safe on source (NULL sources form their own
+    # group — the repo's NULL-group join-vs-window lesson).
+    gram_df = grams.groupBy(
+        F.col("__src").alias("__src_g"), F.col("__g").alias("__g_g")
+    ).agg(F.count(F.lit(1)).cast("long").alias("__n_with"))
     flagged = (
-        grams.withColumn("__n_with", F.count(F.lit(1)).over(w).cast("long"))
+        grams.join(
+            gram_df,
+            F.col("__src").eqNullSafe(F.col("__src_g"))
+            & (F.col("__g") == F.col("__g_g")),
+        )
         .join(
             F.broadcast(src_docs),
             F.col("__src").eqNullSafe(F.col("__src_d")),

@@ -313,10 +313,15 @@ def test_token_budget_orders_only_the_boundary_bucket(spark, sf_dir):
     assert "Sort [__q" in plan or "HashAggregate" in plan
 
 
-def test_boilerplate_window_partitioned_by_source_gram(spark, sf_dir):
+def test_boilerplate_doc_frequency_is_skew_safe(spark, sf_dir):
+    # doc frequency must be a partial-aggregated groupBy joined back,
+    # never a window over (source, gram): window partitions are not
+    # AQE-skew-splittable and a boilerplate gram is a hot key by
+    # definition
     df = ep.queries()["doc_boilerplate_ratio"](spark, sf_dir)
     plan = _executed_plan(df)
-    assert "windowspecdefinition(__src" in plan
+    assert "Window" not in plan
+    assert "partial_count" in plan  # map-side combine on the gram agg
     # the per-source doc totals broadcast; the gram stream must not
     assert "BroadcastExchange" in plan
 
