@@ -408,14 +408,17 @@ def token_budget_select(
     the whole corpus at 100 TB. This runs the histogram two-phase
     instead: (1) aggregate token totals per ROUNDED quality value
     (bounded key space — the curation score is a round(.,4) in [0,1]),
-    cumulate over that tiny table to find the BOUNDARY quality, then
-    (2) every doc strictly above the boundary passes with no
-    per-row ordering at all, and only the boundary bucket runs an
-    ordered in-bucket cumsum (one partition of ties, parallel to
-    nothing but itself — the only part of the problem that is
-    inherently ordered). Cost: one groupBy on quality + one window
-    over |distinct qualities| + one broadcast join + one in-bucket
-    window.
+    cumulate over that tiny table to find each bucket's global
+    prefix, then (2) per-row cumsums run WITHIN each admitted quality
+    bucket, in parallel across buckets, resuming from the bucket
+    prefix. The global sort is gone; what remains is one window
+    partition per quality value, so the largest TIE GROUP bounds the
+    straggler (a corpus where half the docs share one score would
+    need the next refinement: order-preserving id-range sharding
+    inside the bucket and a second prefix level — the classic
+    distributed-scan tree). Selection order-sensitivity is confined
+    to the boundary bucket; fully-admitted buckets only replay their
+    internal prefix to emit ``cum_tokens``.
 
     Everything is integer arithmetic on token counts; ties order by
     ``id_col`` so the selection is a total order both engines agree
