@@ -431,26 +431,64 @@ def token_budget_select(
         q.alias("__q"),
         n_tokens.cast("long").alias("__nt"),
     ).filter(F.col("__q").isNotNull() & F.col("__nt").isNotNull())
-    per_q = scored.groupBy("__q").agg(F.sum("__nt").cast("long").alias("__tot"))
+    per_q = scored.groupBy("__q").agg(
+        F.sum("__nt").cast("long").alias("__tot"),
+        F.min(id_col).cast("long").alias("__mn"),
+        F.max(id_col).cast("long").alias("__mx"),
+    )
     wq = Window.orderBy(F.desc("__q")).rowsBetween(Window.unboundedPreceding, -1)
     buckets = per_q.select(
         F.col("__q").alias("__qb"),
         F.coalesce(F.sum("__tot").over(wq), F.lit(0).cast("long")).alias(
             "__before"
         ),
+        "__mn",
+        "__mx",
     ).filter(F.col("__before") <= budget)
     # buckets: every quality level whose prefix does not already
     # overshoot. <= not <: a bucket whose prefix EQUALS the budget
     # can still admit zero-token docs (cum unchanged, still within
     # budget — hypothesis found the < form dropping exactly those);
-    # the in-bucket cumsum filter rejects everything else.
-    joined = scored.join(
-        F.broadcast(buckets), F.col("__q") == F.col("__qb")
+    # the in-shard cumsum filter rejects everything else.
+    #
+    # Distributed-scan tree, level 2: ORDER-PRESERVING id-range shards
+    # inside each quality bucket so no tie group owns one window
+    # partition. The shard index floor((id - mn) / step) is monotone
+    # in id whatever the id distribution, and step = (mx-mn)/S + 1 is
+    # integer arithmetic with no overflow; shard totals cumulate over
+    # a |q| x S table, and the per-row window runs per (q, shard).
+    n_shards = 64
+    joined = scored.join(F.broadcast(buckets), F.col("__q") == F.col("__qb"))
+    step = (F.col("__mx") - F.col("__mn")) / F.lit(n_shards) + F.lit(1)
+    sharded = joined.withColumn(
+        "__shard",
+        ((F.col(id_col).cast("long") - F.col("__mn")) / step.cast("long"))
+        .cast("long"),
     )
-    win = Window.partitionBy("__q").orderBy(F.asc(id_col))
-    cum = (F.col("__before") + F.sum("__nt").over(win)).cast("long")
+    shard_tot = sharded.groupBy("__q", "__shard").agg(
+        F.sum("__nt").cast("long").alias("__stot")
+    )
+    ws = Window.partitionBy("__q").orderBy(F.asc("__shard")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    shard_prefix = shard_tot.select(
+        F.col("__q").alias("__qs"),
+        F.col("__shard").alias("__shards"),
+        F.coalesce(F.sum("__stot").over(ws), F.lit(0).cast("long")).alias(
+            "__sbefore"
+        ),
+    )
+    win = Window.partitionBy("__q", "__shard").orderBy(F.asc(id_col))
+    cum = (
+        F.col("__before") + F.col("__sbefore") + F.sum("__nt").over(win)
+    ).cast("long")
     return (
-        joined.withColumn("__cum", cum)
+        sharded.join(
+            F.broadcast(shard_prefix),
+            (F.col("__q") == F.col("__qs"))
+            & (F.col("__shard") == F.col("__shards")),
+        )
+        .withColumn("__cum", cum)
         .filter(F.col("__cum") <= budget)
         .select(
             id_col,
