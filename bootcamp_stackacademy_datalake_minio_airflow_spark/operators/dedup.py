@@ -914,8 +914,16 @@ def cross_doc_ngram_stats(
         hasher(F.array_join(F.slice(F.col("__w"), F.col("__i"), n), " ")).alias("__g"),
     )
     g = exploded.distinct()
-    w = Window.partitionBy("__g")
-    flagged = g.withColumn("__df", F.count(F.lit(1)).over(w))
+    # document frequency as a partial-aggregated groupBy joined back,
+    # NOT a window over gram partitions: the grams this operator
+    # exists to find are the MOST-duplicated ones (Lee et al. target
+    # passages repeated across millions of docs), i.e. hot keys —
+    # a window partition has no map-side combine and AQE cannot split
+    # it, while the join back is skew-splittable
+    dfreq = g.groupBy(F.col("__g").alias("__g_d")).agg(
+        F.count(F.lit(1)).alias("__df")
+    )
+    flagged = g.join(dfreq, F.col("__g") == F.col("__g_d"))
     return (
         flagged.groupBy("__id")
         .agg(

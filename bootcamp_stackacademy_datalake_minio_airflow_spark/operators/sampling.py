@@ -101,6 +101,44 @@ def hash_split(
     )
 
 
+def bottom_k_per_group(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list,
+    k: int,
+    tournament_salt: "F.Column",
+    n_salts: int = 64,
+) -> DataFrame:
+    """Keep each group's k smallest rows under ``order_cols`` via a
+    two-round TOURNAMENT instead of one per-group window: round 1
+    ranks within (group, salt) — ``tournament_salt`` must be a
+    deterministic hash INDEPENDENT of the order key — and keeps k per
+    salt; round 2 ranks the ≤ k*n_salts survivors per group. Any
+    global bottom-k row is in its salt's bottom-k, so the result is
+    exactly the single-window answer.
+
+    Why: a window partition has no map-side combine and AQE cannot
+    split it, so one giant group funnels through one task. The salted
+    round bounds round-1 partitions at group/n_salts and round 2 at
+    k*n_salts rows — the window-skew analogue of salted aggregation.
+    """
+    rk, sc = "__bk_rk", "__bk_salt"
+    while rk in df.columns:
+        rk += "_"
+    while sc in df.columns:
+        sc += "_"
+    w1 = Window.partitionBy(*group_cols, sc).orderBy(*order_cols)
+    w2 = Window.partitionBy(*group_cols).orderBy(*order_cols)
+    return (
+        df.withColumn(sc, tournament_salt)
+        .withColumn(rk, F.row_number().over(w1))
+        .filter(F.col(rk) <= k)
+        .withColumn(rk, F.row_number().over(w2))
+        .filter(F.col(rk) <= k)
+        .drop(rk, sc)
+    )
+
+
 def stratified_quota(
     df: DataFrame,
     group_col: str,
@@ -113,22 +151,20 @@ def stratified_quota(
     uniform within the group).
 
     The balancing move of mixture building: no source may contribute
-    more than its quota. One shuffle on ``group_col``; skewed sources
-    are the risk at scale, which AQE skew handling covers since rank
-    only needs each group's rows together, not sorted globally.
+    more than its quota. Runs as a salted two-round tournament
+    (``bottom_k_per_group``) rather than one window per group: AQE
+    cannot split a window partition, so a single web-crawl source
+    holding most of the corpus would otherwise rank in one task. The
+    tournament salt is an independent hash of the key (salting by a
+    prefix of the DRAW would cluster the smallest draws in one salt
+    and break the tournament guarantee).
     """
-    w = Window.partitionBy(group_col).orderBy(
-        _draw(F.col(key_col), salt), F.col(key_col)
-    )
-    # collision-safe temp name: a caller's own __rk column must not be
-    # clobbered/dropped (same fix class as debounce's __gap)
-    rk = "__rk"
-    while rk in df.columns:
-        rk += "_"
-    return (
-        df.withColumn(rk, F.row_number().over(w))
-        .filter(F.col(rk) <= n_per_group)
-        .drop(rk)
+    return bottom_k_per_group(
+        df,
+        [group_col],
+        [_draw(F.col(key_col), salt), F.col(key_col)],
+        n_per_group,
+        F.pmod(F.xxhash64(F.col(key_col)), F.lit(64)),
     )
 
 

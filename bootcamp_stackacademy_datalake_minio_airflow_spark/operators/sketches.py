@@ -199,11 +199,15 @@ def kmv_sketches(
     )
     if not assume_distinct:
         hashed = hashed.distinct()
-    from pyspark.sql import Window
+    # salted two-round tournament (sampling.bottom_k_per_group), not
+    # one window per group: a giant corpus group would otherwise rank
+    # its whole distinct-value stream in ONE unsplittable window task;
+    # the tournament bounds round 1 at group/64 and round 2 at 64k rows
+    from .sampling import bottom_k_per_group
 
-    w = Window.partitionBy("__g").orderBy("__h")
-    topk = hashed.withColumn("__rn", F.row_number().over(w)).filter(
-        F.col("__rn") <= k
+    topk = bottom_k_per_group(
+        hashed, ["__g"], [F.col("__h")], k,
+        F.pmod(F.xxhash64(F.col("__h")), F.lit(64)),
     )
     return (
         topk.groupBy("__g")
