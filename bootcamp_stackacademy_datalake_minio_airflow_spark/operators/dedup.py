@@ -28,16 +28,19 @@ def dedup_exact(df: DataFrame, cols: list[str], order_by: str) -> DataFrame:
     """Keep one row per distinct ``cols`` value (the one with the
     smallest ``order_by``), dropping exact duplicates.
 
-    One shuffle on a hash of ``cols``; with AQE skew-split, a hot
-    duplicate cluster (e.g. boilerplate pages repeated millions of
-    times) is split across reducers. Deterministic victim choice via
+    Implemented as a ``min_by`` AGGREGATE, not a per-group rank
+    window: the aggregate partial-combines map-side, so a hot
+    duplicate cluster (boilerplate pages repeated millions of times —
+    the case dedup exists for) collapses to one row per mapper before
+    the shuffle, where a window would funnel the whole cluster
+    through one unsplittable task. Deterministic victim choice via
     ``order_by`` makes reruns reproducible.
     """
-    w = Window.partitionBy(*cols).orderBy(F.asc(order_by))
+    survivor = F.min_by(F.struct(*df.columns), F.col(order_by)).alias("__row")
     return (
-        df.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
+        df.groupBy(*[F.col(c) for c in cols])
+        .agg(survivor)
+        .select("__row.*")
     )
 
 
@@ -1137,22 +1140,32 @@ def canonical_docs(
     duplicate DETECTION, answering "which copy do we train on".
     Emits ``(fp, id, n_dups, quality)`` for the surviving docs.
 
-    One shuffle on the fingerprint; the argmax is a row_number window
-    over groups that are duplicate-cluster-sized (tiny), and the
-    quality expression is evaluated once per row before the shuffle.
-    The ordering key is (quality DESC, id ASC) with quality ROUNDed
-    first, so the cross-engine rank ties break identically on the
-    exact integer id rather than on raw-double noise."""
+    One shuffle on the fingerprint; the argmax is a ``max_by``
+    AGGREGATE (partial-combined map-side — a boilerplate page
+    duplicated millions of times collapses per mapper instead of
+    funneling through one unsplittable window task), and the quality
+    expression is evaluated once per row before the shuffle. The
+    ordering key is (quality DESC, id ASC) with quality ROUNDed
+    first, so the cross-engine argmax ties break identically on the
+    exact integer id rather than on raw-double noise — encoded as
+    max_by over the struct (q, -id), whose lexicographic max is
+    exactly that ordering."""
     scored = df.select(
         F.md5(normalize_text(text_col)).alias("fp"),
         F.col(id_col).alias("id"),
         F.round(quality, round_to).alias("q"),
     )
-    w = Window.partitionBy("fp").orderBy(F.col("q").desc(), F.col("id"))
-    cnt = Window.partitionBy("fp")
+    best = F.max_by(
+        F.struct("id", "q"),
+        F.struct(F.col("q"), (-F.col("id")).alias("nid")),
+    ).alias("__best")
     return (
-        scored.withColumn("n_dups", F.count("*").over(cnt).cast("long"))
-        .withColumn("__rk", F.row_number().over(w))
-        .filter(F.col("__rk") == 1)
-        .select("fp", "id", "n_dups", (F.col("q") + F.lit(0.0)).alias("quality"))
+        scored.groupBy("fp")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_dups"), best)
+        .select(
+            "fp",
+            F.col("__best.id").alias("id"),
+            "n_dups",
+            (F.col("__best.q") + F.lit(0.0)).alias("quality"),
+        )
     )
