@@ -390,11 +390,20 @@ def tfidf_top_terms(
             (F.col("tf") * F.log(F.col("__n") / F.col("__df"))).alias("__s"),
         )
     )
-    w = Window.partitionBy("grp").orderBy(F.desc("__s"), F.col("term"))
-    return (
-        scored.withColumn("__rk", F.row_number().over(w))
-        .filter(F.col("__rk") <= k)
-        .select("grp", "term", "tf", F.round("__s", round_to).alias("score"))
+    # salted tournament, not one window per group: `scored` is
+    # vocabulary-sized per group, and a window partition holding an
+    # open-vocab web source's whole term list cannot be AQE-split
+    from .sampling import bottom_k_per_group
+
+    topk = bottom_k_per_group(
+        scored,
+        ["grp"],
+        [F.desc("__s"), F.col("term")],
+        k,
+        F.pmod(F.xxhash64(F.col("term")), F.lit(64)),
+    )
+    return topk.select(
+        "grp", "term", "tf", F.round("__s", round_to).alias("score")
     )
 
 
