@@ -97,3 +97,41 @@ def test_funnel_conservation(spark, vals):
         1 for _, v in rows if not (v < 0 or v > 25 or v % 2 == 0)
     )
     assert rep[-1]["n_out"] == survivors
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 1000)),
+        min_size=0,
+        max_size=40,
+    ),
+    k=st.integers(1, 5),
+)
+def test_bottom_k_tournament_equals_single_window(spark, rows, k):
+    """The salted two-round tournament must select exactly the rows a
+    single per-group rank window would, for any group sizes, ties
+    (duplicate order values allowed), and k."""
+    from bootcamp_stackacademy_datalake_minio_airflow_spark.operators.sampling import (
+        bottom_k_per_group,
+    )
+
+    data = [(g, v, i) for i, (g, v) in enumerate(rows)]  # i = unique tiebreak
+    df = spark.createDataFrame(data, "g int, v int, i long") if data else (
+        spark.createDataFrame([], "g int, v int, i long")
+    )
+    got = {
+        (r["g"], r["v"], r["i"])
+        for r in bottom_k_per_group(
+            df, ["g"], [F.col("v"), F.col("i")], k,
+            F.pmod(F.xxhash64(F.col("i")), F.lit(4)), n_salts=4,
+        ).collect()
+    }
+    want = set()
+    by_g: dict = {}
+    for g, v, i in data:
+        by_g.setdefault(g, []).append((v, i))
+    for g, vs in by_g.items():
+        for v, i in sorted(vs)[:k]:
+            want.add((g, v, i))
+    assert got == want
