@@ -514,3 +514,60 @@ def chi2_independence(
         ((F.col("__na") - 1) * (F.col("__nb") - 1)).cast("long").alias("dof"),
         F.coalesce("n", F.lit(0).cast("long")).alias("n"),
     )
+
+
+def ks_two_sample(
+    df: DataFrame,
+    value_col: str,
+    split_pred: Column,
+    round_to: int = 4,
+) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov statistic between the rows where
+    ``split_pred`` holds (sample A) and the rest (sample B):
+    D = max over x of |ECDF_A(x) - ECDF_B(x)| — the distribution-drift
+    test that catches shape changes PSI's fixed buckets blur. Emits
+    ONE row ``(d_stat, n_a, n_b)``.
+
+    Shape: one groupBy collapses the corpus to per-distinct-value
+    counts (partial-aggregated), then cumulative sums run as a window
+    over the DISTINCT-VALUE table — tiny by construction (doc lengths,
+    scores), so the single-partition window is over cells, never rows.
+    The sup is computed on exact integers (|cumA*nB - cumB*nA|, cross-
+    multiplied instead of divided) with ONE final division, so both
+    engines agree bit-for-bit before ROUND. NULL values are excluded
+    (repo convention); an empty side yields NULL d_stat, visibly.
+    """
+    cells = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(F.col(value_col).alias("__v"))
+        .agg(
+            F.sum(split_pred.cast("long")).alias("__ca"),
+            F.sum((~split_pred).cast("long")).alias("__cb"),
+        )
+    )
+    wv = Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.partitionBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = cells.select(
+        F.sum("__ca").over(wv).cast("long").alias("__cuma"),
+        F.sum("__cb").over(wv).cast("long").alias("__cumb"),
+        F.sum("__ca").over(wall).cast("long").alias("__na"),
+        F.sum("__cb").over(wall).cast("long").alias("__nb"),
+    )
+    gap = F.abs(F.col("__cuma") * F.col("__nb") - F.col("__cumb") * F.col("__na"))
+    return cum.agg(
+        (
+            F.round(
+                F.max(gap).cast("double")
+                / F.when(
+                    (F.max("__na") > 0) & (F.max("__nb") > 0),
+                    (F.max("__na") * F.max("__nb")).cast("double"),
+                ),
+                round_to,
+            )
+            + F.lit(0.0)
+        ).alias("d_stat"),
+        F.coalesce(F.max("__na"), F.lit(0).cast("long")).alias("n_a"),
+        F.coalesce(F.max("__nb"), F.lit(0).cast("long")).alias("n_b"),
+    )

@@ -580,3 +580,55 @@ def q_bpe_segment_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         bpe_segment(docs.filter(F.col("text").isNotNull()), "text", merges)
         .select("doc_id", "bpe_tokens")
     )
+
+
+# --- two-sample KS drift test ----------------------------------------------------
+
+_KS_ORACLE = r"""
+    WITH vals AS (
+      SELECT CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(string_split(
+                         regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '))
+             END AS v,
+             CASE WHEN source = 'src0' THEN 1 ELSE 0 END AS a
+      FROM documents WHERE text IS NOT NULL
+    ), cells AS (
+      SELECT v, CAST(SUM(a) AS BIGINT) AS ca,
+             CAST(COUNT(*) - SUM(a) AS BIGINT) AS cb
+      FROM vals GROUP BY v
+    ), cum AS (
+      SELECT CAST(SUM(ca) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cuma,
+             CAST(SUM(cb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumb,
+             CAST(SUM(ca) OVER () AS BIGINT) AS na,
+             CAST(SUM(cb) OVER () AS BIGINT) AS nb
+      FROM cells
+    )
+    SELECT ROUND(CAST(MAX(ABS(cuma * nb - cumb * na)) AS DOUBLE)
+                 / (CASE WHEN MAX(na) > 0 AND MAX(nb) > 0
+                         THEN CAST(MAX(na) * MAX(nb) AS DOUBLE) END), 4)
+             + 0.0 AS d_stat,
+           CAST(COALESCE(MAX(na), 0) AS BIGINT) AS n_a,
+           CAST(COALESCE(MAX(nb), 0) AS BIGINT) AS n_b
+    FROM cum
+    """
+
+
+@register("doc_length_ks_test", _KS_ORACLE)
+def q_doc_length_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov drift test on document token
+    counts, src0 vs the rest (operators/analytics.py:ks_two_sample) —
+    the shape-sensitive complement of doc_length_psi's fixed buckets.
+    The corpus collapses to per-distinct-length cells before any
+    window; the sup statistic is exact-integer cross-multiplied with
+    one final division."""
+    from ..operators.analytics import ks_two_sample
+    from ..operators.text import token_count
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    return ks_two_sample(
+        docs.select(token_count("text").alias("v"), "source"),
+        "v",
+        F.col("source") == "src0",
+    )

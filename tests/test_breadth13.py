@@ -361,3 +361,25 @@ def test_chi2_independence_hand_computed(spark):
         spark.createDataFrame(rows2, "a string, b string"), "a", "b"
     ).collect()[0]
     assert r2["chi2"] == 0.0 and r2["dof"] == 1 and r2["n"] == 18
+
+
+def test_ks_two_sample_hand_computed(spark):
+    from bootcamp_stackacademy_datalake_minio_airflow_spark.operators.analytics import ks_two_sample
+
+    # A = {1,2,3,4}, B = {3,4,5,6}: D = |ECDF_A - ECDF_B| peaks at
+    # x=2 (2/4 - 0/4) and x=4 (4/4 - 2/4) -> 0.5
+    rows = [(v, "a") for v in (1, 2, 3, 4)] + [(v, "b") for v in (3, 4, 5, 6)]
+    df = spark.createDataFrame(rows, "v long, s string")
+    r = ks_two_sample(df, "v", F.col("s") == "a").collect()[0]
+    assert (r["n_a"], r["n_b"]) == (4, 4) and abs(r["d_stat"] - 0.5) < 1e-9
+    # identical distributions -> D = 0
+    rows2 = [(v, s) for v in (1, 2, 3) for s in ("a", "b")]
+    r2 = ks_two_sample(
+        spark.createDataFrame(rows2, "v long, s string"), "v", F.col("s") == "a"
+    ).collect()[0]
+    assert r2["d_stat"] == 0.0
+    # one empty side -> NULL d_stat, visible counts
+    r3 = ks_two_sample(
+        spark.createDataFrame([(1, "b")], "v long, s string"), "v", F.col("s") == "a"
+    ).collect()[0]
+    assert r3["d_stat"] is None and (r3["n_a"], r3["n_b"]) == (0, 1)
