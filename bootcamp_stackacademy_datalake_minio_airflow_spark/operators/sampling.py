@@ -462,11 +462,21 @@ def token_budget_select(
     text upstream; the guard here keeps the boundary algebra NULL-free).
     """
     q = F.round(quality, round_to)
-    scored = df.select(
-        F.col(id_col),
-        q.alias("__q"),
-        n_tokens.cast("long").alias("__nt"),
-    ).filter(F.col("__q").isNotNull() & F.col("__nt").isNotNull())
+    # persisted: the scoring expressions (regex-heavy quality
+    # heuristics) feed THREE consumers — the per-quality histogram,
+    # the shard totals, and the final cumsum join — and would
+    # otherwise be recomputed per branch (measured 0.3s -> 3.0s at
+    # sf0.1 when the shard level landed without this). Released after
+    # the result materializes, same discipline as dedup's pair caches.
+    scored = (
+        df.select(
+            F.col(id_col),
+            q.alias("__q"),
+            n_tokens.cast("long").alias("__nt"),
+        )
+        .filter(F.col("__q").isNotNull() & F.col("__nt").isNotNull())
+        .persist()
+    )
     per_q = scored.groupBy("__q").agg(
         F.sum("__nt").cast("long").alias("__tot"),
         F.min(id_col).cast("long").alias("__mn"),
@@ -518,7 +528,7 @@ def token_budget_select(
     cum = (
         F.col("__before") + F.col("__sbefore") + F.sum("__nt").over(win)
     ).cast("long")
-    return (
+    result = (
         sharded.join(
             F.broadcast(shard_prefix),
             (F.col("__q") == F.col("__qs"))
@@ -533,3 +543,6 @@ def token_budget_select(
             F.col("__cum").alias("cum_tokens"),
         )
     )
+    from .dedup import _materialize_release
+
+    return _materialize_release(result, scored)
