@@ -86,7 +86,8 @@ def oracle_sql() -> dict[str, str]:
 #: orders_table_profile, split_leakage_safe, filter_funnel_report,
 #: doc_boilerplate_ratio, contamination_semantic,
 #: token_budget_selection, hybrid_rrf_search, vendas_flagship_sqlapi,
-#: source_lang_chi2, bpe_segment_tokens, doc_length_ks_test.
+#: source_lang_chi2, bpe_segment_tokens, doc_length_ks_test,
+#: orders_trailing_revenue, orders_table_checksum.
 PRIORITY = [
     # -- reference parity (the deliverable) --
     "vendas_flagship",

@@ -632,3 +632,98 @@ def q_doc_length_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         "v",
         F.col("source") == "src0",
     )
+
+
+# --- range-frame trailing window -------------------------------------------------
+
+_TRAILING_ORACLE = """
+    WITH o AS (
+      SELECT o_custkey, o_orderkey,
+             CAST(floor(epoch(o_orderdate) / 86400) AS BIGINT) AS day,
+             o_totalprice
+      FROM orders
+    )
+    SELECT o_custkey, o_orderkey, day,
+           ROUND(SUM(o_totalprice) OVER (
+             PARTITION BY o_custkey ORDER BY day
+             RANGE BETWEEN 29 PRECEDING AND CURRENT ROW), 2) AS trailing_30d
+    FROM o
+    """
+
+
+@register("orders_trailing_revenue", _TRAILING_ORACLE)
+def q_orders_trailing_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-30-day revenue per customer at every order — the
+    RANGE-frame window family (value-based frames over event time,
+    distinct from the ROWS frames elsewhere in the registry): ties on
+    the same day all see the same frame on both engines by RANGE
+    semantics. Per-customer partitions are bounded by customer
+    activity; the frame is integer epoch-days so the boundary is
+    exact cross-engine."""
+    orders = load_table(spark, sf_dir, "orders")
+    day = F.floor(
+        F.unix_seconds(F.col("o_orderdate").cast("timestamp")) / F.lit(86400)
+    ).cast(
+        "long"
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("day")
+        .rangeBetween(-29, 0)
+    )
+    return orders.select(
+        "o_custkey", "o_orderkey", day.alias("day"), "o_totalprice"
+    ).select(
+        "o_custkey",
+        "o_orderkey",
+        "day",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("trailing_30d"),
+    )
+
+
+# --- order-insensitive table checksum --------------------------------------------
+
+from .extensions import _hex_fold  # noqa: E402
+
+_CHECKSUM_ORACLE = f"""
+    WITH h AS (
+      SELECT {_hex_fold(
+          "md5(concat_ws(chr(31), CAST(o_orderkey AS VARCHAR),"
+          " CAST(o_custkey AS VARCHAR),"
+          " COALESCE(o_orderstatus, '␀'), COALESCE(o_orderpriority, '␀'),"
+          " CAST(CAST(floor(epoch(o_orderdate)) AS BIGINT) AS VARCHAR)))",
+          15,
+      )} AS v
+      FROM orders
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COALESCE(bit_xor(v), 0) AS BIGINT) AS checksum
+    FROM h
+    """
+
+
+@register("orders_table_checksum", _CHECKSUM_ORACLE)
+def q_orders_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive content checksum of orders — the anti-entropy
+    primitive for 'are these two replicas/snapshots the same table'
+    without sorting or moving rows: per-row md5 folded to a 60-bit
+    int, XOR-aggregated (commutative + partial-aggregable, one row
+    crosses the wire). Hashed payload sticks to integer/string/epoch
+    fields with explicit casts — double-to-string formatting is NOT
+    cross-engine-stable, so floats stay out of the hash by design."""
+    orders = load_table(spark, sf_dir, "orders")
+    row_str = F.concat_ws(
+        "\x1f",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_custkey").cast("string"),
+        F.coalesce(F.col("o_orderstatus"), F.lit("␀")),
+        F.coalesce(F.col("o_orderpriority"), F.lit("␀")),
+        F.unix_seconds(F.col("o_orderdate").cast("timestamp"))
+        .cast("long")
+        .cast("string"),
+    )
+    v = F.conv(F.substring(F.md5(row_str), 1, 15), 16, 10).cast("long")
+    return orders.select(v.alias("__v")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.coalesce(F.expr("bit_xor(__v)"), F.lit(0)).cast("long").alias("checksum"),
+    )
