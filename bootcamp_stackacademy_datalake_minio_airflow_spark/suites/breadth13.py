@@ -25,7 +25,12 @@ from ..catalog import load_table
 from ..operators.dedup import normalize_text
 from ..operators.contamination import semantic_contamination
 from ..operators.funnel import funnel_report
-from ..operators.sampling import _hex_threshold, group_split, token_budget_select
+from ..operators.sampling import (
+    _hex_threshold,
+    group_split,
+    hash_split,
+    token_budget_select,
+)
 from ..operators.text import (
     boilerplate_ngram_stats,
     language_id,
@@ -726,4 +731,91 @@ def q_orders_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return orders.select(v.alias("__v")).agg(
         F.count(F.lit(1)).cast("long").alias("n_rows"),
         F.coalesce(F.expr("bit_xor(__v)"), F.lit(0)).cast("long").alias("checksum"),
+    )
+
+
+# --- split leakage audit -----------------------------------------------------------
+
+_LEAK_AUDIT_ORACLE = rf"""
+    WITH g AS (
+      SELECT doc_id,
+             md5(array_to_string(
+               string_split({_NORM_SQL}, ' ')[1:8], ' ')) AS fp
+      FROM documents WHERE text IS NOT NULL
+    ), labeled AS (
+      SELECT fp,
+             CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '{_T80}' THEN 'train'
+                  WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '{_T90}' THEN 'val'
+                  ELSE 'test' END AS row_split,
+             CASE WHEN substr(md5(fp), 1, 8) < '{_T80}' THEN 'train'
+                  WHEN substr(md5(fp), 1, 8) < '{_T90}' THEN 'val'
+                  ELSE 'test' END AS grp_split
+      FROM g
+    ), row_cells AS (
+      SELECT fp, row_split AS s, CAST(COUNT(*) AS BIGINT) AS c
+      FROM labeled GROUP BY 1, 2
+    ), grp_cells AS (
+      SELECT fp, grp_split AS s, CAST(COUNT(*) AS BIGINT) AS c
+      FROM labeled GROUP BY 1, 2
+    ), row_leak AS (
+      SELECT CAST(COALESCE(SUM((t * t - sq) / 2), 0) AS BIGINT) AS n_cross_pairs
+      FROM (SELECT fp, SUM(c) AS t, SUM(c * c) AS sq FROM row_cells GROUP BY fp)
+    ), grp_leak AS (
+      SELECT CAST(COALESCE(SUM((t * t - sq) / 2), 0) AS BIGINT) AS n_cross_pairs
+      FROM (SELECT fp, SUM(c) AS t, SUM(c * c) AS sq FROM grp_cells GROUP BY fp)
+    )
+    SELECT 'row_keyed' AS split_mode, n_cross_pairs FROM row_leak
+    UNION ALL
+    SELECT 'group_keyed', n_cross_pairs FROM grp_leak
+    """
+
+
+@register("split_leak_audit", _LEAK_AUDIT_ORACLE)
+def q_split_leak_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The leak audit that justifies group_split: count NEAR-DUP
+    PAIRS (8-token-prefix blocking key — the fixture's near-dups share
+    prefixes; whole-content md5 finds zero groups here) whose members
+    land in different train/val/test splits, under (a) the row-keyed
+    hash split and (b) the group-keyed split. Row-keyed leaks pairs
+    across the eval boundary; group-keyed is zero BY CONSTRUCTION —
+    this query proves it against the oracle rather than asserting it.
+    Pair counting is the integer identity (t^2 - sum(c^2))/2 over
+    per-(fingerprint, split) cells — never materializes pairs, so a
+    million-copy boilerplate cluster costs one cell row per split."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    from ..operators.text import tokens
+
+    base = docs.select(
+        "doc_id",
+        F.md5(F.concat_ws(" ", F.slice(tokens("text"), 1, 8))).alias("fp"),
+    )
+    both = group_split(
+        hash_split(base, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1},
+                   split_col="row_split"),
+        F.col("fp"),
+        {"train": 0.8, "val": 0.1, "test": 0.1},
+        split_col="grp_split",
+    )
+
+    def leak(label: str, col: str) -> DataFrame:
+        cells = both.groupBy("fp", F.col(col).alias("s")).agg(
+            F.count(F.lit(1)).cast("long").alias("c")
+        )
+        per_fp = cells.groupBy("fp").agg(
+            F.sum("c").alias("t"), F.sum(F.col("c") * F.col("c")).alias("sq")
+        )
+        return per_fp.agg(
+            F.lit(label).alias("split_mode"),
+            F.coalesce(
+                F.sum((F.col("t") * F.col("t") - F.col("sq")) / F.lit(2)),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("n_cross_pairs"),
+        )
+
+    return leak("row_keyed", "row_split").unionByName(
+        leak("group_keyed", "grp_split")
     )
