@@ -297,7 +297,25 @@ def test_token_budget_orders_only_the_boundary_bucket(spark, sf_dir):
     # unpartitioned window: every windowspec over the doc stream is
     # partitioned by the quality bucket; the only unpartitioned
     # window runs over the per-quality aggregate (tiny by key space)
-    df = ep.queries()["token_budget_selection"](spark, sf_dir)
+    from pyspark.sql import functions as F
+
+    from bootcamp_stackacademy_datalake_minio_airflow_spark.operators.sampling import (
+        token_budget_select,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # materialize=False: the registered query localCheckpoints its
+    # (selection-sized) result, which would hide the plan under a
+    # block scan
+    df = token_budget_select(
+        docs.filter(F.col("text").isNotNull()).select(
+            "doc_id", F.length("text").alias("nt")
+        ),
+        F.col("nt") % 10 / 10.0,
+        F.col("nt"),
+        budget=20000,
+        materialize=False,
+    )
     plan = _executed_plan(df)
     import re
 
