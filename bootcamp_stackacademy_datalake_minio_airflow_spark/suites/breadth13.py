@@ -819,3 +819,64 @@ def q_split_leak_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return leak("row_keyed", "row_split").unionByName(
         leak("group_keyed", "grp_split")
     )
+
+
+# --- corpus mixture entropy --------------------------------------------------------
+
+_MIX_ENTROPY_ORACLE = r"""
+    WITH tok AS (
+      SELECT source,
+             CAST(SUM(CASE WHEN length(trim(text)) = 0 THEN 0
+                           ELSE len(string_split(
+                                  regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
+                                  ' '))
+                      END) AS BIGINT) AS nt
+      FROM documents WHERE text IS NOT NULL
+      GROUP BY source
+    ), tot AS (
+      SELECT CAST(SUM(nt) AS BIGINT) AS t FROM tok
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_sources,
+           CAST(MAX(t) AS BIGINT) AS total_tokens,
+           ROUND(COALESCE(SUM(CASE WHEN nt > 0
+                  THEN -(nt * 1.0 / t) * ln(nt * 1.0 / t) END), 0.0), 4)
+             + 0.0 AS entropy
+    FROM tok CROSS JOIN tot
+    """
+
+
+@register("corpus_mixture_entropy", _MIX_ENTROPY_ORACLE)
+def q_corpus_mixture_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of the corpus's per-source TOKEN shares — the
+    one-row mixture-diversity dial a curation run watches while
+    rebalancing (max ln(n_sources) = perfectly balanced; falling
+    entropy = one source taking over). One aggregation to per-source
+    token counts (partial-aggregated), then arithmetic over the
+    |sources|-row table with a 1-row broadcast total. Zero-token
+    sources contribute no entropy term on either engine (the CASE
+    guard keeps ln(0) out); NULL sources form their own group."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    tok = docs.groupBy("source").agg(
+        F.sum(token_count("text")).cast("long").alias("nt")
+    )
+    tot = tok.agg(F.sum("nt").cast("long").alias("t"))
+    p = F.col("nt") * F.lit(1.0) / F.col("t")
+    return (
+        tok.crossJoin(F.broadcast(tot))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_sources"),
+            F.max("t").cast("long").alias("total_tokens"),
+            (
+                F.round(
+                    F.coalesce(
+                        F.sum(F.when(F.col("nt") > 0, -p * F.log(p))),
+                        F.lit(0.0),
+                    ),
+                    4,
+                )
+                + F.lit(0.0)
+            ).alias("entropy"),
+        )
+    )
