@@ -880,3 +880,42 @@ def q_corpus_mixture_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("entropy"),
         )
     )
+
+
+# --- duplicate-cluster size histogram -----------------------------------------------
+
+_DUP_HIST_ORACLE = rf"""
+    WITH g AS (
+      SELECT md5(array_to_string(
+               string_split({_NORM_SQL}, ' ')[1:8], ' ')) AS fp
+      FROM documents WHERE text IS NOT NULL
+    ), clusters AS (
+      SELECT fp, CAST(COUNT(*) AS BIGINT) AS sz FROM g GROUP BY fp
+    )
+    SELECT sz AS cluster_size,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(sz * COUNT(*) AS BIGINT) AS n_docs
+    FROM clusters GROUP BY sz
+    """
+
+
+@register("dup_cluster_histogram", _DUP_HIST_ORACLE)
+def q_dup_cluster_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster size histogram over the 8-token-prefix
+    blocking key — the dedup-ops dashboard row ("how much of the lake
+    is 2x, 10x, 1000x duplicated") that sizes how much a dedup pass
+    will remove. Two partial-aggregated groupBys, both with bounded
+    key spaces; a million-copy cluster costs one row after the first
+    aggregation. Integer-only output."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    from ..operators.text import tokens as _toks
+
+    clusters = docs.select(
+        F.md5(F.concat_ws(" ", F.slice(_toks("text"), 1, 8))).alias("fp")
+    ).groupBy("fp").agg(F.count(F.lit(1)).cast("long").alias("sz"))
+    return clusters.groupBy(F.col("sz").alias("cluster_size")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_clusters"),
+        (F.col("cluster_size") * F.count(F.lit(1))).cast("long").alias("n_docs"),
+    )
