@@ -513,14 +513,20 @@ def q_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CDC-style latest-record-per-key dedup: one shuffle on the key,
-    rank by (event time, id) — the upsert-compaction read path."""
+    """CDC-style latest-record-per-key dedup — the upsert-compaction
+    read path. A max_by AGGREGATE (lexicographic max of (ts,
+    event_id)), not a rank window: the aggregate partial-combines
+    map-side, so a bot key with a billion events collapses per mapper
+    where a window partition would funnel it through one unsplittable
+    task (the r6 window-skew audit's lens)."""
     ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    best = F.max_by(
+        F.struct("ts", "event_type"), F.struct("ts", "event_id")
+    ).alias("__b")
     return (
-        ev.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .select("user_id", "ts", "event_type")
+        ev.groupBy("user_id")
+        .agg(best)
+        .select("user_id", F.col("__b.ts").alias("ts"), F.col("__b.event_type").alias("event_type"))
     )
 
 
