@@ -230,11 +230,17 @@ def q_ann_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("cos_sim"),
     )
-    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
-    return (
-        scored.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= 3)
-        .drop("__rn")
+    # salted tournament (sampling.bottom_k_per_group): each q_id's
+    # window partition would otherwise hold the WHOLE scored corpus —
+    # five tasks ranking billions at 100 TB, unsplittable by AQE
+    from ..operators.sampling import bottom_k_per_group
+
+    return bottom_k_per_group(
+        scored,
+        ["q_id"],
+        [F.desc("cos_sim"), F.asc("vec_id")],
+        3,
+        F.pmod(F.xxhash64(F.col("vec_id")), F.lit(64)),
     )
 
 

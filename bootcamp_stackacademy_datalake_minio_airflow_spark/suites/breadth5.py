@@ -212,9 +212,19 @@ def q_source_term_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+    # tournament over the vocabulary-sized (source, term) table, then
+    # the emitted rank recomputed on the ≤3-per-source survivors — the
+    # only window left runs over a tiny table (r6 window-skew audit)
+    from ..operators.sampling import bottom_k_per_group
+
+    top3 = bottom_k_per_group(
+        j,
+        ["source"],
+        [F.desc("lift"), F.asc("term")],
+        3,
+        F.pmod(F.xxhash64(F.col("term")), F.lit(64)),
+    )
     w = Window.partitionBy("source").orderBy(F.desc("lift"), F.asc("term"))
-    return (
-        j.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= 3)
-        .select("source", "term", "lift", "rnk")
+    return top3.withColumn("rnk", F.row_number().over(w)).select(
+        "source", "term", "lift", "rnk"
     )
