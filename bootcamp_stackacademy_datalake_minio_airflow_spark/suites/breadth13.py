@@ -919,3 +919,67 @@ def q_dup_cluster_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_clusters"),
         (F.col("cluster_size") * F.count(F.lit(1))).cast("long").alias("n_docs"),
     )
+
+
+# --- packing efficiency report --------------------------------------------------------
+
+_PACK_EFF_ORACLE = """
+    WITH RECURSIVE docs AS (
+      SELECT doc_id, doc_id % 8 AS bucket,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+             ROW_NUMBER() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id) AS rn
+      FROM documents WHERE text IS NOT NULL
+    ), pack(bucket, rn, doc_id, n_tok, pack_id, acc) AS (
+      SELECT bucket, rn, doc_id, n_tok, CAST(0 AS BIGINT), n_tok
+      FROM docs WHERE rn = 1
+      UNION ALL
+      SELECT d.bucket, d.rn, d.doc_id, d.n_tok,
+             CASE WHEN p.acc + d.n_tok <= 256 THEN p.pack_id ELSE p.pack_id + 1 END,
+             CASE WHEN p.acc + d.n_tok <= 256 THEN p.acc + d.n_tok ELSE d.n_tok END
+      FROM pack p JOIN docs d ON d.bucket = p.bucket AND d.rn = p.rn + 1
+    ), per_pack AS (
+      SELECT bucket, pack_id, CAST(SUM(n_tok) AS BIGINT) AS used
+      FROM pack GROUP BY bucket, pack_id
+    )
+    SELECT bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_packs,
+           CAST(SUM(used) AS BIGINT) AS used_tokens,
+           CAST(SUM(greatest(256 - used, 0)) AS BIGINT) AS waste_tokens,
+           ROUND(SUM(used) * 1.0 / (COUNT(*) * 256), 4) + 0.0 AS fill_pct
+    FROM per_pack GROUP BY bucket
+    """
+
+
+@register("packing_efficiency", _PACK_EFF_ORACLE)
+def q_packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Padding-waste report over the greedy packing (the number a
+    training-infra team actually watches: fill_pct IS the fraction of
+    paid-for sequence positions carrying real tokens). Composes the
+    already-gated pack_sequences output with one per-pack and one
+    per-bucket aggregation; waste clamps at zero for oversized
+    single-doc packs (they overflow the budget by design, they don't
+    pad). fill_pct is one multiply-then-divide so engines agree
+    bit-for-bit before ROUND."""
+    from ..operators.packing import pack_sequences
+
+    docs = load_table(spark, sf_dir, "documents")
+    packed = pack_sequences(
+        docs, "doc_id", F.size(F.split(F.col("text"), " ")),
+        budget=256, n_buckets=8,
+    )
+    per_pack = packed.groupBy("bucket", "pack_id").agg(
+        F.sum("n_tok").cast("long").alias("used")
+    )
+    return per_pack.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_packs"),
+        F.sum("used").cast("long").alias("used_tokens"),
+        F.sum(F.greatest(F.lit(256) - F.col("used"), F.lit(0)))
+        .cast("long")
+        .alias("waste_tokens"),
+        (
+            F.round(
+                F.sum("used") * F.lit(1.0) / (F.count(F.lit(1)) * F.lit(256)), 4
+            )
+            + F.lit(0.0)
+        ).alias("fill_pct"),
+    )
