@@ -446,3 +446,64 @@ def bloom_prune_stats(
         "n_true_matches",
         "n_false_positives",
     )
+
+
+def sampled_quantiles_by_group(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    key_col: str,
+    *,
+    fraction: float = 0.1,
+    quantiles: tuple[float, ...] = (0.5, 0.9),
+    salt: str = "quant",
+) -> DataFrame:
+    """Per-GROUP variant of ``sampled_quantiles``: one row per
+    (group, q) with the hash-sampled estimate, the exact quantile,
+    and the relative error — the per-type latency/value percentile
+    report. Both aggregations group once on ``group_col`` (the only
+    corpus shuffles); the join back is |groups|-sized and NULL-SAFE,
+    so a NULL group (unlabeled events) keeps its quantiles instead of
+    silently dropping out of the report (the NULL-group
+    join-vs-window lesson).
+    """
+    from .sampling import hash_sample
+
+    def per_group(src: DataFrame, prefix: str) -> DataFrame:
+        return src.groupBy(F.col(group_col).alias(f"__{prefix}g")).agg(
+            *[
+                F.percentile(value_col, F.lit(q)).alias(f"__{prefix}{i}")
+                for i, q in enumerate(quantiles)
+            ]
+        )
+
+    est = per_group(hash_sample(df, key_col, fraction, salt=salt), "e")
+    exact = per_group(df, "x")
+    both = est.join(
+        exact, F.col("__eg").eqNullSafe(F.col("__xg")), "full_outer"
+    )
+    packed = F.array(
+        *[
+            F.struct(
+                F.lit(q).cast("double").alias("q"),
+                F.col(f"__e{i}").alias("e"),
+                F.col(f"__x{i}").alias("x"),
+            )
+            for i, q in enumerate(quantiles)
+        ]
+    )
+    return both.select(
+        F.coalesce(F.col("__eg"), F.col("__xg")).alias(group_col),
+        F.explode(packed).alias("r"),
+    ).select(
+        group_col,
+        F.col("r.q").alias("q"),
+        F.round(F.col("r.e"), 2).alias("est"),
+        F.round(F.col("r.x"), 2).alias("exact"),
+        F.when(
+            F.abs(F.col("r.x")) > 0,
+            F.round(
+                F.abs(F.col("r.e") - F.col("r.x")) / F.abs(F.col("r.x")), 4
+            ),
+        ).alias("rel_err"),
+    )

@@ -88,7 +88,8 @@ def oracle_sql() -> dict[str, str]:
 #: token_budget_selection, hybrid_rrf_search, vendas_flagship_sqlapi,
 #: source_lang_chi2, bpe_segment_tokens, doc_length_ks_test,
 #: orders_trailing_revenue, orders_table_checksum, split_leak_audit,
-#: corpus_mixture_entropy, dup_cluster_histogram, packing_efficiency.
+#: corpus_mixture_entropy, dup_cluster_histogram, packing_efficiency,
+#: events_value_quantiles_by_type.
 PRIORITY = [
     # -- reference parity (the deliverable) --
     "vendas_flagship",

@@ -983,3 +983,55 @@ def q_packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.lit(0.0)
         ).alias("fill_pct"),
     )
+
+
+# --- per-group sampled quantiles -------------------------------------------------------
+
+
+def _grouped_quantile_oracle() -> str:
+    thr = _hex_threshold(0.1)
+    rows = "\n    UNION ALL\n".join(
+        f"""
+    SELECT event_type, CAST({q} AS DOUBLE) AS q, ROUND(e{i}, 2) AS est,
+           ROUND(x{i}, 2) AS exact,
+           ROUND(abs(e{i} - x{i}) / nullif(abs(x{i}), 0), 4) AS rel_err
+    FROM j"""
+        for i, q in enumerate((0.5, 0.9))
+    )
+    return f"""
+    WITH samp AS (
+      SELECT event_type, value FROM events
+      WHERE substr(md5('quant' || CAST(event_id AS VARCHAR)), 1, 8) < '{thr}'
+    ), e AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS e0,
+             quantile_cont(value, 0.9) AS e1
+      FROM samp GROUP BY event_type
+    ), x AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS x0,
+             quantile_cont(value, 0.9) AS x1
+      FROM events GROUP BY event_type
+    ), j AS (
+      SELECT COALESCE(e.event_type, x.event_type) AS event_type, e0, e1, x0, x1
+      FROM e FULL OUTER JOIN x ON e.event_type IS NOT DISTINCT FROM x.event_type
+    )
+    {rows}
+    """
+
+
+@register("events_value_quantiles_by_type", _grouped_quantile_oracle())
+def q_events_value_quantiles_by_type(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-event-type p50/p90 of the value column from a 10%
+    deterministic hash sample, with the exact quantile and relative
+    error alongside (operators/sketches.py:sampled_quantiles_by_group)
+    — the per-type latency/value percentile report, and the accuracy
+    experiment in one query. The group join is NULL-SAFE so an
+    unlabeled (NULL-type) stream keeps its quantiles."""
+    from ..operators.sketches import sampled_quantiles_by_group
+
+    ev = load_table(spark, sf_dir, "events")
+    return sampled_quantiles_by_group(
+        ev, "event_type", "value", "event_id",
+        fraction=0.1, quantiles=(0.5, 0.9),
+    )
