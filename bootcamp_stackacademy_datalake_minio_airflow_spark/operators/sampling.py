@@ -348,7 +348,12 @@ def group_split(
     corpus growth. Rows whose group key is NULL get a NULL split,
     visibly, matching the repo-wide NULL-payload convention.
     """
+    # collision-safe temp name: a caller's own column of this name
+    # must not be clobbered then dropped (stratified_quota's __rk
+    # convention)
     gk = "__group_split_key"
+    while gk in df.columns:
+        gk += "_"
     return hash_split(
         df.withColumn(gk, group_key), gk, weights, salt, split_col
     ).drop(gk)
