@@ -383,3 +383,28 @@ def test_ks_two_sample_hand_computed(spark):
         spark.createDataFrame([(1, "b")], "v long, s string"), "v", F.col("s") == "a"
     ).collect()[0]
     assert r3["d_stat"] is None and (r3["n_a"], r3["n_b"]) == (0, 1)
+
+
+def test_table_checksum_order_insensitive_and_change_sensitive(spark, sf_dir):
+    import __spark_entry__ as ep
+
+    q = ep.queries()["orders_table_checksum"]
+    base = q(spark, sf_dir).collect()[0]
+    assert base["n_rows"] > 0 and base["checksum"] != 0
+    # partitioning/order insensitivity: the same rows through a wild
+    # repartition must hash identically (XOR is commutative)
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="cksum-")
+    orders.repartition(17).write.mode("overwrite").parquet(f"{d}/orders.parquet")
+    again = q(spark, d).collect()[0]
+    assert (again["n_rows"], again["checksum"]) == (base["n_rows"], base["checksum"])
+    # change sensitivity: dropping one row flips the checksum
+    first_key = orders.select("o_orderkey").orderBy("o_orderkey").first()[0]
+    orders.filter(F.col("o_orderkey") != first_key).write.mode(
+        "overwrite"
+    ).parquet(f"{d}/orders.parquet")
+    changed = q(spark, d).collect()[0]
+    assert changed["n_rows"] == base["n_rows"] - 1
+    assert changed["checksum"] != base["checksum"]
