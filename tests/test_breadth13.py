@@ -408,3 +408,47 @@ def test_table_checksum_order_insensitive_and_change_sensitive(spark, sf_dir):
     changed = q(spark, d).collect()[0]
     assert changed["n_rows"] == base["n_rows"] - 1
     assert changed["checksum"] != base["checksum"]
+
+
+def test_mixture_entropy_balanced_vs_skewed(spark, tmp_path):
+    import math
+
+    import __spark_entry__ as ep
+
+    q = ep.queries()["corpus_mixture_entropy"]
+    # two sources, equal token mass -> entropy = ln(2)
+    bal = [(1, "s1", "a b c d"), (2, "s2", "e f g h")]
+    spark.createDataFrame(
+        bal, "doc_id long, source string, text string"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    r = q(spark, str(tmp_path)).collect()[0]
+    assert r["n_sources"] == 2 and r["total_tokens"] == 8
+    assert abs(r["entropy"] - round(math.log(2), 4)) < 1e-9
+    # one source takes (almost) everything -> entropy near 0
+    skew = [(1, "s1", "a " * 99 + "a"), (2, "s2", "b")]
+    spark.createDataFrame(
+        skew, "doc_id long, source string, text string"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    r2 = q(spark, str(tmp_path)).collect()[0]
+    assert r2["entropy"] < 0.06
+
+
+def test_dup_cluster_histogram_planted(spark, tmp_path):
+    import __spark_entry__ as ep
+
+    q = ep.queries()["dup_cluster_histogram"]
+    prefix = "p1 p2 p3 p4 p5 p6 p7 p8"
+    rows = (
+        [(i, f"{prefix} tail{i}") for i in range(3)]     # one cluster of 3
+        + [(10, "q1 q2 q3 q4 q5 q6 q7 q8 x"),            # cluster of 2
+           (11, "q1 q2 q3 q4 q5 q6 q7 q8 y")]
+        + [(20, "solo one two three four five six seven")]  # singleton
+        + [(30, None)]                                      # excluded
+    )
+    spark.createDataFrame(
+        rows, "doc_id long, text string"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    hist = {r["cluster_size"]: r for r in q(spark, str(tmp_path)).collect()}
+    assert hist[3]["n_clusters"] == 1 and hist[3]["n_docs"] == 3
+    assert hist[2]["n_clusters"] == 1 and hist[2]["n_docs"] == 2
+    assert hist[1]["n_clusters"] == 1 and hist[1]["n_docs"] == 1
