@@ -56,40 +56,35 @@ def oracle_sql() -> dict[str, str]:
 #: displaced queries stay registered, locally oracle-gated, and
 #: pytest-covered.
 #:
-#: Cumulative driver-hash-checked families after r5: 90 of 161.
-#: r6 rotates the 14 r5-rotation slots (all went green in
-#: CORRECTNESS_r05) for 14 never-window-checked families: VERDICT
-#: r5's named seven (graph_label_propagation, graph_kcore_membership,
-#: activity_interval_overlap, cdc_chunk_dedup, token_zipf_fit,
-#: heaps_law_fit, fuzzy_name_neighbors_k2) plus the queue's next
-#: seven (source_overlap_kmv, token_chunks, phrase_search,
-#: events_ewma_scores, doc_length_outliers, orders_sampled_quantiles,
-#: unpivot_roundtrip).
-#:
-#: r7 rotation queue, in priority order (never-window-checked
-#: families first): orders_ntile_quartiles, doc_char_entropy,
+#: Cumulative driver-hash-checked families after r6: 107 of 182.
+#: r7 rotates the 14 r6-rotation slots (all went green in
+#: CORRECTNESS_r06) for 14 never-window-checked families — VERDICT
+#: r6's named twelve (orders_ntile_quartiles, doc_char_entropy,
 #: basket_association_rules, event_transition_matrix,
 #: events_debounced, k_anonymity_audit, dq_expectations_lineitem,
-#: orders_winsorized_stats, events_imputed_values, tpch_q21_shaped,
-#: bigram_pmi, events_sliding_exact, ann_batch_topk,
-#: mixture_temperature_weights, training_shuffle_topk,
-#: blocklist_filter_stats, incremental_dedup_new_batch,
-#: embedding_int8_quantize, embedding_random_projection,
-#: tfidf_top_source_terms, events_funnel_conversion,
-#: events_hour_baseline, parts_pareto_front, orders_bloom_prune,
-#: embedding_dim_stats, embedding_power_iteration,
-#: events_changepoint, orders_revenue_trend, doc_length_psi,
-#: events_ab_test_z, langid_eval_metrics, orders_key_skew,
-#: dedup_canonical_docs, dedup_ngram_containment_pairs, plus the
-#: families newly registered in r6: lineitem_hot_key_join,
-#: ngram_novelty_scores, dsir_importance_weights,
-#: orders_table_profile, split_leakage_safe, filter_funnel_report,
-#: doc_boilerplate_ratio, contamination_semantic,
-#: token_budget_selection, hybrid_rrf_search, vendas_flagship_sqlapi,
-#: source_lang_chi2, bpe_segment_tokens, doc_length_ks_test,
-#: orders_trailing_revenue, orders_table_checksum, split_leak_audit,
-#: corpus_mixture_entropy, dup_cluster_histogram, packing_efficiency,
-#: events_value_quantiles_by_type.
+#: lineitem_hot_key_join, token_budget_selection, split_leak_audit,
+#: vendas_flagship_sqlapi, orders_table_checksum) plus the queue's
+#: next two (orders_winsorized_stats, events_imputed_values).
+#:
+#: r8 rotation queue, in priority order (never-window-checked
+#: families first): tpch_q21_shaped, bigram_pmi,
+#: events_sliding_exact, ann_batch_topk, mixture_temperature_weights,
+#: training_shuffle_topk, blocklist_filter_stats,
+#: incremental_dedup_new_batch, embedding_int8_quantize,
+#: embedding_random_projection, tfidf_top_source_terms,
+#: events_funnel_conversion, events_hour_baseline,
+#: parts_pareto_front, orders_bloom_prune, embedding_dim_stats,
+#: embedding_power_iteration, events_changepoint,
+#: orders_revenue_trend, doc_length_psi, events_ab_test_z,
+#: langid_eval_metrics, orders_key_skew, dedup_canonical_docs,
+#: dedup_ngram_containment_pairs, ngram_novelty_scores,
+#: dsir_importance_weights, orders_table_profile,
+#: split_leakage_safe, filter_funnel_report, doc_boilerplate_ratio,
+#: contamination_semantic, hybrid_rrf_search, source_lang_chi2,
+#: bpe_segment_tokens, doc_length_ks_test, orders_trailing_revenue,
+#: corpus_mixture_entropy, dup_cluster_histogram,
+#: packing_efficiency, events_value_quantiles_by_type, plus any
+#: families newly registered in r7.
 PRIORITY = [
     # -- reference parity (the deliverable) --
     "vendas_flagship",
@@ -133,22 +128,22 @@ PRIORITY = [
     "user_sessionization",
     "explode_unnest",
     "dq_orphan_lineitems",
-    # -- r6 rotation block: 14 families never driver-checked before —
-    # VERDICT r5's named seven, then the r6 queue's next seven --
-    "graph_label_propagation",
-    "graph_kcore_membership",
-    "activity_interval_overlap",
-    "cdc_chunk_dedup",
-    "token_zipf_fit",
-    "heaps_law_fit",
-    "fuzzy_name_neighbors_k2",
-    "source_overlap_kmv",
-    "token_chunks",
-    "phrase_search",
-    "events_ewma_scores",
-    "doc_length_outliers",
-    "orders_sampled_quantiles",
-    "unpivot_roundtrip",
+    # -- r7 rotation block: 14 families never driver-checked before —
+    # VERDICT r6's named twelve, then the r7 queue's next two --
+    "orders_ntile_quartiles",
+    "doc_char_entropy",
+    "basket_association_rules",
+    "event_transition_matrix",
+    "events_debounced",
+    "k_anonymity_audit",
+    "dq_expectations_lineitem",
+    "lineitem_hot_key_join",
+    "token_budget_selection",
+    "split_leak_audit",
+    "vendas_flagship_sqlapi",
+    "orders_table_checksum",
+    "orders_winsorized_stats",
+    "events_imputed_values",
 ]
 
 _LOADED = False

@@ -72,23 +72,23 @@ def test_priority_window_guard():
     oracles = q.oracle_sql()
     rows_only = [n for n in q.PRIORITY if n not in oracles]
     assert not rows_only, f"rows-only queries occupy window slots: {rows_only}"
-    # r6 rotation block (VERDICT r5 ask #3): the tail slots must hold
+    # r7 rotation block (VERDICT r6 ask #1): the tail slots must hold
     # the promoted never-driver-checked families — a mis-merge that
-    # reverted the rotation would re-check r5's families instead
-    r6_block = [
-        "graph_label_propagation",
-        "graph_kcore_membership",
-        "activity_interval_overlap",
-        "cdc_chunk_dedup",
-        "token_zipf_fit",
-        "heaps_law_fit",
-        "fuzzy_name_neighbors_k2",
-        "source_overlap_kmv",
-        "token_chunks",
-        "phrase_search",
-        "events_ewma_scores",
-        "doc_length_outliers",
-        "orders_sampled_quantiles",
-        "unpivot_roundtrip",
+    # reverted the rotation would re-check r6's families instead
+    r7_block = [
+        "orders_ntile_quartiles",
+        "doc_char_entropy",
+        "basket_association_rules",
+        "event_transition_matrix",
+        "events_debounced",
+        "k_anonymity_audit",
+        "dq_expectations_lineitem",
+        "lineitem_hot_key_join",
+        "token_budget_selection",
+        "split_leak_audit",
+        "vendas_flagship_sqlapi",
+        "orders_table_checksum",
+        "orders_winsorized_stats",
+        "events_imputed_values",
     ]
-    assert q.PRIORITY[-14:] == r6_block, "r6 rotation block not in tail slots"
+    assert q.PRIORITY[-14:] == r7_block, "r7 rotation block not in tail slots"
