@@ -258,6 +258,75 @@ def test_cross_doc_ngram_stats_planted_passage(spark):
     }
 
 
+def test_cross_doc_ngram_stats_planted_skew_equals_window_form(spark):
+    """Adversarial hot-gram fixture (VERDICT r6 ask #2): one boilerplate
+    passage planted in 50% of docs — the exact shape that makes a
+    count-over-gram-partition window unsplittable at scale. The
+    shipped min-owner aggregate form must agree row-for-row with the
+    naive window form on it (including a NULL doc id, which an
+    equi-join would drop), and every per-doc count must match the
+    hand-derived expectation."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+    from bootcamp_stackacademy_datalake_minio_airflow_spark.operators.dedup import (
+        cross_doc_ngram_stats,
+        normalize_text,
+    )
+
+    boiler = " ".join(f"hot{i}" for i in range(9))  # 9 words -> 6 grams at n=4
+    rows = []
+    for d in range(40):
+        uniq = " ".join(f"u{d}w{i}" for i in range(7))  # 7 words -> 4 grams
+        text = f"{boiler} {uniq}" if d % 2 == 0 else uniq
+        rows.append((d, text))
+    rows.append((None, f"{boiler} null-doc only words here"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    got = {r.doc_id: r for r in cross_doc_ngram_stats(df, n=4).collect()}
+
+    # naive window form (r5's implementation) as the semantics oracle
+    n = 4
+    norm = df.filter(F.col("text").isNotNull()).select(
+        F.col("doc_id").alias("__id"),
+        F.split(normalize_text("text"), " ").alias("__w"),
+    )
+    g = (
+        norm.select(
+            "__id",
+            "__w",
+            F.explode(
+                F.sequence(F.lit(1), F.greatest(F.size("__w") - F.lit(n - 1), F.lit(1)))
+            ).alias("__i"),
+        )
+        .select(
+            "__id",
+            F.md5(F.array_join(F.slice(F.col("__w"), F.col("__i"), n), " ")).alias("__g"),
+        )
+        .distinct()
+    )
+    win = {
+        r["__id"]: r
+        for r in g.withColumn(
+            "__df", F.count(F.lit(1)).over(Window.partitionBy("__g"))
+        )
+        .groupBy("__id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum((F.col("__df") > 1).cast("long")).alias("n_shared"),
+        )
+        .collect()
+    }
+    assert set(got) == set(win)
+    for k in got:
+        assert (got[k].n_grams, got[k].n_shared) == (win[k].n_grams, win[k].n_shared), k
+    # hand-derived spot checks: an even doc has 6 boiler grams + 4 uniq
+    # grams + 3 straddling grams = 13; only the 6 pure-boiler grams are
+    # cross-doc shared. Odd docs are fully unique.
+    assert (got[0].n_grams, got[0].n_shared) == (13, 6)
+    assert (got[1].n_grams, got[1].n_shared) == (4, 0)
+    assert got[None].n_shared == 6  # NULL id survives the doc-level join
+
+
 def test_canonical_docs_picks_best_quality_per_group(spark):
     from bootcamp_stackacademy_datalake_minio_airflow_spark.operators.dedup import canonical_docs
     from pyspark.sql import functions as F
