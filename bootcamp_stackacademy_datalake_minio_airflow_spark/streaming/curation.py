@@ -27,6 +27,7 @@ from pyspark.sql.streaming import StreamingQuery
 from pyspark.sql.types import StructType
 
 from ..operators.funnel import SURVIVOR, funnel_attribution, funnel_report_from_counts
+from .bounds import bounded_collect
 
 
 def stream_funnel_monitor(
@@ -56,7 +57,13 @@ def stream_funnel_monitor(
     report: list = []
 
     def _apply(batch_df: DataFrame, _batch_id: int) -> None:
-        for r in batch_df.collect():  # bounded: ≤ |rules|+1 rows
+        # bounded: ≤ |rules|+1 rows (one per rule plus the survivor
+        # marker) — and ENFORCED: a grouping regression raises instead
+        # of growing driver state
+        rows = bounded_collect(
+            batch_df, len(rules) + 1, "stream_funnel_monitor rule-counts batch"
+        )
+        for r in rows:
             state[r["rule"]] = r["n_killed"]
         snap = spark.createDataFrame(
             [(k, v) for k, v in state.items()], "rule string, n_killed long"

@@ -32,6 +32,7 @@ from pyspark.sql.types import (
 )
 
 from ..operators.analytics import psi_bucket_counts, psi_from_counts
+from .bounds import bounded_collect
 
 DOCS_SCHEMA = StructType(
     [
@@ -73,7 +74,13 @@ def stream_psi_monitor(
     report: list = []
 
     def _apply(batch_df: DataFrame, _batch_id: int) -> None:
-        for r in batch_df.collect():  # bounded: <= n_buckets rows
+        # bounded: <= n_buckets rows (psi_bucket_counts clamps the bucket
+        # id to [0, n_buckets-1] on both ends) — and ENFORCED: a clamp
+        # regression raises instead of growing driver state
+        rows = bounded_collect(
+            batch_df, n_buckets, "stream_psi_monitor bucket-counts batch"
+        )
+        for r in rows:
             state[r["bucket"]] = (r["n_a"], r["n_b"])
         snap = spark.createDataFrame(
             [(b, na, nb) for b, (na, nb) in state.items()], COUNTS_SCHEMA

@@ -33,6 +33,7 @@ from pyspark.sql.types import (
 )
 
 from ..operators.temporal import score_hourly_rates
+from .bounds import bounded_collect
 from .windows import EVENTS_SCHEMA
 
 HOURLY_SCHEMA = StructType(
@@ -67,6 +68,7 @@ def stream_rate_monitor(
     lookback: int = 24,
     z_cutoff: float = 2.5,
     max_files_per_trigger: int = 8,
+    state_budget: int = 200_000,
 ) -> tuple[StreamingQuery, list]:
     """Start the monitor; returns ``(query, alerts)`` where ``alerts``
     is re-assigned after every micro-batch with the CURRENT anomaly
@@ -93,8 +95,20 @@ def stream_rate_monitor(
     alerts: list = []
 
     def _apply(batch_df: DataFrame, _batch_id: int) -> None:
-        for r in batch_df.collect():  # bounded: |types| x |hours revised|
+        # bounded: |types| x |hours revised| — and ENFORCED: a cardinality
+        # blow-up (e.g. a high-cardinality type column) raises instead of
+        # growing driver state without limit
+        rows = bounded_collect(
+            batch_df, state_budget, "stream_rate_monitor hourly-counts batch"
+        )
+        for r in rows:
             state[(r["event_type"], r["hour_ts"])] = r["n_events"]
+        if len(state) > state_budget:
+            raise RuntimeError(
+                "stream_rate_monitor: accumulated hourly-count state "
+                f"exceeds state_budget={state_budget} keys; raise the "
+                "budget or move the accumulator to a parquet/Delta upsert"
+            )
         snap = spark.createDataFrame(
             [(t, h, n) for (t, h), n in state.items()], HOURLY_SCHEMA
         )
