@@ -383,6 +383,60 @@ def char_stats(
     return ratios.join(ent, id_col, "left")
 
 
+def unigram_cross_entropy(
+    df: "DataFrame",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_to: int = 4,
+) -> "DataFrame":
+    """Per-document cross-entropy (bits/token) under the corpus's own
+    unigram language model — the perplexity-style quality signal of
+    the CCNet / Wenzek et al. 2020 filtering recipe, with the corpus
+    itself as the LM: documents whose token distribution diverges from
+    the corpus (gibberish, boilerplate lists, wrong language) score
+    high; middle-of-distribution prose scores low. Emits
+    ``(id, n_tokens, cross_entropy)`` where cross_entropy =
+    -sum(c_w * log2(tf_w / N)) / n_tokens over the doc's terms.
+
+    Scale shape (100 TB): token instances reduce to per-(doc, term)
+    counts BEFORE any join, so the join traffic is |doc x distinct
+    term| rows, not token instances; the vocab table is one further
+    partial-aggregated groupBy of those counts (linear in vocab, not
+    stream); hot terms (stopwords are the hottest keys in any corpus)
+    hit an AQE-splittable equi-join, never a window; the corpus total
+    is a broadcast one-row crossJoin. Blank/NULL docs are excluded —
+    they have no tokens and no entropy (repo-wide NULL-payload
+    convention).
+    """
+    toks = (
+        df.filter(F.col(text_col).isNotNull())
+        .filter(F.length(F.trim(F.col(text_col))) > 0)
+        .select(F.col(id_col).alias("__id"), F.explode(tokens(text_col)).alias("__w"))
+    )
+    dw = toks.groupBy("__id", "__w").agg(F.count(F.lit(1)).alias("__c"))
+    vocab = dw.groupBy("__w").agg(F.sum("__c").alias("__tf"))
+    total = vocab.agg(F.sum("__tf").alias("__n"))
+    return (
+        dw.join(vocab, "__w")
+        .crossJoin(F.broadcast(total))
+        .groupBy("__id")
+        .agg(
+            F.sum("__c").cast("long").alias("n_tokens"),
+            # ROUND(x, r) + 0.0 normalizes IEEE -0.0 (a one-token
+            # corpus has p=1, log2=0, and the negated sum is -0.0)
+            (
+                F.round(
+                    -F.sum(F.col("__c") * F.log2(F.col("__tf") / F.col("__n")))
+                    / F.sum("__c"),
+                    round_to,
+                )
+                + F.lit(0.0)
+            ).alias("cross_entropy"),
+        )
+        .select(F.col("__id").alias(id_col), "n_tokens", "cross_entropy")
+    )
+
+
 def blocklist_stats(
     df,
     text_col: str,

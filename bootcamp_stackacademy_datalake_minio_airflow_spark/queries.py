@@ -83,8 +83,8 @@ def oracle_sql() -> dict[str, str]:
 #: contamination_semantic, hybrid_rrf_search, source_lang_chi2,
 #: bpe_segment_tokens, doc_length_ks_test, orders_trailing_revenue,
 #: corpus_mixture_entropy, dup_cluster_histogram,
-#: packing_efficiency, events_value_quantiles_by_type, plus any
-#: families newly registered in r7.
+#: packing_efficiency, events_value_quantiles_by_type, plus the
+#: families newly registered in r7 (doc_unigram_cross_entropy, ...).
 PRIORITY = [
     # -- reference parity (the deliverable) --
     "vendas_flagship",
@@ -172,6 +172,7 @@ def _ensure_loaded() -> None:
         breadth11,
         breadth12,
         breadth13,
+        breadth14,
         extensions,
     )
 

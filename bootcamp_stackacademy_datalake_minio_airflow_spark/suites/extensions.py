@@ -1302,10 +1302,17 @@ def q_sliding_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- IVF ANN (KMeans coarse quantizer; ML pipeline -> rows-only check) -------
+# --- IVF ANN (KMeans coarse quantizer) --------------------------------------
+# NOT registered (VERDICT r6 ask #3): the KMeans-trained probe is not
+# SQL-replayable and its recall on the ~random testdata embeddings sits
+# at n_probe/n_lists (measured 0.4-0.8 across SFs), too close to any
+# boolean floor for a stable hash gate — so the registry carries only
+# the seeded twin (embedding_ivf_recall), which replays the ENTIRE IVF
+# pipeline in DuckDB. The trained path stays covered by pytest
+# (tests/test_similarity.py: planted-neighbor recall >= 0.8, index
+# build-once cache), which asserts on planted structure a hash cannot.
 
 
-@register("embedding_ivf_topk", None)
 def q_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import ivf_index, ivf_topk
 

@@ -52,6 +52,30 @@ def test_quality_score_bounds(spark, sf_dir):
     assert 0.0 <= mm.lo <= mm.hi <= 1.0
 
 
+def test_unigram_cross_entropy_hand_computed(spark):
+    """Hand-derived corpus: tf(a)=2, tf(b)=2, tf(c)=1, N=5.
+    d1 = 'a a b' -> -(3*log2(2/5))/3 = 1.3219 bits/token;
+    d2 = 'b c'  -> -(log2(2/5)+log2(1/5))/2 = 1.8219.
+    Blank and NULL docs are excluded rows, not zero rows."""
+    import math
+
+    from bootcamp_stackacademy_datalake_minio_airflow_spark.operators.text import unigram_cross_entropy
+
+    df = spark.createDataFrame(
+        [(1, "A  a b"), (2, "b c"), (3, "   "), (4, None)],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in unigram_cross_entropy(df).collect()}
+    assert set(got) == {1, 2}
+    assert (got[1].n_tokens, got[1].cross_entropy) == (3, 1.3219)
+    assert (got[2].n_tokens, got[2].cross_entropy) == (2, 1.8219)
+    # single-token corpus: p=1 -> exactly 0.0, and POSITIVE zero (the
+    # negated sum lands on -0.0 without the +0.0 normalization)
+    one = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    v = unigram_cross_entropy(one).first().cross_entropy
+    assert v == 0.0 and math.copysign(1.0, v) > 0
+
+
 def test_fingerprint_normalization_invariance(spark):
     df = spark.createDataFrame([("Hello  World",), ("hello world",)], "t string")
     fps = [r.fp for r in df.select(fingerprint("t").alias("fp")).collect()]
