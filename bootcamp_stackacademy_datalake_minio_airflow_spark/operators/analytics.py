@@ -412,23 +412,43 @@ def key_skew_profile(
 
     The corpus collapses to |keys| counts in one map-side-combined
     shuffle; the Gini coefficient is the exact sorted form
-    G = 2*sum(i*x_i)/(n*sum(x)) - (n+1)/n via one rank window over
-    the (already tiny) per-key table. Integer sums divided once keep
+    G = 2*sum(i*x_i)/(n*sum(x)) - (n+1)/n, but computed WITHOUT
+    ranking the per-key table: keys sharing a count value v occupy a
+    CONSECUTIVE rank range (ties break on the key, which doesn't
+    change the set of ranks), so their rank-sum is closed-form —
+    sum(i over the m_v keys) = m_v*s_v + m_v(m_v+1)/2 where s_v =
+    #keys with smaller counts. The only window therefore runs over
+    the DISTINCT count-value table (|distinct multiplicities| rows —
+    hundreds even when |keys| is billions; the r6 form ranked every
+    key in one unpartitioned window, a single-task sort of the whole
+    key table at 100 TB). The percentiles use the same weighted
+    table via percentile(v, p, m). Integer sums divided once keep
     the doubles bit-identical cross-engine."""
     freq = df.groupBy(F.col(key_col).alias("k")).agg(
         F.count("*").cast("long").alias("n")
     )
-    w = Window.orderBy(F.col("n"), F.col("k"))
-    ranked = freq.select(
-        "n", F.row_number().over(w).cast("long").alias("i")
+    byv = freq.groupBy("n").agg(F.count("*").cast("long").alias("__m"))
+    # strict-prefix key count over distinct count values ascending —
+    # inherent global order, provably bounded frame (see docstring)
+    w = Window.orderBy(F.col("n")).rowsBetween(Window.unboundedPreceding, -1)
+    ranked = byv.select(
+        "n",
+        "__m",
+        F.coalesce(F.sum("__m").over(w), F.lit(0)).cast("long").alias("__s"),
     )
     return ranked.agg(
-        F.count("*").cast("long").alias("n_keys"),
-        F.sum("n").cast("long").alias("n_rows"),
+        # coalesce: SUM over zero rows is NULL where the old COUNT(*)
+        # form reported 0 — keep the empty-input contract (n_keys = 0)
+        F.coalesce(F.sum("__m"), F.lit(0)).cast("long").alias("n_keys"),
+        F.sum(F.col("n") * F.col("__m")).cast("long").alias("n_rows"),
         F.max("n").cast("long").alias("max_n"),
-        F.expr("percentile(n, 0.5)").alias("__p50"),
-        F.expr("percentile(n, 0.99)").alias("__p99"),
-        F.sum(F.col("i") * F.col("n")).cast("long").alias("__in"),
+        F.expr("percentile(n, 0.5, __m)").alias("__p50"),
+        F.expr("percentile(n, 0.99, __m)").alias("__p99"),
+        # integer end-to-end: m(m+1) is even, `div` keeps the rank-sum
+        # exact past 2^53 where a double intermediate would mis-round
+        F.sum(
+            F.expr("n * (__m * __s + (__m * (__m + 1L)) div 2)")
+        ).cast("long").alias("__in"),
     ).select(
         "n_keys",
         "n_rows",
