@@ -73,6 +73,30 @@ def main() -> None:
     warm_dir = os.environ.get("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
     timings: dict[str, float] = {}
     warm_timings: dict[str, float] = {}
+
+    # The graph family shares one per-process edge projection
+    # (suites/graph_shared.py); without this line the build cost lands
+    # on whichever graph query runs FIRST in suite order, making it
+    # look like the slowest query (VERDICT r6 ask #7). Fill the cache
+    # here, timed as its own entry, so the four graph queries report
+    # their marginal cost; the "warm" number is the cache-hit lookup.
+    from bootcamp_stackacademy_datalake_minio_airflow_spark.suites.graph_shared import (
+        part_cooccurrence_edges,
+    )
+
+    try:
+        part_cooccurrence_edges(spark, warm_dir)  # untimed warm-up lake fill
+        t0 = time.perf_counter()
+        part_cooccurrence_edges(spark, sf_dir)
+        timings["graph_edge_build"] = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        part_cooccurrence_edges(spark, sf_dir)
+        warm_timings["graph_edge_build"] = round(time.perf_counter() - t0, 3)
+    except Exception as e:  # noqa: BLE001
+        print(f"bench error in graph_edge_build: {e}", file=sys.stderr)
+        timings["graph_edge_build"] = -1.0
+        warm_timings["graph_edge_build"] = -1.0
+
     warmups_ok = 0
     for name, fn in qs.items():
         # untimed JIT/codegen warm-up at the tiny SF (see module
@@ -108,8 +132,9 @@ def main() -> None:
 
     # drift guard: every registered query must appear in the loop —
     # a silently vanished query would read as a faster suite
-    assert len(timings) == len(qs), (
-        f"bench covered {len(timings)} of {len(qs)} registered queries"
+    # (+1: the synthetic graph_edge_build line)
+    assert len(timings) == len(qs) + 1, (
+        f"bench covered {len(timings) - 1} of {len(qs)} registered queries"
     )
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     warm_total = round(sum(t for t in warm_timings.values() if t >= 0), 3)
