@@ -1184,3 +1184,62 @@ def canonical_docs(
             (F.col("__best.q") + F.lit(0.0)).alias("quality"),
         )
     )
+
+
+def source_copy_matrix(
+    df: DataFrame,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Exact inter-source duplication matrix: for every unordered
+    source pair, how many DISTINCT normalized-text fingerprints occur
+    in both sources — the "which sources mirror which" curation
+    diagnostic (crawl snapshots, mirrored wikis, re-crawled domains),
+    and the exact ground truth that ``source_overlap_kmv``'s bottom-k
+    sketch approximates at 100 TB.
+
+    Emits ``(source_a, source_b, n_shared)`` with source_a < source_b,
+    pairs with zero overlap omitted. NULL texts and NULL sources are
+    excluded (repo-wide NULL-payload convention; a NULL source names
+    no corpus to attribute the copy to).
+
+    Scale shape: distinct (fingerprint, source) first (map-side
+    combined, the only corpus-sized exchange), then per-fingerprint
+    source SETS — bounded by |sources|, dozens not billions — whose
+    in-row pair expansion is pure codegen (no self-join of the
+    fingerprint stream; the naive fp x fp equi-join squares the hot
+    boilerplate fingerprints this operator exists to expose). The
+    final pair count aggregates |sources|^2 keys at most.
+    """
+    fps = (
+        df.filter(F.col(text_col).isNotNull() & F.col(source_col).isNotNull())
+        .select(
+            F.md5(normalize_text(text_col)).alias("__fp"),
+            F.col(source_col).alias("__src"),
+        )
+        .distinct()
+    )
+    sets = fps.groupBy("__fp").agg(
+        F.sort_array(F.collect_set("__src")).alias("__ss")
+    )
+    # all i<j combos of the (sorted, bounded) per-fingerprint source
+    # set, built in-row: __ss is a materialized agg column, so the
+    # nested transform cannot re-trigger upstream work (the
+    # per-element re-evaluation trap applies to expression chains,
+    # not concrete columns)
+    pairs = sets.filter(F.size("__ss") > 1).select(
+        F.explode(
+            F.expr(
+                "flatten(transform(__ss, (x, i) ->"
+                " transform(slice(__ss, i + 2, size(__ss)),"
+                " y -> struct(x AS source_a, y AS source_b))))"
+            )
+        ).alias("__p")
+    )
+    return (
+        pairs.groupBy(
+            F.col("__p.source_a").alias("source_a"),
+            F.col("__p.source_b").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+    )

@@ -437,6 +437,68 @@ def unigram_cross_entropy(
     )
 
 
+def bigram_cross_entropy(
+    df: "DataFrame",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_to: int = 4,
+) -> "DataFrame":
+    """Per-document conditional-bigram cross-entropy (bits/bigram)
+    under the corpus's own bigram LM — the order-sensitive companion
+    of ``unigram_cross_entropy``: shuffled or templated word salad can
+    match the corpus unigram distribution exactly while its bigrams
+    are improbable, and vice versa for boilerplate. For each bigram
+    instance, p(w2|w1) = count(w1 w2) / count(w1 ·) where the context
+    count is over non-final positions; CE = -avg log2 p over the
+    doc's bigram instances. Emits ``(id, n_bigrams, cross_entropy)``;
+    docs with fewer than two tokens have no bigrams and no row.
+
+    Scale shape: bigram instances reduce to per-(doc, bigram) counts
+    before any join; the corpus bigram and context tables are further
+    partial aggregates of those counts; the two equi-joins are on
+    bigram/context keys where hot keys (function-word pairs) are
+    AQE-splittable. No windows, no driver state.
+    """
+    words = (
+        df.filter(F.col(text_col).isNotNull())
+        .filter(F.length(F.trim(F.col(text_col))) > 0)
+        .select(
+            F.col(id_col).alias("__id"),
+            F.split(normalize_text(text_col), " ").alias("__w"),
+        )
+        .filter(F.size("__w") >= 2)
+    )
+    big = words.select(
+        "__id",
+        "__w",
+        F.explode(F.sequence(F.lit(1), F.size("__w") - 1)).alias("__i"),
+    ).select(
+        "__id",
+        F.element_at("__w", F.col("__i")).alias("__w1"),
+        F.element_at("__w", F.col("__i") + 1).alias("__w2"),
+    )
+    dw = big.groupBy("__id", "__w1", "__w2").agg(F.count(F.lit(1)).alias("__c"))
+    cb = dw.groupBy("__w1", "__w2").agg(F.sum("__c").alias("__nb"))
+    c1 = cb.groupBy("__w1").agg(F.sum("__nb").alias("__n1"))
+    return (
+        dw.join(cb, ["__w1", "__w2"])
+        .join(c1, "__w1")
+        .groupBy("__id")
+        .agg(
+            F.sum("__c").cast("long").alias("n_bigrams"),
+            (
+                F.round(
+                    -F.sum(F.col("__c") * F.log2(F.col("__nb") / F.col("__n1")))
+                    / F.sum("__c"),
+                    round_to,
+                )
+                + F.lit(0.0)
+            ).alias("cross_entropy"),
+        )
+        .select(F.col("__id").alias(id_col), "n_bigrams", "cross_entropy")
+    )
+
+
 def blocklist_stats(
     df,
     text_col: str,

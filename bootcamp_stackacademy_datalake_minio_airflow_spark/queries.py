@@ -84,7 +84,9 @@ def oracle_sql() -> dict[str, str]:
 #: bpe_segment_tokens, doc_length_ks_test, orders_trailing_revenue,
 #: corpus_mixture_entropy, dup_cluster_histogram,
 #: packing_efficiency, events_value_quantiles_by_type, plus the
-#: families newly registered in r7 (doc_unigram_cross_entropy, ...).
+#: families newly registered in r7 (doc_unigram_cross_entropy,
+#: doc_bigram_cross_entropy, source_copy_matrix,
+#: tokenizer_fertility_by_lang).
 PRIORITY = [
     # -- reference parity (the deliverable) --
     "vendas_flagship",

@@ -17,6 +17,7 @@ term has corpus probability 1 lands exactly on -0.0).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..operators.text import unigram_cross_entropy
@@ -49,3 +50,131 @@ _UNIGRAM_CE_ORACLE = rf"""
 def q_unigram_cross_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return unigram_cross_entropy(docs, "doc_id", "text")
+
+
+# --- conditional-bigram LM cross-entropy ------------------------------------
+
+_BIGRAM_CE_ORACLE = rf"""
+    WITH norm AS (
+      SELECT doc_id, string_split({_NORM_SQL}, ' ') AS w
+      FROM documents
+      WHERE text IS NOT NULL AND length(trim(text)) > 0
+    ), big AS (
+      SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
+      FROM (
+        SELECT doc_id, w, unnest(range(1, len(w))) AS i
+        FROM norm WHERE len(w) >= 2
+      )
+    ), dw AS (
+      SELECT doc_id, w1, w2, COUNT(*) AS c FROM big GROUP BY 1, 2, 3
+    ), cb AS (
+      SELECT w1, w2, CAST(SUM(c) AS BIGINT) AS nb FROM dw GROUP BY 1, 2
+    ), c1 AS (
+      SELECT w1, CAST(SUM(nb) AS BIGINT) AS n1 FROM cb GROUP BY 1
+    )
+    SELECT dw.doc_id,
+           CAST(SUM(dw.c) AS BIGINT) AS n_bigrams,
+           ROUND(-SUM(dw.c * log2(cb.nb / CAST(c1.n1 AS DOUBLE)))
+                 / SUM(dw.c), 4) + 0.0 AS cross_entropy
+    FROM dw JOIN cb USING (w1, w2) JOIN c1 USING (w1)
+    GROUP BY 1
+    """
+
+
+@register("doc_bigram_cross_entropy", _BIGRAM_CE_ORACLE)
+def q_bigram_cross_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive companion of the unigram signal: shuffled word
+    salad matches the unigram distribution but not the bigram one
+    (operators/text.py:bigram_cross_entropy)."""
+    from ..operators.text import bigram_cross_entropy
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bigram_cross_entropy(docs, "doc_id", "text")
+
+
+# --- exact inter-source duplication matrix ----------------------------------
+
+_COPY_MATRIX_ORACLE = rf"""
+    WITH fp AS (
+      SELECT DISTINCT md5({_NORM_SQL}) AS f, source
+      FROM documents
+      WHERE text IS NOT NULL AND source IS NOT NULL
+    )
+    SELECT a.source AS source_a, b.source AS source_b,
+           CAST(COUNT(*) AS BIGINT) AS n_shared
+    FROM fp a JOIN fp b ON a.f = b.f AND a.source < b.source
+    GROUP BY 1, 2
+    """
+
+
+@register("source_copy_matrix", _COPY_MATRIX_ORACLE)
+def q_source_copy_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact which-source-mirrors-which matrix — the ground truth that
+    source_overlap_kmv's bottom-k sketch approximates at 100 TB
+    (operators/dedup.py:source_copy_matrix: per-fingerprint source
+    SETS expanded in-row, never an fp x fp self-join)."""
+    from ..operators.dedup import source_copy_matrix
+
+    docs = load_table(spark, sf_dir, "documents")
+    return source_copy_matrix(docs, "text", "source")
+
+
+# --- tokenizer fertility by language ----------------------------------------
+
+_FERTILITY_ORACLE = r"""
+    WITH t AS (
+      SELECT lang,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(string_split(
+                         regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
+                         ' '))
+             END AS n_words,
+             len(regexp_extract_all(
+                   regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
+                   '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS n_pieces
+      FROM documents WHERE text IS NOT NULL
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_words) AS BIGINT) AS n_words,
+           CAST(SUM(n_pieces) AS BIGINT) AS n_pieces,
+           CASE WHEN SUM(n_words) > 0 THEN
+             ROUND(SUM(n_pieces) / CAST(SUM(n_words) AS DOUBLE), 4) + 0.0
+           END AS fertility
+    FROM t GROUP BY lang
+    """
+
+
+@register("tokenizer_fertility_by_lang", _FERTILITY_ORACLE)
+def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subword pieces per whitespace word, per language — the
+    tokenizer-budget diagnostic that decides how many TOKENS a
+    language's documents actually cost (fertility ~3x between scripts
+    is the multilingual-budget trap). Pure column expressions + one
+    group agg; the piece counter is the BPE-ish proxy
+    (operators/text.py:bpeish_token_count, tokenizer libs are
+    env-absent). NULL langs group as one key (no join, both engines
+    agree); an all-blank group reports NULL fertility, not a
+    divide-by-zero."""
+    from ..operators.text import bpeish_token_count, token_count
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    per_doc = docs.select(
+        "lang",
+        token_count("text").alias("__nw"),
+        bpeish_token_count("text").alias("__np"),
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("__nw").cast("long").alias("n_words"),
+        F.sum("__np").cast("long").alias("n_pieces"),
+        F.when(
+            F.sum("__nw") > 0,
+            F.round(
+                F.sum("__np") / F.sum("__nw").cast("double"), 4
+            )
+            + F.lit(0.0),
+        ).alias("fertility"),
+    )

@@ -327,6 +327,33 @@ def test_cross_doc_ngram_stats_planted_skew_equals_window_form(spark):
     assert got[None].n_shared == 6  # NULL id survives the doc-level join
 
 
+def test_source_copy_matrix_planted_overlaps(spark):
+    """The sf0.01 gate lake happens to have ZERO cross-source exact
+    dups (the registered query hash-matches on an empty result), so
+    the pair semantics are pinned here on planted structure: a
+    fingerprint in 3 sources yields all 3 unordered pairs, a 2-source
+    fingerprint 1 pair, and same-source duplicates yield NONE."""
+    from bootcamp_stackacademy_datalake_minio_airflow_spark.operators.dedup import source_copy_matrix
+
+    rows = [
+        (1, "Shared  Everywhere", "s1"),
+        (2, "shared everywhere", "s2"),
+        (3, "SHARED EVERYWHERE", "s3"),   # fp X in s1, s2, s3
+        (4, "pairwise only", "s1"),
+        (5, "Pairwise Only", "s2"),       # fp Y in s1, s2
+        (6, "intra dup", "s1"),
+        (7, "intra dup", "s1"),           # fp Z twice in s1 -> no pair
+        (8, None, "s2"),                  # NULL text excluded
+        (9, "orphan", None),              # NULL source excluded
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {
+        (r.source_a, r.source_b): r.n_shared
+        for r in source_copy_matrix(df).collect()
+    }
+    assert got == {("s1", "s2"): 2, ("s1", "s3"): 1, ("s2", "s3"): 1}
+
+
 def test_canonical_docs_picks_best_quality_per_group(spark):
     from bootcamp_stackacademy_datalake_minio_airflow_spark.operators.dedup import canonical_docs
     from pyspark.sql import functions as F

@@ -76,6 +76,28 @@ def test_unigram_cross_entropy_hand_computed(spark):
     assert v == 0.0 and math.copysign(1.0, v) > 0
 
 
+def test_bigram_cross_entropy_hand_computed(spark):
+    """Corpus: d1='a b c', d2='a b b' -> cb(a,b)=2, cb(b,c)=1,
+    cb(b,b)=1; contexts a=2, b=2. Both docs: -(0 + log2(1/2))/2 = 0.5.
+    A one-token doc has no bigrams and NO row. A corpus where every
+    bigram has p=1 lands on POSITIVE zero (the +0.0 normalization)."""
+    import math
+
+    from bootcamp_stackacademy_datalake_minio_airflow_spark.operators.text import bigram_cross_entropy
+
+    df = spark.createDataFrame(
+        [(1, "A b  c"), (2, "a b b"), (3, "x"), (4, None)],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in bigram_cross_entropy(df).collect()}
+    assert set(got) == {1, 2}
+    assert (got[1].n_bigrams, got[1].cross_entropy) == (2, 0.5)
+    assert (got[2].n_bigrams, got[2].cross_entropy) == (2, 0.5)
+    one = spark.createDataFrame([(1, "x y")], "doc_id long, text string")
+    v = bigram_cross_entropy(one).first().cross_entropy
+    assert v == 0.0 and math.copysign(1.0, v) > 0
+
+
 def test_fingerprint_normalization_invariance(spark):
     df = spark.createDataFrame([("Hello  World",), ("hello world",)], "t string")
     fps = [r.fp for r in df.select(fingerprint("t").alias("fp")).collect()]
