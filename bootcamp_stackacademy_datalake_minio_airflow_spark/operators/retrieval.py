@@ -440,3 +440,86 @@ def rrf_fuse(
         ).alias("rrf_score"),
     )
     return fused.orderBy(F.desc("rrf_score"), F.asc(id_col)).limit(topk)
+
+
+def ndcg_at_k(
+    docs: DataFrame,
+    terms: list[str],
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 10,
+    round_to: int = 4,
+) -> DataFrame:
+    """nDCG@k of the BM25 ranking against a deterministic graded
+    relevance — the ranking-quality metric the retrieval family was
+    missing (classification_report covers label tasks; nothing graded
+    ranked lists). Relevance gold: ``rel(d) = |query terms present in
+    d|`` (0..|terms|) — the standard term-overlap grade when no human
+    judgments exist, and deterministic so an independent engine
+    replays it. Emits ONE row ``(k, dcg, idcg, ndcg)`` with
+    DCG = Σ_pos (2^rel − 1) / log2(pos + 1).
+
+    Scale shape: the ranked arm is bm25_topk (corpus shuffle only on
+    query-term postings, then TakeOrdered k); its relevance join
+    broadcasts k rows against the corpus scan. The ideal arm needs
+    only the TOP-k relevance grades — orderBy+limit compiles to
+    TakeOrderedAndProject, never a global sort — and tie order cannot
+    change IDCG (tied grades contribute identical terms whichever doc
+    takes the position). An empty corpus yields NULL dcg/idcg/ndcg
+    (SUM over nothing) on both engines; idcg = 0 (all-irrelevant
+    corpus) guards the division to NULL rather than raising.
+    """
+    base = docs.filter(
+        F.col(text_col).isNotNull() & (F.length(F.trim(F.col(text_col))) > 0)
+    ).select(
+        F.col(id_col).alias("__id"),
+        F.size(
+            F.array_intersect(
+                F.array_distinct(F.split(normalize_text(text_col), " ")),
+                F.array(*[F.lit(t.strip().lower()) for t in terms]),
+            )
+        ).alias("__rel"),
+    )
+    ranked = bm25_topk(docs, terms, id_col=id_col, text_col=text_col, k=k).select(
+        F.col(id_col).alias("__id"), "score"
+    )
+    # position over the k-row (post-limit) result — bounded frame
+    wpos = Window.orderBy(F.desc("score"), F.asc("__id"))
+    pos = ranked.select("__id", F.row_number().over(wpos).alias("__pos"))
+    # broadcast the k-row ranked side against the corpus scan
+    dcg = (
+        base.join(F.broadcast(pos), "__id")
+        .agg(
+            F.sum(
+                (F.pow(F.lit(2.0), F.col("__rel")) - 1)
+                / F.log2(F.col("__pos") + 1)
+            ).alias("__dcg")
+        )
+    )
+    ideal = base.orderBy(F.desc("__rel"), F.asc("__id")).limit(k)
+    wideal = Window.orderBy(F.desc("__rel"), F.asc("__id"))
+    idcg = (
+        ideal.select("__rel", F.row_number().over(wideal).alias("__pos"))
+        .agg(
+            F.sum(
+                (F.pow(F.lit(2.0), F.col("__rel")) - 1)
+                / F.log2(F.col("__pos") + 1)
+            ).alias("__idcg")
+        )
+    )
+    return (
+        dcg.crossJoin(F.broadcast(idcg))
+        .select(
+            F.lit(k).alias("k"),
+            (F.round("__dcg", round_to) + F.lit(0.0)).alias("dcg"),
+            (F.round("__idcg", round_to) + F.lit(0.0)).alias("idcg"),
+            (
+                F.when(
+                    F.col("__idcg") > 0,
+                    F.round(F.col("__dcg") / F.col("__idcg"), round_to)
+                    + F.lit(0.0),
+                )
+            ).alias("ndcg"),
+        )
+    )

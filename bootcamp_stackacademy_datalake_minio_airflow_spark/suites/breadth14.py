@@ -119,6 +119,77 @@ def q_source_copy_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return source_copy_matrix(docs, "text", "source")
 
 
+# --- nDCG@10 of the BM25 ranking --------------------------------------------
+
+_NDCG_ORACLE = rf"""
+    WITH base AS (
+      SELECT doc_id, string_split({_NORM_SQL}, ' ') AS toks
+      FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0
+    ), dls AS (
+      SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM base
+    ), stats AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, AVG(dl) AS avgdl FROM dls
+    ), tf AS (
+      SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf
+      FROM (SELECT doc_id, unnest(toks) AS term FROM base)
+      WHERE term IN ('spark', 'hash', 'window', 'merge')
+      GROUP BY doc_id, term
+    ), dfq AS (
+      SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY term
+    ), idf AS (
+      SELECT term, ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) AS idf
+      FROM dfq CROSS JOIN stats
+    ), bm AS (
+      SELECT tf.doc_id,
+             ROUND(SUM(idf.idf * (tf.tf * 2.2)
+                       / (tf.tf + 1.2 * (0.25 + 0.75 * dls.dl / stats.avgdl))),
+                   4) AS score
+      FROM tf
+      JOIN idf ON tf.term = idf.term
+      JOIN dls ON tf.doc_id = dls.doc_id
+      CROSS JOIN stats
+      GROUP BY tf.doc_id
+      ORDER BY score DESC, tf.doc_id
+      LIMIT 10
+    ), ranked AS (
+      SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS pos
+      FROM bm
+    ), rel AS (
+      SELECT doc_id,
+             len(list_intersect(list_distinct(toks),
+                                ['spark', 'hash', 'window', 'merge'])) AS rel
+      FROM base
+    ), dcg AS (
+      SELECT SUM((pow(2.0, rel) - 1) / log2(pos + 1)) AS dcg
+      FROM ranked JOIN rel USING (doc_id)
+    ), ideal AS (
+      SELECT rel, ROW_NUMBER() OVER (ORDER BY rel DESC, doc_id) AS pos
+      FROM rel ORDER BY rel DESC, doc_id LIMIT 10
+    ), idcg AS (
+      SELECT SUM((pow(2.0, rel) - 1) / log2(pos + 1)) AS idcg FROM ideal
+    )
+    SELECT 10 AS k,
+           ROUND(dcg, 4) + 0.0 AS dcg,
+           ROUND(idcg, 4) + 0.0 AS idcg,
+           CASE WHEN idcg > 0 THEN ROUND(dcg / idcg, 4) + 0.0 END AS ndcg
+    FROM dcg CROSS JOIN idcg
+    """
+
+
+@register("retrieval_ndcg", _NDCG_ORACLE)
+def q_retrieval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nDCG@10 of the BM25 ranking against term-overlap graded
+    relevance (operators/retrieval.py:ndcg_at_k) — the ranking-quality
+    metric for the retrieval family (classification_report covers
+    label tasks; nothing graded ranked lists before this). Same fixed
+    4-term query as bm25_search_topk so the two queries share the
+    postings shape."""
+    from ..operators.retrieval import ndcg_at_k
+
+    docs = load_table(spark, sf_dir, "documents")
+    return ndcg_at_k(docs, ["spark", "hash", "window", "merge"], k=10)
+
+
 # --- tokenizer fertility by language ----------------------------------------
 
 _FERTILITY_ORACLE = r"""

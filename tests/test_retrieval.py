@@ -196,3 +196,27 @@ def test_bigram_vocab_ignores_blank_doc_artifact(spark):
     # a whitespace-only doc adds no bigrams AND no vocabulary type, so
     # every score is unchanged
     assert base == plus
+
+
+def test_ndcg_hand_computed_perfect_and_degenerate(spark):
+    """d1 (rel 2) outscores d2 (rel 1) under BM25, d3 (rel 0) never
+    enters the posting list — so the ranking IS the ideal one:
+    DCG = IDCG = (2^2-1)/log2(2) + (2^1-1)/log2(3) = 3.6309 and
+    nDCG = 1.0. An all-irrelevant corpus has IDCG = 0 and must report
+    NULL nDCG, not raise."""
+    from bootcamp_stackacademy_datalake_minio_airflow_spark.operators.retrieval import ndcg_at_k
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark hash spark pipeline"),
+            (2, "spark alone in prose here"),
+            (3, "nothing relevant at all"),
+        ],
+        "doc_id long, text string",
+    )
+    r = ndcg_at_k(docs, ["spark", "hash"], k=10).first()
+    assert (r.k, r.dcg, r.idcg, r.ndcg) == (10, 3.6309, 3.6309, 1.0)
+
+    none = spark.createDataFrame([(1, "no match here")], "doc_id long, text string")
+    r0 = ndcg_at_k(none, ["spark"], k=10).first()
+    assert r0.ndcg is None and r0.idcg == 0.0
