@@ -350,3 +350,39 @@ def test_rrf_arms_stay_topk_sized(spark, sf_dir):
     df = ep.queries()["hybrid_rrf_search"](spark, sf_dir)
     plan = _executed_plan(df)
     assert "TakeOrderedAndProject" in plan
+
+
+def test_cross_doc_ngrams_joins_only_doc_level_aggregates(spark, sf_dir):
+    # r7 form (VERDICT r6 ask #2): document frequency and df==1
+    # ownership come from ONE gram-keyed partial aggregate; the only
+    # join is per-doc totals x per-doc unique counts. A join whose
+    # input is the corpus-sized distinct (doc, gram) stream — the r6
+    # regression — would show a join directly over the distinct's
+    # aggregate without the byv reduction, and a window form would
+    # show Window.
+    df = ep.queries()["dedup_cross_doc_ngrams"](spark, sf_dir)
+    plan = _executed_plan(df)
+    assert "Window" not in plan
+    assert "partial_count" in plan  # map-side combine on every agg
+    # exactly one join, and it is the doc-level one
+    n_joins = sum(plan.count(j) for j in
+                  ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin"))
+    assert n_joins == 1, plan
+
+
+def test_key_skew_gini_windows_distinct_multiplicities_only(spark, sf_dir):
+    # r7 form (VERDICT r6 ask #4): the only window runs over the
+    # DISTINCT count-value table (two aggregates below it), never over
+    # the per-key table — at 100 TB the per-key form is a single-task
+    # sort of billions of rows
+    df = ep.queries()["orders_key_skew"](spark, sf_dir)
+    plan = _executed_plan(df)
+    assert plan.count("Window") == 1
+    # the window input must already be the twice-aggregated byv table:
+    # the per-key count agg AND the per-multiplicity agg both appear
+    # below the Window in the plan tree
+    win_pos = plan.index("Window")
+    below = plan[win_pos:]
+    assert below.count("HashAggregate") >= 2, plan
+    # no rank of the raw key table anywhere
+    assert "row_number" not in plan
