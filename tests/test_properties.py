@@ -271,3 +271,83 @@ def test_change_feed_roundtrip_reconstructs_new(spark, old_rows, new_rows):
     for r in old_rows:
         if r in new_rows:
             assert r[0] not in feed_keys, "unchanged key must not emit"
+
+
+_CORPUS = st.lists(
+    st.text(alphabet="ab c", min_size=0, max_size=12),
+    min_size=1,
+    max_size=8,
+)
+
+
+@settings(max_examples=6, deadline=None)
+@given(texts=_CORPUS)
+def test_unigram_cross_entropy_matches_reference(spark, texts):
+    """For ANY tiny corpus, the distributed unigram cross-entropy must
+    equal a driver-side recomputation from first principles (corpus
+    unigram LM, -avg log2 p over token instances), and is always
+    >= 0."""
+    import math
+    from collections import Counter
+
+    from bootcamp_stackacademy_datalake_minio_airflow_spark.operators.text import unigram_cross_entropy
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in unigram_cross_entropy(df).collect()}
+
+    def norm_tokens(t):
+        t = " ".join(t.lower().strip().split())
+        return t.split(" ") if t else None
+
+    docs = {i: norm_tokens(t) for i, t in rows if t is not None}
+    docs = {i: tk for i, tk in docs.items() if tk}
+    vocab = Counter()
+    for tk in docs.values():
+        vocab.update(tk)
+    n = sum(vocab.values())
+    assert set(got) == set(docs)
+    for i, tk in docs.items():
+        ce = -sum(math.log2(vocab[w] / n) for w in tk) / len(tk)
+        assert got[i].n_tokens == len(tk)
+        assert abs(got[i].cross_entropy - round(ce, 4)) <= 1e-9 + 5e-5, (
+            i, got[i].cross_entropy, ce,
+        )
+        assert got[i].cross_entropy >= 0.0
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    docs=st.lists(
+        st.tuples(st.sampled_from(["s1", "s2", "s3"]), st.sampled_from(["x", "y", "z", "w"])),
+        min_size=0,
+        max_size=16,
+    )
+)
+def test_source_copy_matrix_matches_reference(spark, docs):
+    """For ANY assignment of 4 possible texts to 3 sources, the matrix
+    must equal the driver-side set computation: n_shared(a, b) =
+    |fingerprints(a) ∩ fingerprints(b)|, zero pairs omitted."""
+    from itertools import combinations
+
+    from bootcamp_stackacademy_datalake_minio_airflow_spark.operators.dedup import source_copy_matrix
+
+    rows = [(i, text, src) for i, (src, text) in enumerate(docs)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, source string"
+    ) if rows else None
+    if df is None:
+        return
+    got = {
+        (r.source_a, r.source_b): r.n_shared
+        for r in source_copy_matrix(df).collect()
+    }
+    by_src: dict[str, set] = {}
+    for _i, text, src in rows:
+        by_src.setdefault(src, set()).add(text)
+    want = {}
+    for a, b in combinations(sorted(by_src), 2):
+        shared = len(by_src[a] & by_src[b])
+        if shared:
+            want[(a, b)] = shared
+    assert got == want
