@@ -627,3 +627,111 @@ def boilerplate_ngram_stats(
             + F.lit(0.0)
         ).alias("boiler_ratio"),
     )
+
+
+def winnow_overlap_pairs(
+    df: "DataFrame",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    window: int = 4,
+    min_shared: int = 2,
+    max_df: int = 64,
+    hash_fn: str = "xxhash64",
+) -> "DataFrame":
+    """Document pairs sharing >= ``min_shared`` winnowing fingerprints
+    — MOSS-style local plagiarism/quotation detection: winnowing
+    guarantees any shared substring of length >= k + window - 1
+    contributes a common fingerprint, so partial copies surface even
+    when whole-document similarity is tiny (the case whole-doc MinHash
+    and even n-gram Jaccard under-score). Emits
+    ``(id_a, id_b, n_shared)`` with id_a < id_b.
+
+    Fingerprints with document frequency > ``max_df`` are DROPPED
+    before pairing — the standard non-discriminative-boilerplate cut,
+    and simultaneously the skew guard: a fingerprint shared by d docs
+    fans out d^2/2 pairs through the equi-join, so the cap bounds
+    per-key fan-out at max_df^2 no matter how viral a boilerplate
+    snippet is. df==1 fingerprints are cut too (they can pair with
+    nothing), which shrinks the join input to exactly the
+    discriminative shared mass.
+
+    Scale shape — the position-dense-hashing rule: winnowing hashes
+    EVERY character position, so the corpus path must explode
+    positions and hash in whole-stage codegen, never build per-doc
+    hash arrays with interpreted HOF lambdas (``winnow_table``'s
+    array form is fine for the per-doc fingerprint-count query, but
+    exploding its array re-evaluates the O(len·window) window-minima
+    lambda chain pathologically — measured minutes vs seconds at
+    sf0.01). Here: one explode to (doc, position, gram-hash) rows,
+    a second bounded explode fanning each position to its ≤ window
+    member windows, then a partial-aggregated min per (doc, window)
+    and a distinct — all codegen, all map-side combinable. The
+    resulting (doc, fp) table is persisted (it feeds the df filter
+    and both join sides) and released via dedup's
+    materialize-release discipline. The df-capped self-join's
+    fan-out is provably bounded (max_df^2 per key).
+    ``hash_fn='md5'`` is the cross-engine family the registered
+    oracle replays.
+    """
+    from pyspark import StorageLevel
+
+    from .dedup import _materialize_release, _norm_base
+
+    gram_hash = F.md5 if hash_fn == "md5" else F.xxhash64
+    norm = _norm_base(df, id_col, text_col)
+    n_grams = F.greatest(F.length("__txt") - F.lit(k - 1), F.lit(1))
+    hashed = norm.select(
+        "__id",
+        "__txt",
+        F.explode(F.sequence(F.lit(1), n_grams)).alias("__i"),
+    ).select(
+        "__id",
+        # n_windows = max(n_grams - window + 1, 1)
+        F.greatest(
+            F.greatest(F.length("__txt") - F.lit(k - 1), F.lit(1))
+            - F.lit(window - 1),
+            F.lit(1),
+        ).alias("__nw"),
+        "__i",
+        gram_hash(F.substr(F.col("__txt"), F.col("__i"), F.lit(k))).alias("__h"),
+    )
+    # position i belongs to windows [max(1, i-window+1), min(i, n_windows)]
+    wins = hashed.select(
+        "__id",
+        "__h",
+        F.explode(
+            F.sequence(
+                F.greatest(F.col("__i") - F.lit(window - 1), F.lit(1)),
+                F.least(F.col("__i"), F.col("__nw")),
+            )
+        ).alias("__j"),
+    )
+    fp = (
+        wins.groupBy("__id", "__j")
+        .agg(F.min("__h").alias("__fp"))
+        .select("__id", "__fp")
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    keep = (
+        fp.groupBy("__fp")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .filter((F.col("__df") >= 2) & (F.col("__df") <= max_df))
+        .select("__fp")
+    )
+    rare = fp.join(keep, "__fp")
+    a, b = rare.alias("a"), rare.alias("b")
+    result = (
+        a.join(
+            b,
+            (F.col("a.__fp") == F.col("b.__fp"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .groupBy(
+            F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+    return _materialize_release(result, fp)

@@ -249,3 +249,55 @@ def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.lit(0.0),
         ).alias("fertility"),
     )
+
+
+# --- winnowing-overlap pairs (local plagiarism detection) --------------------
+
+_WINNOW_PAIRS_ORACLE = r"""
+    WITH norm AS (
+      SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+      FROM documents WHERE text IS NOT NULL
+    ), grams AS (
+      SELECT doc_id,
+             list_transform(range(1, greatest(length(t)-15, 1)+1),
+                            i -> md5(substr(t, i, 16))) AS hg
+      FROM norm
+    ), fps AS (
+      SELECT DISTINCT doc_id, fp FROM (
+        SELECT doc_id,
+               unnest(list_transform(
+                 range(1, greatest(len(hg)-7, 1)+1),
+                 i -> list_aggregate(hg[i:i+7], 'min'))) AS fp
+        FROM grams
+      )
+    ), keep AS (
+      SELECT fp FROM fps GROUP BY fp HAVING COUNT(*) BETWEEN 2 AND 8
+    ), r AS (
+      SELECT doc_id, fp FROM fps JOIN keep USING (fp)
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(COUNT(*) AS BIGINT) AS n_shared
+    FROM r a JOIN r b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY 1, 2 HAVING COUNT(*) >= 3
+    """
+
+
+@register("winnow_overlap_pairs", _WINNOW_PAIRS_ORACLE)
+def q_winnow_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS-style local-overlap pairs over winnowing fingerprints
+    (operators/text.py:winnow_overlap_pairs, md5 family so the oracle
+    replays the identical window minima): any shared substring of
+    length >= k + window - 1 = 23 chars surfaces a fingerprint,
+    catching quoted passages that whole-doc similarity under-scores.
+    k=16/window=8 is tuned to the lake's small-vocab synthetic prose
+    (k=5 fingerprints collide on ~every doc pair there — 80k pairs of
+    noise vs 145 genuine overlaps); the df cap (2..8) is both the
+    non-discriminative-boilerplate cut and the join skew bound
+    (fan-out <= max_df^2 per fingerprint)."""
+    from ..operators.text import winnow_overlap_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return winnow_overlap_pairs(
+        docs, "doc_id", "text", k=16, window=8, min_shared=3, max_df=8,
+        hash_fn="md5",
+    )

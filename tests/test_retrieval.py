@@ -220,3 +220,33 @@ def test_ndcg_hand_computed_perfect_and_degenerate(spark):
     none = spark.createDataFrame([(1, "no match here")], "doc_id long, text string")
     r0 = ndcg_at_k(none, ["spark"], k=10).first()
     assert r0.ndcg is None and r0.idcg == 0.0
+
+
+def test_winnow_overlap_pairs_planted_quote(spark):
+    """Two docs sharing a >= k+window-1 = 12-char substring (k=8, w=5
+    here) must surface as a pair; unrelated docs must not; a
+    boilerplate fingerprint in EVERY doc is killed by the df cap."""
+    from bootcamp_stackacademy_datalake_minio_airflow_spark.operators.text import winnow_overlap_pairs
+
+    quote = "the exact same quoted passage lives here"
+    boiler = "standard footer text on all pages"
+    rows = [
+        (1, f"alpha document body {quote} first unique tail"),
+        (2, f"second beginning differs {quote} omega ending"),
+        (3, "completely unrelated content nothing shared xyz"),
+        (4, f"third page {boiler} unique middle one"),
+        (5, f"fourth page {boiler} unique middle two"),
+        (6, f"fifth page {boiler} unique middle three"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.id_a, r.id_b): r.n_shared
+        for r in winnow_overlap_pairs(
+            df, "doc_id", "text", k=8, window=5, min_shared=2, max_df=2
+        ).collect()
+    }
+    # the quote pair survives; the boilerplate trio (df=3 > max_df=2)
+    # is cut, so docs 4/5/6 pair only through their shared-page grams
+    # if those beat the cap — with max_df=2 they cannot
+    assert (1, 2) in got and got[(1, 2)] >= 2
+    assert all(a == 1 and b == 2 for (a, b) in got), got
