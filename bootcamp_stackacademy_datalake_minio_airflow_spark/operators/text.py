@@ -629,6 +629,63 @@ def boilerplate_ngram_stats(
     )
 
 
+def winnow_fp_exploded(
+    df: "DataFrame",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    window: int = 4,
+    hash_fn: str = "xxhash64",
+) -> "DataFrame":
+    """DISTINCT ``(__id, __fp)`` winnowing fingerprints via the
+    corpus-scale explode path: one row per character position, hashed
+    in whole-stage codegen, fanned out to its <= ``window`` member
+    windows, then a partial-aggregated min per (doc, window). Same
+    spec as ``winnow_table``'s per-doc array form (the property test
+    pins them equal row-for-row) but with NO interpreted HOF lambdas
+    in the corpus path — exploding the array form re-evaluates its
+    O(len·window) window-minima chain pathologically (measured
+    minutes vs seconds at sf0.01).
+    """
+    from .dedup import _norm_base
+
+    gram_hash = F.md5 if hash_fn == "md5" else F.xxhash64
+    norm = _norm_base(df, id_col, text_col)
+    n_grams = F.greatest(F.length("__txt") - F.lit(k - 1), F.lit(1))
+    hashed = norm.select(
+        "__id",
+        "__txt",
+        F.explode(F.sequence(F.lit(1), n_grams)).alias("__i"),
+    ).select(
+        "__id",
+        # n_windows = max(n_grams - window + 1, 1)
+        F.greatest(
+            F.greatest(F.length("__txt") - F.lit(k - 1), F.lit(1))
+            - F.lit(window - 1),
+            F.lit(1),
+        ).alias("__nw"),
+        "__i",
+        gram_hash(F.substr(F.col("__txt"), F.col("__i"), F.lit(k))).alias("__h"),
+    )
+    # position i belongs to windows [max(1, i-window+1), min(i, n_windows)]
+    wins = hashed.select(
+        "__id",
+        "__h",
+        F.explode(
+            F.sequence(
+                F.greatest(F.col("__i") - F.lit(window - 1), F.lit(1)),
+                F.least(F.col("__i"), F.col("__nw")),
+            )
+        ).alias("__j"),
+    )
+    return (
+        wins.groupBy("__id", "__j")
+        .agg(F.min("__h").alias("__fp"))
+        .select("__id", "__fp")
+        .distinct()
+    )
+
+
 def winnow_overlap_pairs(
     df: "DataFrame",
     id_col: str = "doc_id",
@@ -676,44 +733,11 @@ def winnow_overlap_pairs(
     """
     from pyspark import StorageLevel
 
-    from .dedup import _materialize_release, _norm_base
+    from .dedup import _materialize_release
 
-    gram_hash = F.md5 if hash_fn == "md5" else F.xxhash64
-    norm = _norm_base(df, id_col, text_col)
-    n_grams = F.greatest(F.length("__txt") - F.lit(k - 1), F.lit(1))
-    hashed = norm.select(
-        "__id",
-        "__txt",
-        F.explode(F.sequence(F.lit(1), n_grams)).alias("__i"),
-    ).select(
-        "__id",
-        # n_windows = max(n_grams - window + 1, 1)
-        F.greatest(
-            F.greatest(F.length("__txt") - F.lit(k - 1), F.lit(1))
-            - F.lit(window - 1),
-            F.lit(1),
-        ).alias("__nw"),
-        "__i",
-        gram_hash(F.substr(F.col("__txt"), F.col("__i"), F.lit(k))).alias("__h"),
-    )
-    # position i belongs to windows [max(1, i-window+1), min(i, n_windows)]
-    wins = hashed.select(
-        "__id",
-        "__h",
-        F.explode(
-            F.sequence(
-                F.greatest(F.col("__i") - F.lit(window - 1), F.lit(1)),
-                F.least(F.col("__i"), F.col("__nw")),
-            )
-        ).alias("__j"),
-    )
-    fp = (
-        wins.groupBy("__id", "__j")
-        .agg(F.min("__h").alias("__fp"))
-        .select("__id", "__fp")
-        .distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    fp = winnow_fp_exploded(
+        df, id_col, text_col, k=k, window=window, hash_fn=hash_fn
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     keep = (
         fp.groupBy("__fp")
         .agg(F.count(F.lit(1)).alias("__df"))

@@ -351,3 +351,39 @@ def test_source_copy_matrix_matches_reference(spark, docs):
         if shared:
             want[(a, b)] = shared
     assert got == want
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    texts=st.lists(
+        st.text(alphabet="xy z", min_size=0, max_size=30),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_winnow_exploded_path_equals_array_form(spark, texts):
+    """winnow_overlap_pairs' codegen explode path (position -> member
+    windows -> min per window) must produce EXACTLY the per-doc
+    fingerprint sets of winnow_table's array form for ANY text — the
+    two formulations implement one spec and a divergence (window
+    membership off-by-one, short-doc clamping) would silently change
+    which pairs surface."""
+    from bootcamp_stackacademy_datalake_minio_airflow_spark.operators.text import (
+        winnow_fp_exploded,
+        winnow_table,
+    )
+
+    k, window = 4, 3
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    wt = winnow_table(df, "doc_id", "text", k=k, window=window, hash_fn="md5")
+    want = {
+        r.doc_id: set(r.fingerprints) for r in wt.collect() if r.fingerprints
+    }
+    got: dict = {}
+    for r in winnow_fp_exploded(
+        df, "doc_id", "text", k=k, window=window, hash_fn="md5"
+    ).collect():
+        got.setdefault(r["__id"], set()).add(r["__fp"])
+    assert got == want
