@@ -558,3 +558,111 @@ def token_budget_select(
     from .dedup import _materialize_release
 
     return _materialize_release(result, scored)
+
+
+def epoch_schedule(
+    df: DataFrame,
+    group_col: str,
+    token_count_col,
+    *,
+    budget: int,
+    max_epochs: float = 4.0,
+    alpha: float = 0.5,
+    round_to: int = 4,
+) -> DataFrame:
+    """Capped water-filling epoch scheduler for a token budget — the
+    data-constrained-scaling planner (Muennighoff et al. 2023 show
+    value decays past ~4 epochs of repetition): allocate ``budget``
+    tokens across sources proportionally to temperature weights
+    ``n_s^alpha``, but cap every source at ``max_epochs`` repetitions
+    and REDISTRIBUTE its unusable share to the uncapped sources.
+    Emits ``(group, n_tokens, weight, capped, epochs, alloc_tokens)``.
+
+    The fixpoint has a closed sorted form: a source's uncapped epoch
+    count is proportional to ``r_s = w_s / n_s``, so the capped set
+    is a PREFIX of sources ordered by r descending; walking that
+    order with running sums (cn = capped tokens so far, cw = capped
+    weight so far), source s caps iff
+    ``(budget - R*cn) * r_s > R * (W - cw)``. cn is integer; the
+    float sums fold in the same deterministic sorted order on any
+    engine, and BOTH comparison sides are ROUNDed to 6 decimals
+    before comparing (house convention) so an engine's last-ulp
+    aggregation difference cannot flip the capped flag unless the
+    true margin is under 5e-7 — the accepted residual. The final
+    prefix gives the redistribution constants; ``alloc_tokens``
+    floors a 6-rounded product for the same reason.
+
+    Scale shape: the corpus collapses to one (group, token-sum) row
+    per source; every window here runs over that |sources| table
+    (dozens of rows — inherent-and-bounded global order, same class
+    as the COVERAGE window-audit entries), and the scalar totals
+    broadcast. Sources with zero tokens are excluded (nothing to
+    repeat; also guards the r_s division).
+    """
+    tc = F.col(token_count_col) if isinstance(token_count_col, str) else token_count_col
+    counts = (
+        df.groupBy(group_col)
+        .agg(F.sum(tc).cast("long").alias("n_tokens"))
+        .filter(F.col("n_tokens") > 0)
+    )
+    scaled = counts.withColumn(
+        "__w", F.pow(F.col("n_tokens").cast("double"), alpha)
+    ).withColumn("__r", F.col("__w") / F.col("n_tokens"))
+    w = Window.orderBy(F.desc_nulls_last("__r"), F.asc_nulls_last(group_col))
+    prev = w.rowsBetween(Window.unboundedPreceding, -1)
+    wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    ranked = (
+        scaled.withColumn("__tot", F.sum("__w").over(wfull))
+        .withColumn("__cn", F.coalesce(F.sum("n_tokens").over(prev), F.lit(0)))
+        .withColumn("__cw", F.coalesce(F.sum("__w").over(prev), F.lit(0.0)))
+        .withColumn(
+            "capped",
+            F.round(
+                (F.lit(float(budget)) - F.lit(max_epochs) * F.col("__cn"))
+                * F.col("__r"),
+                6,
+            )
+            > F.round(
+                F.lit(max_epochs) * (F.col("__tot") - F.col("__cw")), 6
+            ),
+        )
+    )
+    # redistribution constants as FULL-FRAME ordered windows (not a
+    # crossJoin back onto the same lineage, which trips Spark's
+    # self-join attribute ambiguity): the frame is the |sources|
+    # table and the ordered fold is deterministic on any engine
+    full = wfull
+    out = (
+        ranked.withColumn(
+            "__ctoks",
+            F.coalesce(
+                F.sum(F.when(F.col("capped"), F.col("n_tokens"))).over(full),
+                F.lit(0),
+            ),
+        )
+        .withColumn(
+            "__cwt",
+            F.coalesce(
+                F.sum(F.when(F.col("capped"), F.col("__w"))).over(full),
+                F.lit(0.0),
+            ),
+        )
+        .withColumn(
+            "__e",
+            F.when(F.col("capped"), F.lit(max_epochs)).otherwise(
+                (F.lit(float(budget)) - F.lit(max_epochs) * F.col("__ctoks"))
+                * F.col("__r")
+                / (F.col("__tot") - F.col("__cwt"))
+            ),
+        )
+    )
+    return out.select(
+        group_col,
+        "n_tokens",
+        (F.round(F.col("__w") / F.col("__tot"), 6) + F.lit(0.0)).alias("weight"),
+        "capped",
+        (F.round("__e", round_to) + F.lit(0.0)).alias("epochs"),
+        F.floor(F.round(F.col("__e") * F.col("n_tokens"), 6))
+        .cast("long")
+        .alias("alloc_tokens"),
+    )

@@ -86,7 +86,8 @@ def oracle_sql() -> dict[str, str]:
 #: packing_efficiency, events_value_quantiles_by_type, plus the
 #: families newly registered in r7 (doc_unigram_cross_entropy,
 #: doc_bigram_cross_entropy, source_copy_matrix,
-#: tokenizer_fertility_by_lang, retrieval_ndcg, winnow_overlap_pairs).
+#: tokenizer_fertility_by_lang, retrieval_ndcg, winnow_overlap_pairs,
+#: mixture_epoch_schedule).
 PRIORITY = [
     # -- reference parity (the deliverable) --
     "vendas_flagship",

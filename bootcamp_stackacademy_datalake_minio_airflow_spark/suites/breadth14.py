@@ -301,3 +301,82 @@ def q_winnow_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, "doc_id", "text", k=16, window=8, min_shared=3, max_df=8,
         hash_fn="md5",
     )
+
+
+# --- capped water-filling epoch schedule (data-constrained scaling) ----------
+
+_EPOCH_BUDGET = 100_000
+_EPOCH_ORACLE = rf"""
+    WITH counts AS (
+      SELECT source,
+             CAST(SUM(CASE WHEN length(trim(text)) = 0 THEN 0
+                           ELSE len(string_split({_NORM_SQL}, ' ')) END)
+                  AS BIGINT) AS n_tokens
+      FROM documents WHERE text IS NOT NULL
+      GROUP BY source
+      HAVING SUM(CASE WHEN length(trim(text)) = 0 THEN 0
+                      ELSE len(string_split({_NORM_SQL}, ' ')) END) > 0
+    ), scaled AS (
+      SELECT source, n_tokens,
+             pow(CAST(n_tokens AS DOUBLE), 0.5) AS w,
+             pow(CAST(n_tokens AS DOUBLE), 0.5) / n_tokens AS r
+      FROM counts
+    ), tot AS (SELECT SUM(w) AS tw FROM scaled
+    ), ranked AS (
+      SELECT source, n_tokens, w, r, tw,
+             COALESCE(SUM(n_tokens) OVER (
+               ORDER BY r DESC NULLS LAST, source ASC NULLS LAST
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cn,
+             COALESCE(SUM(w) OVER (
+               ORDER BY r DESC NULLS LAST, source ASC NULLS LAST
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0) AS cw
+      FROM scaled CROSS JOIN tot
+    ), flagged AS (
+      SELECT *,
+             ROUND(({_EPOCH_BUDGET}.0 - 4.0 * cn) * r, 6)
+               > ROUND(4.0 * (tw - cw), 6) AS capped
+      FROM ranked
+    ), caps AS (
+      SELECT COALESCE(SUM(CASE WHEN capped THEN n_tokens END), 0) AS ccn,
+             COALESCE(SUM(CASE WHEN capped THEN w END), 0.0) AS ccw
+      FROM flagged
+    ), ep AS (
+      SELECT source, n_tokens, w, tw, capped,
+             CASE WHEN capped THEN 4.0
+                  ELSE ({_EPOCH_BUDGET}.0 - 4.0 * ccn) * r / (tw - ccw)
+             END AS e
+      FROM flagged CROSS JOIN caps
+    )
+    SELECT source, n_tokens,
+           ROUND(w / tw, 6) + 0.0 AS weight,
+           capped,
+           ROUND(e, 4) + 0.0 AS epochs,
+           CAST(FLOOR(ROUND(e * n_tokens, 6)) AS BIGINT) AS alloc_tokens
+    FROM ep
+    """
+
+
+@register("mixture_epoch_schedule", _EPOCH_ORACLE)
+def q_mixture_epoch_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capped water-filling epoch scheduler for a fixed token budget
+    (operators/sampling.py:epoch_schedule) — the data-constrained-
+    scaling planner: temperature-weighted allocation (alpha=0.5) with
+    a 4-epoch repetition cap and exact redistribution of capped
+    sources' unusable share. At the bench lakes the fixed 100k budget
+    exercises all three regimes: everything capped (sf0.001), a mixed
+    capped/uncapped prefix (sf0.01 — 2 of 20 sources cap), and
+    nothing capped (sf0.1)."""
+    from ..operators.sampling import epoch_schedule
+    from ..operators.text import token_count
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    return epoch_schedule(
+        docs,
+        "source",
+        token_count("text"),
+        budget=_EPOCH_BUDGET,
+        max_epochs=4.0,
+        alpha=0.5,
+    )

@@ -387,3 +387,57 @@ def test_winnow_exploded_path_equals_array_form(spark, texts):
     ).collect():
         got.setdefault(r["__id"], set()).add(r["__fp"])
     assert got == want
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    sizes=st.lists(st.integers(1, 500), min_size=1, max_size=8),
+    budget=st.integers(10, 5000),
+)
+def test_epoch_schedule_matches_reference_water_filling(spark, sizes, budget):
+    """For ANY source sizes and budget, the distributed capped
+    water-filling must match a driver-side greedy reference: epochs
+    never exceed the cap, capped sources' unusable share redistributes
+    proportionally to w_s among the uncapped, and when anything is
+    uncapped the budget is met exactly (allocation identity)."""
+    from bootcamp_stackacademy_datalake_minio_airflow_spark.operators.sampling import epoch_schedule
+
+    R, a = 4.0, 0.5
+    rows = []
+    for s, n in enumerate(sizes):
+        # one doc of n single-char tokens per source
+        rows.append((f"s{s}", "x " * n))
+    df = spark.createDataFrame(rows, "source string, text string")
+    from pyspark.sql import functions as F
+
+    got = {
+        r.source: r
+        for r in epoch_schedule(
+            df, "source", F.size(F.split(F.col("text"), " ")) - 1,
+            budget=budget, max_epochs=R, alpha=a,
+        ).collect()
+    }
+
+    # driver reference: walk r-descending, cap greedily
+    ws = [n ** a for n in sizes]
+    rs = [w / n for w, n in zip(ws, sizes)]
+    order = sorted(range(len(sizes)), key=lambda i: (-rs[i], f"s{i}"))
+    W = sum(ws)
+    cn, cw, capped = 0, 0.0, set()
+    for i in order:
+        if round((budget - R * cn) * rs[i], 6) > round(R * (W - cw), 6):
+            capped.add(i)
+            cn += sizes[i]
+            cw += ws[i]
+        else:
+            break
+    for s, n in enumerate(sizes):
+        r = got[f"s{s}"]
+        assert r.n_tokens == n
+        assert r.capped == (s in capped), (s, sizes, budget)
+        assert r.epochs <= R + 1e-9
+    # allocation identity: if anything is uncapped, the budget is
+    # consumed exactly (up to the display rounding of epochs)
+    if len(capped) < len(sizes):
+        alloc = sum(got[f"s{s}"].epochs * n for s, n in enumerate(sizes))
+        assert abs(alloc - budget) <= max(1.0, 0.001 * budget), (sizes, budget)
