@@ -87,7 +87,7 @@ def oracle_sql() -> dict[str, str]:
 #: families newly registered in r7 (doc_unigram_cross_entropy,
 #: doc_bigram_cross_entropy, source_copy_matrix,
 #: tokenizer_fertility_by_lang, retrieval_ndcg, winnow_overlap_pairs,
-#: mixture_epoch_schedule).
+#: mixture_epoch_schedule, corpus_datacard).
 PRIORITY = [
     # -- reference parity (the deliverable) --
     "vendas_flagship",

@@ -363,9 +363,10 @@ def q_mixture_epoch_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     scaling planner: temperature-weighted allocation (alpha=0.5) with
     a 4-epoch repetition cap and exact redistribution of capped
     sources' unusable share. At the bench lakes the fixed 100k budget
-    exercises all three regimes: everything capped (sf0.001), a mixed
-    capped/uncapped prefix (sf0.01 — 2 of 20 sources cap), and
-    nothing capped (sf0.1)."""
+    exercises both regimes: a mixed capped/uncapped prefix at sf0.01
+    (2 of 20 sources cap, redistribution live) and the nothing-capped
+    pure-proportional path at sf0.001/sf0.1; the all-capped regime is
+    covered by the hypothesis property test's budget sweep."""
     from ..operators.sampling import epoch_schedule
     from ..operators.text import token_count
 
@@ -379,4 +380,86 @@ def q_mixture_epoch_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
         budget=_EPOCH_BUDGET,
         max_epochs=4.0,
         alpha=0.5,
+    )
+
+
+# --- corpus data card (one-row release summary) ------------------------------
+
+_DATACARD_ORACLE = rf"""
+    WITH t AS (
+      SELECT text, lang, source,
+             CASE WHEN text IS NULL THEN NULL
+                  WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(string_split({_NORM_SQL}, ' ')) END AS tok,
+             CASE WHEN text IS NOT NULL THEN md5({_NORM_SQL}) END AS fp
+      FROM documents
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COALESCE(SUM(tok), 0) AS BIGINT) AS n_tokens,
+           CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+           CASE WHEN COUNT(*) > 0 THEN
+             ROUND(SUM(CASE WHEN text IS NOT NULL
+                             AND length(trim(text)) = 0 THEN 1.0
+                            ELSE 0.0 END) / COUNT(*), 4) + 0.0
+           END AS blank_ratio,
+           CASE WHEN COUNT(fp) > 0 THEN
+             ROUND(1.0 - COUNT(DISTINCT fp) / CAST(COUNT(fp) AS DOUBLE), 4)
+               + 0.0
+           END AS exact_dup_ratio,
+           ROUND(quantile_cont(tok, 0.5), 4) + 0.0 AS p50_tokens
+    FROM t
+    """
+
+
+@register("corpus_datacard", _DATACARD_ORACLE)
+def q_corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row corpus release summary — the data-card numbers a
+    curation run publishes with every snapshot: doc/token counts,
+    language and source cardinalities, blank-doc ratio, exact-dup
+    ratio (1 - distinct fingerprints / non-null docs), median token
+    count. One aggregation pass, every column a composition of
+    already-gated signal expressions. COUNT DISTINCT is exact here
+    (the gate's semantics); at 100 TB swap the cardinalities for the
+    HLL sketch (events_distinct_users_hll family) and the median for
+    the sampled-quantile operator — both already registered."""
+    from ..operators.dedup import normalize_text
+    from ..operators.text import token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "lang",
+        "source",
+        F.col("text").isNotNull().alias("__has_text"),
+        (F.col("text").isNotNull() & (F.length(F.trim(F.col("text"))) == 0))
+        .alias("__blank"),
+        F.when(F.col("text").isNotNull(), token_count("text")).alias("__tok"),
+        F.when(F.col("text").isNotNull(), F.md5(normalize_text("text"))).alias(
+            "__fp"
+        ),
+    )
+    n_docs = F.count(F.lit(1))
+    n_fp = F.count("__fp")
+    return base.agg(
+        n_docs.cast("long").alias("n_docs"),
+        F.coalesce(F.sum("__tok"), F.lit(0)).cast("long").alias("n_tokens"),
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+        F.countDistinct("source").cast("long").alias("n_sources"),
+        F.when(
+            n_docs > 0,
+            F.round(
+                F.sum(F.col("__blank").cast("double")) / n_docs, 4
+            )
+            + F.lit(0.0),
+        ).alias("blank_ratio"),
+        F.when(
+            n_fp > 0,
+            F.round(
+                F.lit(1.0) - F.countDistinct("__fp") / n_fp.cast("double"), 4
+            )
+            + F.lit(0.0),
+        ).alias("exact_dup_ratio"),
+        (F.round(F.expr("percentile(__tok, 0.5)"), 4) + F.lit(0.0)).alias(
+            "p50_tokens"
+        ),
     )
