@@ -419,10 +419,14 @@ def q_corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
     language and source cardinalities, blank-doc ratio, exact-dup
     ratio (1 - distinct fingerprints / non-null docs), median token
     count. One aggregation pass, every column a composition of
-    already-gated signal expressions. COUNT DISTINCT is exact here
-    (the gate's semantics); at 100 TB swap the cardinalities for the
-    HLL sketch (events_distinct_users_hll family) and the median for
-    the sampled-quantile operator — both already registered."""
+    already-gated signal expressions. Plan note: the three exact
+    COUNT DISTINCTs compile to Spark's multi-distinct Expand — each
+    scanned row becomes 4 before the (still map-side-combined)
+    partial aggregate. That 4x row-stream cost is the price of exact
+    cardinalities and is fine at report cadence; at 100 TB swap the
+    cardinalities for the HLL sketch (events_distinct_users_hll
+    family, no Expand) and the median for the sampled-quantile
+    operator — both already registered."""
     from ..operators.dedup import normalize_text
     from ..operators.text import token_count
 
