@@ -12,6 +12,10 @@ def pytest_configure(config):
         "markers",
         "minio: live object-store round-trip (needs S3_ENDPOINT + creds)",
     )
+    config.addinivalue_line(
+        "markers",
+        "slow: whole-registry sweeps (plan audits) — minutes, not seconds",
+    )
 
 
 @pytest.fixture(scope="session")
