@@ -441,3 +441,34 @@ def test_epoch_schedule_matches_reference_water_filling(spark, sizes, budget):
     if len(capped) < len(sizes):
         alloc = sum(got[f"s{s}"].epochs * n for s, n in enumerate(sizes))
         assert abs(alloc - budget) <= max(1.0, 0.001 * budget), (sizes, budget)
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    texts=st.lists(
+        st.lists(
+            st.sampled_from(["spark", "hash", "window", "filler"]),
+            min_size=0,
+            max_size=8,
+        ).map(" ".join),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_ndcg_bounds_and_idcg_dominance(spark, texts):
+    """For ANY corpus: 0 <= nDCG <= 1 (DCG can never beat the ideal
+    ordering), IDCG >= DCG, and an all-irrelevant corpus reports NULL
+    nDCG with IDCG == 0 instead of raising."""
+    from bootcamp_stackacademy_datalake_minio_airflow_spark.operators.retrieval import ndcg_at_k
+
+    rows = [(i, " ".join(filter(None, t.split(" "))) or "x") for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    r = ndcg_at_k(df, ["spark", "hash"], k=5).first()
+    assert r.idcg is not None and r.idcg >= 0.0
+    if r.idcg == 0.0:
+        assert r.ndcg is None
+        assert r.dcg in (None, 0.0)
+    else:
+        assert r.dcg is not None
+        assert r.dcg <= r.idcg + 1e-9
+        assert 0.0 <= r.ndcg <= 1.0 + 1e-9
