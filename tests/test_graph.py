@@ -105,3 +105,35 @@ def test_k_core_peeling_cascade_and_convergence(spark):
     assert k_core(edges, k=5, rounds=4).count() == 0
     partial = {r.node: (r.degree, r.converged) for r in k_core(edges, k=3, rounds=1).collect()}
     assert 6 in partial and partial[6] == (1, False)  # mid-cascade state
+
+
+def test_shared_edge_cache_build_once_and_evict(spark, sf_dir):
+    """suites/graph_shared.py is load-bearing for all four graph
+    queries AND the bench edge-build line: same (app, lake) key must
+    return the SAME materialized table (no rebuild), the count must
+    equal the co-occurrence build's, edges must be symmetric-distinct,
+    and the LRU must evict past its capacity without breaking live
+    entries."""
+    from bootcamp_stackacademy_datalake_minio_airflow_spark.suites import graph_shared as gs
+
+    gs._CACHE.clear()
+    e1, n1 = gs.part_cooccurrence_edges(spark, sf_dir)
+    e2, n2 = gs.part_cooccurrence_edges(spark, sf_dir)
+    assert e1 is e2 and n1 == n2  # build-once per (app, lake)
+    assert n1 == e1.count() > 0
+    # symmetric-distinct: every (src, dst) has its reverse, no dups
+    from pyspark.sql import functions as F
+
+    assert e1.count() == e1.distinct().count()
+    fwd = e1.select("src", "dst")
+    rev = e1.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    assert fwd.exceptAll(rev).count() == 0
+    # LRU: fill past capacity with fake keys; the real entry evicts
+    # (insertion order) but a fresh call simply rebuilds — no breakage
+    for i in range(gs._MAX_ENTRIES):
+        gs._CACHE[("fake-app", f"lake{i}")] = (e1, n1)
+        while len(gs._CACHE) > gs._MAX_ENTRIES:
+            gs._CACHE.popitem(last=False)
+    assert len(gs._CACHE) == gs._MAX_ENTRIES
+    e3, n3 = gs.part_cooccurrence_edges(spark, sf_dir)
+    assert n3 == n1
