@@ -484,8 +484,12 @@ def ndcg_at_k(
     ranked = bm25_topk(docs, terms, id_col=id_col, text_col=text_col, k=k).select(
         F.col(id_col).alias("__id"), "score"
     )
-    # position over the k-row (post-limit) result — bounded frame
-    wpos = Window.orderBy(F.desc("score"), F.asc("__id"))
+    # position over the k-row (post-limit) result — bounded frame.
+    # Tie-breaks are asc_nulls_last: Spark's plain asc sorts NULLS
+    # FIRST while the DuckDB oracle's ORDER BY defaults NULLS LAST, so
+    # a NULL id landing on a score/rel tie at the k boundary would
+    # order differently across engines and flip DCG/IDCG.
+    wpos = Window.orderBy(F.desc("score"), F.asc_nulls_last("__id"))
     pos = ranked.select("__id", F.row_number().over(wpos).alias("__pos"))
     # broadcast the k-row ranked side against the corpus scan
     dcg = (
@@ -497,8 +501,8 @@ def ndcg_at_k(
             ).alias("__dcg")
         )
     )
-    ideal = base.orderBy(F.desc("__rel"), F.asc("__id")).limit(k)
-    wideal = Window.orderBy(F.desc("__rel"), F.asc("__id"))
+    ideal = base.orderBy(F.desc("__rel"), F.asc_nulls_last("__id")).limit(k)
+    wideal = Window.orderBy(F.desc("__rel"), F.asc_nulls_last("__id"))
     idcg = (
         ideal.select("__rel", F.row_number().over(wideal).alias("__pos"))
         .agg(

@@ -588,9 +588,16 @@ def epoch_schedule(
     engine, and BOTH comparison sides are ROUNDed to 6 decimals
     before comparing (house convention) so an engine's last-ulp
     aggregation difference cannot flip the capped flag unless the
-    true margin is under 5e-7 — the accepted residual. The final
-    prefix gives the redistribution constants; ``alloc_tokens``
-    floors a 6-rounded product for the same reason.
+    true margin is under 5e-7 — the accepted residual. With exact
+    arithmetic the condition is monotone down the r-descending
+    order, but the two independent 6-decimal ROUNDs could in
+    principle mark a row capped after an uncapped one on a sub-5e-7
+    margin, so the final ``capped`` flag is a running prefix-AND of
+    the raw per-row condition — the flagged set is a prefix BY
+    CONSTRUCTION (matching the greedy walk pinned in
+    tests/test_properties.py), not merely by the monotonicity
+    argument. The prefix gives the redistribution constants;
+    ``alloc_tokens`` floors a 6-rounded product for the same reason.
 
     Scale shape: the corpus collapses to one (group, token-sum) row
     per source; every window here runs over that |sources| table
@@ -616,7 +623,7 @@ def epoch_schedule(
         .withColumn("__cn", F.coalesce(F.sum("n_tokens").over(prev), F.lit(0)))
         .withColumn("__cw", F.coalesce(F.sum("__w").over(prev), F.lit(0.0)))
         .withColumn(
-            "capped",
+            "__rawcap",
             F.round(
                 (F.lit(float(budget)) - F.lit(max_epochs) * F.col("__cn"))
                 * F.col("__r"),
@@ -625,6 +632,16 @@ def epoch_schedule(
             > F.round(
                 F.lit(max_epochs) * (F.col("__tot") - F.col("__cw")), 6
             ),
+        )
+        # prefix-AND over the same r-descending order: once any row is
+        # uncapped, every later row is uncapped — the capped set is a
+        # prefix by construction, immune to a sub-5e-7 rounding flip
+        .withColumn(
+            "capped",
+            F.min(F.col("__rawcap").cast("int")).over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            )
+            == F.lit(1),
         )
     )
     # redistribution constants as FULL-FRAME ordered windows (not a

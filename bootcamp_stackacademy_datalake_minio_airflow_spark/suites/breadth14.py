@@ -149,10 +149,11 @@ _NDCG_ORACLE = rf"""
       JOIN dls ON tf.doc_id = dls.doc_id
       CROSS JOIN stats
       GROUP BY tf.doc_id
-      ORDER BY score DESC, tf.doc_id
+      ORDER BY score DESC, tf.doc_id NULLS LAST
       LIMIT 10
     ), ranked AS (
-      SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS pos
+      SELECT doc_id,
+             ROW_NUMBER() OVER (ORDER BY score DESC, doc_id NULLS LAST) AS pos
       FROM bm
     ), rel AS (
       SELECT doc_id,
@@ -163,8 +164,9 @@ _NDCG_ORACLE = rf"""
       SELECT SUM((pow(2.0, rel) - 1) / log2(pos + 1)) AS dcg
       FROM ranked JOIN rel USING (doc_id)
     ), ideal AS (
-      SELECT rel, ROW_NUMBER() OVER (ORDER BY rel DESC, doc_id) AS pos
-      FROM rel ORDER BY rel DESC, doc_id LIMIT 10
+      SELECT rel,
+             ROW_NUMBER() OVER (ORDER BY rel DESC, doc_id NULLS LAST) AS pos
+      FROM rel ORDER BY rel DESC, doc_id NULLS LAST LIMIT 10
     ), idcg AS (
       SELECT SUM((pow(2.0, rel) - 1) / log2(pos + 1)) AS idcg FROM ideal
     )
@@ -332,9 +334,15 @@ _EPOCH_ORACLE = rf"""
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0) AS cw
       FROM scaled CROSS JOIN tot
     ), flagged AS (
+      -- prefix-AND of the raw per-row condition (mirrors the Spark
+      -- operator): the capped set is a prefix of the r-descending
+      -- order by construction, not merely by monotonicity
       SELECT *,
-             ROUND(({_EPOCH_BUDGET}.0 - 4.0 * cn) * r, 6)
-               > ROUND(4.0 * (tw - cw), 6) AS capped
+             MIN(CASE WHEN ROUND(({_EPOCH_BUDGET}.0 - 4.0 * cn) * r, 6)
+                           > ROUND(4.0 * (tw - cw), 6)
+                      THEN 1 ELSE 0 END) OVER (
+               ORDER BY r DESC NULLS LAST, source ASC NULLS LAST
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 1 AS capped
       FROM ranked
     ), caps AS (
       SELECT COALESCE(SUM(CASE WHEN capped THEN n_tokens END), 0) AS ccn,
