@@ -56,24 +56,18 @@ def oracle_sql() -> dict[str, str]:
 #: displaced queries stay registered, locally oracle-gated, and
 #: pytest-covered.
 #:
-#: Cumulative driver-hash-checked families after r6: 107 of 182.
-#: r7 rotates the 14 r6-rotation slots (all went green in
-#: CORRECTNESS_r06) for 14 never-window-checked families — VERDICT
-#: r6's named twelve (orders_ntile_quartiles, doc_char_entropy,
-#: basket_association_rules, event_transition_matrix,
-#: events_debounced, k_anonymity_audit, dq_expectations_lineitem,
-#: lineitem_hot_key_join, token_budget_selection, split_leak_audit,
-#: vendas_flagship_sqlapi, orders_table_checksum) plus the queue's
-#: next two (orders_winsorized_stats, events_imputed_values).
-#:
-#: r8 rotation queue, in priority order (never-window-checked
-#: families first): tpch_q21_shaped, bigram_pmi,
+#: Cumulative driver-hash-checked families after r7: 118 of 189
+#: (CORRECTNESS_r07 went 50/50 green, confirming the whole r7 block).
+#: r8 rotates the 14 r7-rotation slots (all green in r7) for the
+#: documented queue head: tpch_q21_shaped, bigram_pmi,
 #: events_sliding_exact, ann_batch_topk, mixture_temperature_weights,
 #: training_shuffle_topk, blocklist_filter_stats,
 #: incremental_dedup_new_batch, embedding_int8_quantize,
 #: embedding_random_projection, tfidf_top_source_terms,
-#: events_funnel_conversion, events_hour_baseline,
-#: parts_pareto_front, orders_bloom_prune, embedding_dim_stats,
+#: events_funnel_conversion, events_hour_baseline, parts_pareto_front.
+#:
+#: r9 rotation queue, in priority order (never-window-checked
+#: families first): orders_bloom_prune, embedding_dim_stats,
 #: embedding_power_iteration, events_changepoint,
 #: orders_revenue_trend, doc_length_psi, events_ab_test_z,
 #: langid_eval_metrics, orders_key_skew, dedup_canonical_docs,
@@ -131,22 +125,22 @@ PRIORITY = [
     "user_sessionization",
     "explode_unnest",
     "dq_orphan_lineitems",
-    # -- r7 rotation block: 14 families never driver-checked before —
-    # VERDICT r6's named twelve, then the r7 queue's next two --
-    "orders_ntile_quartiles",
-    "doc_char_entropy",
-    "basket_association_rules",
-    "event_transition_matrix",
-    "events_debounced",
-    "k_anonymity_audit",
-    "dq_expectations_lineitem",
-    "lineitem_hot_key_join",
-    "token_budget_selection",
-    "split_leak_audit",
-    "vendas_flagship_sqlapi",
-    "orders_table_checksum",
-    "orders_winsorized_stats",
-    "events_imputed_values",
+    # -- r8 rotation block: 14 families never driver-checked before —
+    # the documented r8 queue head (VERDICT r7 ask #1) --
+    "tpch_q21_shaped",
+    "bigram_pmi",
+    "events_sliding_exact",
+    "ann_batch_topk",
+    "mixture_temperature_weights",
+    "training_shuffle_topk",
+    "blocklist_filter_stats",
+    "incremental_dedup_new_batch",
+    "embedding_int8_quantize",
+    "embedding_random_projection",
+    "tfidf_top_source_terms",
+    "events_funnel_conversion",
+    "events_hour_baseline",
+    "parts_pareto_front",
 ]
 
 _LOADED = False

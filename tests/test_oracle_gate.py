@@ -72,23 +72,23 @@ def test_priority_window_guard():
     oracles = q.oracle_sql()
     rows_only = [n for n in q.PRIORITY if n not in oracles]
     assert not rows_only, f"rows-only queries occupy window slots: {rows_only}"
-    # r7 rotation block (VERDICT r6 ask #1): the tail slots must hold
+    # r8 rotation block (VERDICT r7 ask #1): the tail slots must hold
     # the promoted never-driver-checked families — a mis-merge that
-    # reverted the rotation would re-check r6's families instead
-    r7_block = [
-        "orders_ntile_quartiles",
-        "doc_char_entropy",
-        "basket_association_rules",
-        "event_transition_matrix",
-        "events_debounced",
-        "k_anonymity_audit",
-        "dq_expectations_lineitem",
-        "lineitem_hot_key_join",
-        "token_budget_selection",
-        "split_leak_audit",
-        "vendas_flagship_sqlapi",
-        "orders_table_checksum",
-        "orders_winsorized_stats",
-        "events_imputed_values",
+    # reverted the rotation would re-check r7's families instead
+    r8_block = [
+        "tpch_q21_shaped",
+        "bigram_pmi",
+        "events_sliding_exact",
+        "ann_batch_topk",
+        "mixture_temperature_weights",
+        "training_shuffle_topk",
+        "blocklist_filter_stats",
+        "incremental_dedup_new_batch",
+        "embedding_int8_quantize",
+        "embedding_random_projection",
+        "tfidf_top_source_terms",
+        "events_funnel_conversion",
+        "events_hour_baseline",
+        "parts_pareto_front",
     ]
-    assert q.PRIORITY[-14:] == r7_block, "r7 rotation block not in tail slots"
+    assert q.PRIORITY[-14:] == r8_block, "r8 rotation block not in tail slots"
