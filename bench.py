@@ -27,11 +27,21 @@ devolved into host-noise arguments):
 - "warm" is an immediate second timed run WITHOUT clearing — the
   steady-state throughput a long-lived pipeline sees.
 
-The headline "value" is the COLD sum; "warm_total" sits alongside.
-The stdout "queries" map stays name->cold seconds (the documented
-driver schema), with "queries_warm" carrying the same names' warm
-seconds; full maps go to BENCH_FULL.json. The JSON records
-"warmup_sf" so the methodology is explicit.
+Every cold/warm pair is repeated $SPARK_GRAFT_REPS times (default 3;
+VERDICT r7 ask #7 — rounds 4/5/7 each spent a cycle litigating a
+single-rep host-noise swing) and the REPORTED per-query number is the
+per-query MEDIAN; BENCH_FULL.json carries the full
+`queries_cold_med/min/max` and `queries_warm_med/min/max` bands so a
+one-rep outlier is visible as a wide band instead of a fake
+regression. The shared graph edge cache is evicted before every cold
+rep so each rep's `graph_edge_build` pays the real build.
+
+The headline "value" is the COLD median sum; "warm_total" sits
+alongside. The stdout "queries" map stays name->cold seconds (the
+documented driver schema, now the median), with "queries_warm"
+carrying the same names' warm medians; full maps go to
+BENCH_FULL.json. The JSON records "warmup_sf" and "reps" so the
+methodology is explicit.
 """
 
 from __future__ import annotations
@@ -71,64 +81,89 @@ def main() -> None:
     spark.catalog.clearCache()
 
     warm_dir = os.environ.get("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
-    timings: dict[str, float] = {}
-    warm_timings: dict[str, float] = {}
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_REPS", "3")))
+    cold_runs: dict[str, list[float]] = {}
+    warm_runs: dict[str, list[float]] = {}
+
+    def _median(vals: list[float]) -> float:
+        ok = sorted(v for v in vals if v >= 0)
+        if not ok:
+            return -1.0
+        n = len(ok)
+        mid = ok[n // 2] if n % 2 else (ok[n // 2 - 1] + ok[n // 2]) / 2
+        return round(mid, 3)
 
     # The graph family shares one per-process edge projection
-    # (suites/graph_shared.py); without this line the build cost lands
+    # (suites/graph_shared.py); without this block the build cost lands
     # on whichever graph query runs FIRST in suite order, making it
     # look like the slowest query (VERDICT r6 ask #7). Fill the cache
     # here, timed as its own entry, so the four graph queries report
     # their marginal cost; the "warm" number is the cache-hit lookup.
-    from bootcamp_stackacademy_datalake_minio_airflow_spark.suites.graph_shared import (
-        part_cooccurrence_edges,
-    )
+    # Each rep evicts the sf_dir entry first so every cold rep pays
+    # the real build, not an OrderedDict lookup.
+    from bootcamp_stackacademy_datalake_minio_airflow_spark.suites import graph_shared
 
+    cold_runs["graph_edge_build"] = []
+    warm_runs["graph_edge_build"] = []
     try:
-        part_cooccurrence_edges(spark, warm_dir)  # untimed warm-up lake fill
-        t0 = time.perf_counter()
-        part_cooccurrence_edges(spark, sf_dir)
-        timings["graph_edge_build"] = round(time.perf_counter() - t0, 3)
-        t0 = time.perf_counter()
-        part_cooccurrence_edges(spark, sf_dir)
-        warm_timings["graph_edge_build"] = round(time.perf_counter() - t0, 3)
+        graph_shared.part_cooccurrence_edges(spark, warm_dir)  # untimed warm-up
+        app_id = spark.sparkContext.applicationId
+        for _ in range(reps):
+            evicted = graph_shared._CACHE.pop((app_id, sf_dir), None)
+            if evicted is not None:
+                evicted[0].unpersist(blocking=True)
+            t0 = time.perf_counter()
+            graph_shared.part_cooccurrence_edges(spark, sf_dir)
+            cold_runs["graph_edge_build"].append(
+                round(time.perf_counter() - t0, 3)
+            )
+            t0 = time.perf_counter()
+            graph_shared.part_cooccurrence_edges(spark, sf_dir)
+            warm_runs["graph_edge_build"].append(
+                round(time.perf_counter() - t0, 3)
+            )
     except Exception as e:  # noqa: BLE001
         print(f"bench error in graph_edge_build: {e}", file=sys.stderr)
-        timings["graph_edge_build"] = -1.0
-        warm_timings["graph_edge_build"] = -1.0
+        cold_runs["graph_edge_build"].append(-1.0)
+        warm_runs["graph_edge_build"].append(-1.0)
 
     warmups_ok = 0
     for name, fn in qs.items():
         # untimed JIT/codegen warm-up at the tiny SF (see module
         # docstring); identical plan constants -> codegen cache hit
-        # on the timed runs
+        # on the timed runs. Once per query, not per rep.
         try:
             fn(spark, warm_dir).count()
             warmups_ok += 1
         except Exception:  # noqa: BLE001
             pass
-        spark.catalog.clearCache()
-        t0 = time.perf_counter()
-        try:
-            fn(spark, sf_dir).count()
-            timings[name] = round(time.perf_counter() - t0, 3)
-        except Exception as e:  # noqa: BLE001
-            print(f"bench error in {name}: {e}", file=sys.stderr)
-            timings[name] = -1.0
-        # warm run: immediately, WITHOUT clearing — steady state
-        if timings[name] >= 0:
+        cold_runs[name] = []
+        warm_runs[name] = []
+        for _ in range(reps):
+            spark.catalog.clearCache()
             t0 = time.perf_counter()
             try:
                 fn(spark, sf_dir).count()
-                warm_timings[name] = round(time.perf_counter() - t0, 3)
+                cold_runs[name].append(round(time.perf_counter() - t0, 3))
+            except Exception as e:  # noqa: BLE001
+                print(f"bench error in {name}: {e}", file=sys.stderr)
+                cold_runs[name].append(-1.0)
+                warm_runs[name].append(-1.0)
+                break  # a failing query fails every rep; don't retry
+            # warm run: immediately, WITHOUT clearing — steady state
+            t0 = time.perf_counter()
+            try:
+                fn(spark, sf_dir).count()
+                warm_runs[name].append(round(time.perf_counter() - t0, 3))
             except Exception as e:  # noqa: BLE001
                 print(f"bench warm error in {name}: {e}", file=sys.stderr)
-                warm_timings[name] = -1.0
-        else:
-            warm_timings[name] = -1.0
+                warm_runs[name].append(-1.0)
         # operators persist() intermediates; clear between queries so
         # later timings don't inherit earlier queries' cache pressure
         spark.catalog.clearCache()
+
+    timings = {n: _median(v) for n, v in cold_runs.items()}
+    warm_timings = {n: _median(v) for n, v in warm_runs.items()}
 
     # drift guard: every registered query must appear in the loop —
     # a silently vanished query would read as a faster suite
@@ -146,8 +181,27 @@ def main() -> None:
         "n_queries": len(timings),
         "n_errors": sum(1 for t in timings.values() if t < 0),
         "warm_total": warm_total,
-        "queries": timings,
-        "queries_warm": warm_timings,
+        "reps": reps,
+        "queries": timings,  # per-query COLD median (driver schema)
+        "queries_warm": warm_timings,  # per-query WARM median
+        "queries_cold_med": timings,
+        "queries_cold_min": {
+            n: (min((x for x in v if x >= 0), default=-1.0))
+            for n, v in cold_runs.items()
+        },
+        "queries_cold_max": {
+            n: (max((x for x in v if x >= 0), default=-1.0))
+            for n, v in cold_runs.items()
+        },
+        "queries_warm_med": warm_timings,
+        "queries_warm_min": {
+            n: (min((x for x in v if x >= 0), default=-1.0))
+            for n, v in warm_runs.items()
+        },
+        "queries_warm_max": {
+            n: (max((x for x in v if x >= 0), default=-1.0))
+            for n, v in warm_runs.items()
+        },
         "sf": sf_val,
         # honest methodology record: claim the warm-up only if it
         # actually ran for every query (a missing warm dir would
@@ -174,6 +228,11 @@ def main() -> None:
         sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:10]
     )
     compact = dict(full)
+    # the full med/min/max bands live in BENCH_FULL.json only — the
+    # driver's tail capture truncates long stdout lines (r2 incident)
+    for k in list(compact):
+        if k.startswith("queries_cold_") or k.startswith("queries_warm_"):
+            del compact[k]
     compact["queries"] = slowest  # 10 slowest only; full map in BENCH_FULL.json
     compact["queries_warm"] = {k: warm_timings[k] for k in slowest}
     print(json.dumps(compact, separators=(",", ":")))
