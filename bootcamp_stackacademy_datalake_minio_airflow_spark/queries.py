@@ -81,7 +81,8 @@ def oracle_sql() -> dict[str, str]:
 #: families newly registered in r7 (doc_unigram_cross_entropy,
 #: doc_bigram_cross_entropy, source_copy_matrix,
 #: tokenizer_fertility_by_lang, retrieval_ndcg, winnow_overlap_pairs,
-#: mixture_epoch_schedule, corpus_datacard).
+#: mixture_epoch_schedule, corpus_datacard), plus the families newly
+#: registered in r8 (corpus_datacard_sketch, winnow_quotation_pairs).
 PRIORITY = [
     # -- reference parity (the deliverable) --
     "vendas_flagship",

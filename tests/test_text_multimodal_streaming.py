@@ -679,3 +679,35 @@ def test_sessionize_interval_merge_unit():
     batch2 = pd.DataFrame({"ts": [pd.Timestamp(80 * MIN, unit="ms")]})
     assert list(_sessionize((7,), [batch2], st2)) == []
     assert st2.get == (80 * MIN, 110 * MIN, 4)
+
+
+def test_winnow_textbook_params_recover_every_planted_quotation(spark):
+    """VERDICT r7 ask #4: the k+window-1 guarantee at the PUBLISHED
+    winnowing parameters (k=5, window=4), end-to-end through the
+    registered planted-quotation query: every donor doc's unique
+    32-char passage is quoted verbatim by its synthetic twin, so every
+    (donor, donor+10M) pair must appear — the 32-char overlap
+    guarantees >= 4 shared fingerprints, and passage uniqueness keeps
+    their df at exactly 2, under the max_df=8 boilerplate cut."""
+    from pyspark.sql import functions as F
+
+    from bootcamp_stackacademy_datalake_minio_airflow_spark.operators.dedup import normalize_text
+    from bootcamp_stackacademy_datalake_minio_airflow_spark.catalog import load_table
+    from bootcamp_stackacademy_datalake_minio_airflow_spark.queries import queries
+
+    sf = "/root/testdata/sf0.01"
+    res = queries()["winnow_quotation_pairs"](spark, sf)
+    planted = {
+        (r.id_a, r.id_b)
+        for r in res.filter(F.col("id_b") - F.col("id_a") == 10_000_000).collect()
+    }
+    donors = {
+        r.doc_id
+        for r in load_table(spark, sf, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", normalize_text("text").alias("t"))
+        .filter((F.col("doc_id") % 7 == 0) & (F.length("t") >= 60))
+        .collect()
+    }
+    assert planted == {(d, d + 10_000_000) for d in donors}
+    assert len(donors) > 0
