@@ -1,0 +1,125 @@
+"""Plan-SHAPE pins for the five most expensive bench queries
+(VERDICT r7 ask #6): the join strategies the bench numbers depend on
+must survive a Spark upgrade or refactor. The heavy operators
+materialize intermediates (localCheckpoint / materialize-release), so
+the final DataFrame's plan is just an RDD scan — the interesting
+plans are the SUB-executions the operator runs. We capture those from
+the session's SQLAppStatusStore (the SQL tab's data source — public
+API) and scan every plan the query executed.
+
+Two tiers of pin:
+- HARD, scale-independent: no CartesianProduct, and no
+  BroadcastNestedLoopJoin with a real join type, anywhere in any
+  sub-execution — an accidental non-equi join predicate (e.g. a lost
+  alias on a self-join) silently turns a bounded equi-join into an
+  all-pairs scan that only explodes at real scale. The one allowed
+  BNLJ form is ``Cross``: that is how Spark compiles
+  ``crossJoin(broadcast(<one-row totals>))`` — the standard
+  scalar-attach idiom (basket rules' total-basket count) whose build
+  side is one row by construction.
+- STRATEGY, at the test SF: joins hinted/expected to broadcast do.
+"""
+
+from __future__ import annotations
+
+import re
+import time
+
+import pytest
+
+import __spark_entry__ as ep
+
+TARGETS = [
+    "graph_triangle_counts",
+    "dedup_ngram_jaccard_pairs",
+    "basket_association_rules",
+    "fuzzy_name_neighbors",
+    "winnow_overlap_pairs",
+]
+
+
+def _plans_during(spark, run) -> str:
+    """Run ``run()`` and return the concatenated physical-plan
+    descriptions of every SQL execution it triggered."""
+    store = spark._jsparkSession.sharedState().statusStore()
+    lst = store.executionsList()
+    before = {lst.apply(i).executionId() for i in range(lst.size())}
+    run()
+    # the status listener is async; wait for the execution list to
+    # stop growing before reading it
+    prev = -1
+    for _ in range(20):
+        time.sleep(0.25)
+        cur = store.executionsCount()
+        if cur == prev:
+            break
+        prev = cur
+    lst = store.executionsList()
+    plans = [
+        lst.apply(i).physicalPlanDescription()
+        for i in range(lst.size())
+        if lst.apply(i).executionId() not in before
+    ]
+    assert plans, "query triggered no SQL executions (capture broke?)"
+    return "\n".join(plans)
+
+
+@pytest.fixture(scope="module")
+def captured(spark, sf_dir):
+    qs = ep.queries()
+    out = {}
+    for name in TARGETS:
+        out[name] = _plans_during(spark, lambda: qs[name](spark, sf_dir).count())
+    return out
+
+
+#: queries allowed to contain Cross-type BNLJ (scalar attach). Names
+#: outside this set must have NO BroadcastNestedLoopJoin at all.
+SCALAR_CROSS_OK = {"basket_association_rules"}
+
+_JOIN_TYPES = (
+    "Inner|LeftOuter|RightOuter|FullOuter|LeftSemi|LeftAnti|Cross"
+)
+
+
+def test_no_cartesian_or_nested_loop_anywhere(captured):
+    for name, plans in captured.items():
+        assert "CartesianProduct" not in plans, name
+        typed = re.findall(rf"BroadcastNestedLoopJoin ({_JOIN_TYPES})", plans)
+        # only the Cross scalar-attach form, and only where justified
+        bad = [t for t in typed if t != "Cross"]
+        assert not bad, f"{name}: non-Cross BroadcastNestedLoopJoin {bad}"
+        if name not in SCALAR_CROSS_OK:
+            assert "BroadcastNestedLoopJoin" not in plans, name
+
+
+def test_every_target_joins_via_equi_join_operators(captured):
+    # each of these queries is built on equi-joins (degree-ordered
+    # wedge join, prefix-filter candidate join, basket self-join,
+    # deletion-neighborhood join, fingerprint self-join): some
+    # hash/merge equi-join node must appear in the executed plans
+    for name, plans in captured.items():
+        assert any(
+            j in plans
+            for j in ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin")
+        ), name
+
+
+def test_basket_rules_support_side_broadcasts(captured):
+    # the per-item support table is tiny relative to the basket
+    # self-join and must broadcast (the shape VERDICT r7 audited);
+    # a flip to SortMergeJoin would add a corpus-wide exchange
+    assert "BroadcastHashJoin" in captured["basket_association_rules"]
+
+
+def test_triangle_counts_wedge_joins_stay_equi(captured):
+    # degree-ordered orientation: wedge join + closure check are both
+    # equi-joins on (src, dst) pairs; the closure check must never
+    # degrade to a nested-loop on the pair predicate
+    plans = captured["graph_triangle_counts"]
+    assert (
+        plans.count("BroadcastHashJoin")
+        + plans.count("SortMergeJoin")
+        + plans.count("ShuffledHashJoin")
+        > 0
+    )
