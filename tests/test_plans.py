@@ -386,3 +386,14 @@ def test_key_skew_gini_windows_distinct_multiplicities_only(spark, sf_dir):
     assert below.count("HashAggregate") >= 2, plan
     # no rank of the raw key table anywhere
     assert "row_number" not in plan
+
+
+def test_datacard_sketch_has_no_expand(spark, sf_dir):
+    """corpus_datacard_sketch's reason to exist is removing the exact
+    card's multi-distinct Expand (each scanned row fanned 4x before
+    the partial aggregate). The exact card keeps its (documented)
+    Expand; the sketch twin must never regrow one."""
+    exact = _executed_plan(ep.queries()["corpus_datacard"](spark, sf_dir))
+    sketch = _executed_plan(ep.queries()["corpus_datacard_sketch"](spark, sf_dir))
+    assert "Expand" in exact  # the documented trade, still present
+    assert "Expand" not in sketch
