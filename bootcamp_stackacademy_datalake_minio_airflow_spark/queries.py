@@ -58,17 +58,16 @@ def oracle_sql() -> dict[str, str]:
 #:
 #: Cumulative driver-hash-checked families after r7: 118 of 189
 #: (CORRECTNESS_r07 went 50/50 green, confirming the whole r7 block).
-#: r8 rotates the 14 r7-rotation slots (all green in r7) for the
-#: documented queue head: tpch_q21_shaped, bigram_pmi,
-#: events_sliding_exact, ann_batch_topk, mixture_temperature_weights,
-#: training_shuffle_topk, blocklist_filter_stats,
-#: incremental_dedup_new_batch, embedding_int8_quantize,
-#: embedding_random_projection, tfidf_top_source_terms,
-#: events_funnel_conversion, events_hour_baseline, parts_pareto_front.
+#: r8 rotates a TWENTY-slot block (VERDICT r7 ask #1 says ">=14"):
+#: the 14 r7-rotation slots (all green in r7) plus six fixed slots
+#: whose families also went driver-green in r7 (window_rank,
+#: join_semi_anti, grouping_sets_agg, explode_unnest,
+#: user_sessionization, dq_orphan_lineitems) are given to the
+#: documented 14-name queue head, the queue's next four, and the two
+#: families newly registered in r8.
 #:
 #: r9 rotation queue, in priority order (never-window-checked
-#: families first): orders_bloom_prune, embedding_dim_stats,
-#: embedding_power_iteration, events_changepoint,
+#: families first):
 #: orders_revenue_trend, doc_length_psi, events_ab_test_z,
 #: langid_eval_metrics, orders_key_skew, dedup_canonical_docs,
 #: dedup_ngram_containment_pairs, ngram_novelty_scores,
@@ -81,8 +80,9 @@ def oracle_sql() -> dict[str, str]:
 #: families newly registered in r7 (doc_unigram_cross_entropy,
 #: doc_bigram_cross_entropy, source_copy_matrix,
 #: tokenizer_fertility_by_lang, retrieval_ndcg, winnow_overlap_pairs,
-#: mixture_epoch_schedule, corpus_datacard), plus the families newly
-#: registered in r8 (corpus_datacard_sketch, winnow_quotation_pairs).
+#: mixture_epoch_schedule, corpus_datacard). The two families newly
+#: registered in r8 (corpus_datacard_sketch, winnow_quotation_pairs)
+#: are already in the r8 window.
 PRIORITY = [
     # -- reference parity (the deliverable) --
     "vendas_flagship",
@@ -115,19 +115,21 @@ PRIORITY = [
     "sample_hash_documents",
     "zorder_orders",
     # -- core relational / temporal / quality families --
+    # (window_rank, join_semi_anti, grouping_sets_agg, explode_unnest,
+    # user_sessionization, dq_orphan_lineitems were displaced r8 after
+    # going driver-green in CORRECTNESS_r07 — their slots now
+    # accumulate never-checked coverage; all six stay registered,
+    # locally gated, and pytest-covered)
     "filter_predicates",
     "groupby_aggregates",
-    "window_rank",
     "join_inner_agg",
-    "join_semi_anti",
-    "grouping_sets_agg",
     "asof_join_events_orders",
     "range_join_price_bands",
-    "user_sessionization",
-    "explode_unnest",
-    "dq_orphan_lineitems",
-    # -- r8 rotation block: 14 families never driver-checked before —
-    # the documented r8 queue head (VERDICT r7 ask #1) --
+    # -- r8 rotation block: 20 families never driver-checked before —
+    # the documented 14-name r8 queue head (VERDICT r7 ask #1, which
+    # says ">=14"), then the queue's next four, then the two families
+    # newly REGISTERED in r8 (brand-new code carries the highest
+    # regression risk, so it enters the hard gate immediately) --
     "tpch_q21_shaped",
     "bigram_pmi",
     "events_sliding_exact",
@@ -142,6 +144,12 @@ PRIORITY = [
     "events_funnel_conversion",
     "events_hour_baseline",
     "parts_pareto_front",
+    "orders_bloom_prune",
+    "embedding_dim_stats",
+    "embedding_power_iteration",
+    "events_changepoint",
+    "corpus_datacard_sketch",
+    "winnow_quotation_pairs",
 ]
 
 _LOADED = False

@@ -72,9 +72,11 @@ def test_priority_window_guard():
     oracles = q.oracle_sql()
     rows_only = [n for n in q.PRIORITY if n not in oracles]
     assert not rows_only, f"rows-only queries occupy window slots: {rows_only}"
-    # r8 rotation block (VERDICT r7 ask #1): the tail slots must hold
-    # the promoted never-driver-checked families — a mis-merge that
-    # reverted the rotation would re-check r7's families instead
+    # r8 rotation block (VERDICT r7 ask #1, ">=14"): the tail slots
+    # must hold the promoted never-driver-checked families — the
+    # documented 14-name queue head, the queue's next four, and the
+    # two families newly registered in r8. A mis-merge that reverted
+    # the rotation would re-check r7's families instead.
     r8_block = [
         "tpch_q21_shaped",
         "bigram_pmi",
@@ -90,5 +92,11 @@ def test_priority_window_guard():
         "events_funnel_conversion",
         "events_hour_baseline",
         "parts_pareto_front",
+        "orders_bloom_prune",
+        "embedding_dim_stats",
+        "embedding_power_iteration",
+        "events_changepoint",
+        "corpus_datacard_sketch",
+        "winnow_quotation_pairs",
     ]
-    assert q.PRIORITY[-14:] == r8_block, "r8 rotation block not in tail slots"
+    assert q.PRIORITY[-20:] == r8_block, "r8 rotation block not in tail slots"
