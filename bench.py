@@ -100,7 +100,13 @@ def main() -> None:
     # here, timed as its own entry, so the four graph queries report
     # their marginal cost; the "warm" number is the cache-hit lookup.
     # Each rep evicts the sf_dir entry first so every cold rep pays
-    # the real build, not an OrderedDict lookup.
+    # the real build, not an OrderedDict lookup. NOTE: the entries are
+    # localCheckpoints, so Dataset.unpersist cannot free their blocks
+    # (they live outside the SQL cache manager); dropping the dict
+    # reference lets the ContextCleaner reclaim them lazily — bounded
+    # at <= reps stale copies of a tens-of-MB edge set, irrelevant
+    # next to the 128 GiB heap, and the timed REBUILD is real either
+    # way (the dict miss forces the full co-occurrence build).
     from bootcamp_stackacademy_datalake_minio_airflow_spark.suites import graph_shared
 
     cold_runs["graph_edge_build"] = []
@@ -109,9 +115,7 @@ def main() -> None:
         graph_shared.part_cooccurrence_edges(spark, warm_dir)  # untimed warm-up
         app_id = spark.sparkContext.applicationId
         for _ in range(reps):
-            evicted = graph_shared._CACHE.pop((app_id, sf_dir), None)
-            if evicted is not None:
-                evicted[0].unpersist(blocking=True)
+            graph_shared._CACHE.pop((app_id, sf_dir), None)
             t0 = time.perf_counter()
             graph_shared.part_cooccurrence_edges(spark, sf_dir)
             cold_runs["graph_edge_build"].append(
@@ -182,6 +186,15 @@ def main() -> None:
         "n_errors": sum(1 for t in timings.values() if t < 0),
         "warm_total": warm_total,
         "reps": reps,
+        # partial-rep failures must be LOUD in the artifact, not just a
+        # stderr line: a query that succeeded on rep 1 and died on rep
+        # 2 would otherwise present its single surviving rep as a
+        # stable median (r8 review finding). {} when all reps ran.
+        "queries_failed_reps": {
+            n: sum(1 for x in v if x < 0)
+            for n, v in cold_runs.items()
+            if any(x < 0 for x in v)
+        },
         "queries": timings,  # per-query COLD median (driver schema)
         "queries_warm": warm_timings,  # per-query WARM median
         "queries_cold_med": timings,

@@ -86,10 +86,14 @@ def bm25_topk(
         raise ValueError("terms must contain at least one non-blank term")
     # blank docs must not inflate N/avgdl: split('') is [''] (size 1),
     # so the size guard alone admits them — gate on trimmed length,
-    # matching token_count()'s zero-token definition
-    base = docs.filter(F.length(F.trim(F.col(text_col))) > 0).select(
-        F.col(id_col), _toks(text_col).alias("toks")
-    )
+    # matching token_count()'s zero-token definition. NULL ids are
+    # dropped too: a result row needs an identity, and every DuckDB
+    # oracle of this family loses NULL ids at its tf JOIN dls equi-join
+    # anyway — keeping them here let a NULL-id doc occupy a top-k slot
+    # on the Spark side only (r8 review finding).
+    base = docs.filter(
+        F.col(id_col).isNotNull() & (F.length(F.trim(F.col(text_col))) > 0)
+    ).select(F.col(id_col), _toks(text_col).alias("toks"))
     # scalar corpus stats: one row, broadcast
     stats = base.select(F.size("toks").cast("long").alias("dl")).agg(
         F.count("*").cast("double").alias("n_docs"),
@@ -471,7 +475,9 @@ def ndcg_at_k(
     corpus) guards the division to NULL rather than raising.
     """
     base = docs.filter(
-        F.col(text_col).isNotNull() & (F.length(F.trim(F.col(text_col))) > 0)
+        F.col(id_col).isNotNull()
+        & F.col(text_col).isNotNull()
+        & (F.length(F.trim(F.col(text_col))) > 0)
     ).select(
         F.col(id_col).alias("__id"),
         F.size(

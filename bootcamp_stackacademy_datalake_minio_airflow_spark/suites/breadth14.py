@@ -123,8 +123,12 @@ def q_source_copy_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _NDCG_ORACLE = rf"""
     WITH base AS (
+      -- doc_id IS NOT NULL mirrors ndcg_at_k/bm25_topk (r8): a
+      -- NULL-id doc can neither be ranked nor hold an ideal slot
       SELECT doc_id, string_split({_NORM_SQL}, ' ') AS toks
-      FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0
+      FROM documents
+      WHERE doc_id IS NOT NULL
+        AND text IS NOT NULL AND length(trim(text)) > 0
     ), dls AS (
       SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM base
     ), stats AS (

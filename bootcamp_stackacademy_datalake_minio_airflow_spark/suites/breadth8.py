@@ -47,8 +47,10 @@ _PHRASE = ["value", "table", "part"]
     "bm25_search_topk",
     rf"""
     WITH base AS (
+      -- doc_id IS NOT NULL mirrors bm25_topk's base (r8): a NULL-id
+      -- doc must neither occupy a top-k slot nor inflate N/avgdl
       SELECT doc_id, string_split({_NORM_SQL}, ' ') AS toks
-      FROM documents WHERE length(trim(text)) > 0
+      FROM documents WHERE doc_id IS NOT NULL AND length(trim(text)) > 0
     ), dls AS (
       SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM base
     ), stats AS (

@@ -79,6 +79,7 @@ SCALAR_CROSS_OK = {"basket_association_rules"}
 
 _JOIN_TYPES = (
     "Inner|LeftOuter|RightOuter|FullOuter|LeftSemi|LeftAnti|Cross"
+    "|ExistenceJoin"  # IN/EXISTS compiled to BNLJ must fail the pin too
 )
 
 
