@@ -1243,3 +1243,105 @@ def source_copy_matrix(
         )
         .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
     )
+
+
+def dup_span_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    gram_len: int = 40,
+) -> DataFrame:
+    """Exact duplicated-substring SPANS per document — the Lee et al.
+    2022 ("Deduplicating Training Data Makes Language Models Better")
+    signal: a character position is duplicated if its ``gram_len``-char
+    substring occurs >= 2 times anywhere in the corpus (another doc OR
+    the same doc — self-repetition counts, as in the paper's suffix
+    array); overlapping/adjacent duplicated positions merge into
+    maximal spans. Emits ``(doc_id, n_spans, dup_chars,
+    dup_fraction)`` for documents with >= 1 duplicated span —
+    dup_fraction is the fraction of the normalized text inside a
+    duplicated region, the number the paper reports per corpus.
+
+    Spark-first shape (the paper builds a monolithic suffix array —
+    inherently single-machine): the position-dense-hashing rule
+    applies (COVERAGE: winnowing/CDC precedent) — EXPLODE every char
+    position and hash the gram in whole-stage codegen, never an
+    interpreted HOF lambda. One corpus-wide groupBy counts gram
+    occurrences (the inherent exchange — it replaces the suffix
+    array); the duplicated-hash set comes back via a shuffle
+    equi-join that AQE can skew-split if a boilerplate gram goes
+    viral (no per-hash collect_list, whose hot key would be
+    unsplittable). Span assembly is a per-DOCUMENT ordered window
+    (partitioned — bounded by document length), then two partial-
+    aggregable groupBys. The hashed position stream feeds both the
+    count and the join, so it is persisted once and released via the
+    materialize-release discipline. md5 family: DuckDB replays every
+    stage, so the oracle hash-gates spans, not just counts.
+    """
+    from pyspark import StorageLevel
+
+    norm = _norm_base(df, id_col, text_col).filter(
+        F.length("__txt") >= gram_len
+    )
+    n_pos = F.length("__txt") - F.lit(gram_len - 1)
+    pos = (
+        norm.select(
+            "__id",
+            F.length("__txt").alias("__dlen"),
+            "__txt",
+            F.explode(F.sequence(F.lit(1), n_pos)).alias("__i"),
+        )
+        .select(
+            "__id",
+            "__dlen",
+            "__i",
+            F.md5(F.substr(F.col("__txt"), F.col("__i"), F.lit(gram_len))).alias(
+                "__h"
+            ),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    dup = (
+        pos.groupBy("__h")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .filter(F.col("__c") >= 2)
+        .select("__h")
+    )
+    hits = pos.join(dup, "__h").select("__id", "__dlen", "__i")
+    wkey = Window.partitionBy("__id").orderBy("__i")
+    prev_max = F.max("__i").over(
+        wkey.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = hits.withColumn(
+        "__new",
+        F.when(
+            prev_max.isNull() | (F.col("__i") > prev_max + F.lit(gram_len)),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    isl = flagged.withColumn(
+        "__isl",
+        F.sum("__new").over(wkey.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    spans = isl.groupBy("__id", "__dlen", "__isl").agg(
+        F.min("__i").alias("__s"),
+        (F.max("__i") + F.lit(gram_len - 1)).alias("__e"),
+    )
+    out = (
+        spans.groupBy("__id", "__dlen")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_spans"),
+            F.sum(F.col("__e") - F.col("__s") + 1).cast("long").alias(
+                "dup_chars"
+            ),
+        )
+        .select(
+            F.col("__id").alias(id_col),
+            "n_spans",
+            "dup_chars",
+            (
+                F.round(F.col("dup_chars") / F.col("__dlen"), 4) + F.lit(0.0)
+            ).alias("dup_fraction"),
+        )
+    )
+    return _materialize_release(out, pos)

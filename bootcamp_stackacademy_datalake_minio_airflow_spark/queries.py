@@ -58,13 +58,15 @@ def oracle_sql() -> dict[str, str]:
 #:
 #: Cumulative driver-hash-checked families after r7: 118 of 189
 #: (CORRECTNESS_r07 went 50/50 green, confirming the whole r7 block).
-#: r8 rotates a TWENTY-slot block (VERDICT r7 ask #1 says ">=14"):
-#: the 14 r7-rotation slots (all green in r7) plus six fixed slots
-#: whose families also went driver-green in r7 (window_rank,
+#: r8 rotates a 21-slot block (VERDICT r7 ask #1 says ">=14"): the 14
+#: r7-rotation slots (all green in r7) plus six fixed slots whose
+#: families also went driver-green in r7 (window_rank,
 #: join_semi_anti, grouping_sets_agg, explode_unnest,
-#: user_sessionization, dq_orphan_lineitems) are given to the
-#: documented 14-name queue head, the queue's next four, and the two
-#: families newly registered in r8.
+#: user_sessionization, dq_orphan_lineitems) plus doc_fingerprint's
+#: slot are given to the documented 14-name queue head, the queue's
+#: next four, and the three families newly registered in r8
+#: (corpus_datacard_sketch, winnow_quotation_pairs,
+#: doc_dup_span_stats — new code enters the hard gate immediately).
 #:
 #: r9 rotation queue, in priority order (never-window-checked
 #: families first):
@@ -80,9 +82,10 @@ def oracle_sql() -> dict[str, str]:
 #: families newly registered in r7 (doc_unigram_cross_entropy,
 #: doc_bigram_cross_entropy, source_copy_matrix,
 #: tokenizer_fertility_by_lang, retrieval_ndcg, winnow_overlap_pairs,
-#: mixture_epoch_schedule, corpus_datacard). The two families newly
-#: registered in r8 (corpus_datacard_sketch, winnow_quotation_pairs)
-#: are already in the r8 window.
+#: mixture_epoch_schedule, corpus_datacard). The three families newly
+#: registered in r8 (corpus_datacard_sketch, winnow_quotation_pairs,
+#: doc_dup_span_stats) are already in the r8 window; doc_fingerprint
+#: joins the displaced-but-still-registered pool.
 PRIORITY = [
     # -- reference parity (the deliverable) --
     "vendas_flagship",
@@ -105,7 +108,9 @@ PRIORITY = [
     "semantic_dedup_clusters",
     "text_language_id",
     "text_quality_score",
-    "doc_fingerprint",
+    # doc_fingerprint displaced r8 (multi-round driver-green; its md5
+    # fingerprint family stays exercised in-window by
+    # dedup_exact_documents) for the newly-registered dup-span family
     "multimodal_features",
     "pii_redaction",
     "contamination_ngram",
@@ -150,6 +155,7 @@ PRIORITY = [
     "events_changepoint",
     "corpus_datacard_sketch",
     "winnow_quotation_pairs",
+    "doc_dup_span_stats",
 ]
 
 _LOADED = False

@@ -309,6 +309,70 @@ def q_winnow_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- exact duplicated-substring spans (Lee et al. 2022) ----------------------
+
+_DUP_SPAN_L = 40
+
+_DUP_SPAN_ORACLE = rf"""
+    WITH norm AS (
+      SELECT doc_id, {_NORM_SQL} AS t
+      FROM documents WHERE text IS NOT NULL
+    ), base AS (
+      SELECT doc_id, t, length(t) AS dlen FROM norm
+      WHERE length(t) >= {_DUP_SPAN_L}
+    ), pos AS (
+      SELECT doc_id, dlen, u.i AS i,
+             md5(substr(t, u.i, {_DUP_SPAN_L})) AS h
+      FROM base, LATERAL unnest(range(1, dlen - {_DUP_SPAN_L - 2})) AS u(i)
+    ), dup AS (
+      SELECT h FROM pos GROUP BY h HAVING COUNT(*) >= 2
+    ), hits AS (
+      SELECT doc_id, dlen, i FROM pos JOIN dup USING (h)
+    ), flagged AS (
+      SELECT doc_id, dlen, i,
+             CASE WHEN MAX(i) OVER w IS NULL
+                    OR i > MAX(i) OVER w + {_DUP_SPAN_L}
+                  THEN 1 ELSE 0 END AS nw
+      FROM hits
+      WINDOW w AS (PARTITION BY doc_id ORDER BY i
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ), isl AS (
+      SELECT doc_id, dlen, i,
+             SUM(nw) OVER (PARTITION BY doc_id ORDER BY i
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS g
+      FROM flagged
+    ), spans AS (
+      SELECT doc_id, dlen, g, MIN(i) AS s,
+             MAX(i) + {_DUP_SPAN_L - 1} AS e
+      FROM isl GROUP BY 1, 2, 3
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_spans,
+           CAST(SUM(e - s + 1) AS BIGINT) AS dup_chars,
+           ROUND(SUM(e - s + 1) / CAST(dlen AS DOUBLE), 4) + 0.0
+             AS dup_fraction
+    FROM spans GROUP BY doc_id, dlen
+    """
+
+
+@register("doc_dup_span_stats", _DUP_SPAN_ORACLE)
+def q_doc_dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-substring spans per document
+    (operators/dedup.py:dup_span_stats) — the Lee et al. 2022
+    suffix-array dedup signal re-expressed distributed: positions
+    whose 40-char gram repeats anywhere in the corpus merge into
+    maximal spans; emits per-doc span count, duplicated chars, and
+    the duplicated-text fraction. Complements the approximations
+    already registered (winnowing samples fingerprints, CDC chunks
+    quantize boundaries; this is the EXACT character-level answer
+    at one fixed gram length)."""
+    from ..operators.dedup import dup_span_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dup_span_stats(docs, "doc_id", "text", gram_len=_DUP_SPAN_L)
+
+
 # --- winnowing at TEXTBOOK parameters over a planted-quotation lake ----------
 
 #: synthetic quoting-doc ids live far above any real doc_id

@@ -477,3 +477,46 @@ def test_prefix_budget_matches_exact_rational_sweep(spark):
         for sz in range(1, 201):
             exact = sz - (-(-frac.numerator * sz // frac.denominator)) + 1
             assert got[sz] == exact, (t, sz, got[sz], exact)
+
+
+def test_dup_span_stats_recovers_planted_spans_exactly(spark):
+    """Lee et al. 2022 span semantics, hand-checkable: a 120-char
+    passage shared by two docs (distinct contexts) must surface in
+    BOTH as exactly one span of exactly 120 chars; a doc repeating
+    its own 60-char string twice is self-duplicated at both sites;
+    a unique doc must not appear at all."""
+    from bootcamp_stackacademy_datalake_minio_airflow_spark.operators.dedup import dup_span_stats
+
+    shared = ("the quick brown fox jumps over the lazy dog while counting "
+              "tokens and spans in a deduplication test corpus padded now"
+              ).ljust(120, "q")
+    assert len(shared) == 120
+    rep = "self repeated block of exactly sixty characters for the test!"
+    rep = rep[:60].ljust(60, "z")
+    # adjacency matters: the maximal span extends through any
+    # IDENTICAL character flanking the planted block (including a
+    # shared separator space), so every flank char is chosen distinct
+    # per occurrence — the expected span is then exactly the plant
+    rows = [
+        (1, "junkline" + shared + "omegatail"),
+        (2, "differentopen" + shared + "endnote"),
+        (3, "standalone" + rep + "xfillerwords" + rep + "yfinished"),
+        (4, "entirely unique document with no repeated forty char grams "
+            "anywhere inside it at all, every substring occurs once only"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in dup_span_stats(df, gram_len=40).collect()}
+
+    assert set(out) == {1, 2, 3}
+    # docs 1 and 2: one maximal span covering exactly the shared 120
+    # chars (contexts differ, so duplication cannot extend past it)
+    for d in (1, 2):
+        assert out[d].n_spans == 1
+        assert out[d].dup_chars == 120
+    # doc 3: the 60-char block at two sites; each occurrence is fully
+    # duplicated (its grams match the other site), two merged spans
+    assert out[3].n_spans == 2
+    assert out[3].dup_chars == 120
+    # fraction bounded and consistent
+    for r in out.values():
+        assert 0 < r.dup_fraction <= 1.0

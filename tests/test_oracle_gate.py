@@ -75,7 +75,7 @@ def test_priority_window_guard():
     # r8 rotation block (VERDICT r7 ask #1, ">=14"): the tail slots
     # must hold the promoted never-driver-checked families — the
     # documented 14-name queue head, the queue's next four, and the
-    # two families newly registered in r8. A mis-merge that reverted
+    # three families newly registered in r8. A mis-merge that reverted
     # the rotation would re-check r7's families instead.
     r8_block = [
         "tpch_q21_shaped",
@@ -98,5 +98,6 @@ def test_priority_window_guard():
         "events_changepoint",
         "corpus_datacard_sketch",
         "winnow_quotation_pairs",
+        "doc_dup_span_stats",
     ]
-    assert q.PRIORITY[-20:] == r8_block, "r8 rotation block not in tail slots"
+    assert q.PRIORITY[-21:] == r8_block, "r8 rotation block not in tail slots"
