@@ -472,3 +472,71 @@ def test_ndcg_bounds_and_idcg_dominance(spark, texts):
         assert r.dcg is not None
         assert r.dcg <= r.idcg + 1e-9
         assert 0.0 <= r.ndcg <= 1.0 + 1e-9
+
+
+# --- exact duplicated-substring spans vs a brute-force reference -------------
+
+_DUP_DOCS = st.lists(
+    st.text(alphabet="ab ", min_size=0, max_size=120),
+    min_size=1,
+    max_size=6,
+)
+
+
+def _ref_dup_spans(texts: dict[int, str], L: int) -> dict[int, tuple[int, int]]:
+    """Brute-force reference: normalize, collect every L-gram, count
+    occurrences globally, mark duplicated positions, merge maximal
+    spans; returns {doc_id: (n_spans, dup_chars)}."""
+    import re as _re
+    from collections import Counter
+
+    norm = {
+        i: _re.sub(r"\s+", " ", t.strip().lower())
+        for i, t in texts.items()
+        if t is not None
+    }
+    norm = {i: t for i, t in norm.items() if len(t) >= L}
+    cnt = Counter(
+        t[p : p + L] for t in norm.values() for p in range(len(t) - L + 1)
+    )
+    out = {}
+    for i, t in norm.items():
+        dup = [
+            p for p in range(len(t) - L + 1) if cnt[t[p : p + L]] >= 2
+        ]
+        if not dup:
+            continue
+        spans = []
+        s = e = None
+        for p in dup:
+            if s is None:
+                s, e = p, p + L - 1
+            elif p <= e + 1:
+                e = max(e, p + L - 1)
+            else:
+                spans.append((s, e))
+                s, e = p, p + L - 1
+        spans.append((s, e))
+        out[i] = (len(spans), sum(b - a + 1 for a, b in spans))
+    return out
+
+
+@settings(max_examples=6, deadline=None)
+@given(docs=_DUP_DOCS)
+def test_dup_span_stats_matches_bruteforce_reference(spark, docs):
+    """dup_span_stats == a character-by-character brute-force Python
+    reference on random tiny-alphabet corpora (the 3-letter alphabet
+    forces heavy real duplication, exercising merges, within-doc
+    repeats, and the >=L length gate). L=6 keeps grams short enough
+    that random 120-char docs genuinely collide."""
+    from bootcamp_stackacademy_datalake_minio_airflow_spark.operators.dedup import dup_span_stats
+
+    texts = {i: t for i, t in enumerate(docs)}
+    df = spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (r.n_spans, r.dup_chars)
+        for r in dup_span_stats(df, gram_len=6).collect()
+    }
+    assert got == _ref_dup_spans(texts, 6)
