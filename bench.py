@@ -113,9 +113,17 @@ def main() -> None:
     warm_runs["graph_edge_build"] = []
     try:
         graph_shared.part_cooccurrence_edges(spark, warm_dir)  # untimed warm-up
-        app_id = spark.sparkContext.applicationId
-        for _ in range(reps):
-            graph_shared._CACHE.pop((app_id, sf_dir), None)
+        for rep in range(reps):
+            # evict() is the module's public seam (ADVICE r8: a
+            # hand-built private-dict key would silently no-op on a
+            # key-shape change, turning later "cold" reps into cache
+            # hits). After rep 0 the prior warm run MUST have left an
+            # entry — a miss means eviction is broken; fail loudly.
+            evicted = graph_shared.evict(spark, sf_dir)
+            assert rep == 0 or evicted, (
+                "graph_shared.evict found no cache entry after a warm "
+                "run — cold reps would silently measure cache hits"
+            )
             t0 = time.perf_counter()
             graph_shared.part_cooccurrence_edges(spark, sf_dir)
             cold_runs["graph_edge_build"].append(
@@ -189,12 +197,28 @@ def main() -> None:
         # partial-rep failures must be LOUD in the artifact, not just a
         # stderr line: a query that succeeded on rep 1 and died on rep
         # 2 would otherwise present its single surviving rep as a
-        # stable median (r8 review finding). {} when all reps ran.
+        # stable median (r8 review finding). Counts COLD and WARM rep
+        # failures (ADVICE r8: a warm-only failure — cold succeeded,
+        # warm raised — was filtered out of the warm median and left
+        # no trace). {} when all reps of both kinds ran.
         "queries_failed_reps": {
-            n: sum(1 for x in v if x < 0)
-            for n, v in cold_runs.items()
-            if any(x < 0 for x in v)
+            n: sum(1 for x in cold_runs.get(n, []) if x < 0)
+            + sum(1 for x in warm_runs.get(n, []) if x < 0)
+            for n in set(cold_runs) | set(warm_runs)
+            if any(x < 0 for x in cold_runs.get(n, []))
+            or any(x < 0 for x in warm_runs.get(n, []))
         },
+        # median-vs-median context (VERDICT r8 ask #6): same-day
+        # same-tree runs on this host have spanned ~0.8-1.1x of each
+        # other (r8: builder close-out 105.6s cold vs driver rep
+        # 117.6s, full-band 95.7-117.6s). Compare medians to medians
+        # and read the per-query min/max bands before calling a delta
+        # a regression.
+        "band_note": (
+            "single-host medians; same-tree same-day full-suite runs "
+            "historically span ~±10% (r8: 95.7-117.6s cold). Judge "
+            "deltas against the per-query cold/warm min-max bands."
+        ),
         "queries": timings,  # per-query COLD median (driver schema)
         "queries_warm": warm_timings,  # per-query WARM median
         "queries_cold_med": timings,

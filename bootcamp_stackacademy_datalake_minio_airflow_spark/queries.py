@@ -46,48 +46,29 @@ def oracle_sql() -> dict[str, str]:
 #: registry (exactly 50 rows in every round so far), so the highest-
 #: information queries must register first. The explicit priority
 #: below packs the checked window with (a) the 7 reference-parity
-#: queries, (b) one representative of every LLM-data-pipeline
-#: operator family, (c) one representative of every core relational
-#: operator family, and (d) a ROTATION BLOCK refreshed each round:
-#: queries the driver window has never checked take the tail slots,
-#: so hard-gate coverage ACCUMULATES across rounds instead of
-#: re-checking the same 50. Everything displaced went green in an
-#: earlier round's window and keeps a family sibling in-window; all
+#: queries — the deliverable, permanently in-window — and (b) a
+#: ROTATION BLOCK refreshed each round: queries the driver window has
+#: never checked take every remaining slot, so hard-gate coverage
+#: ACCUMULATES across rounds instead of re-checking the same 50.
+#: Everything displaced went green in an earlier round's window; all
 #: displaced queries stay registered, locally oracle-gated, and
 #: pytest-covered.
 #:
-#: Cumulative driver-hash-checked families after r7: 118 of 189
-#: (CORRECTNESS_r07 went 50/50 green, confirming the whole r7 block).
-#: r8 rotates a 21-slot block (VERDICT r7 ask #1 says ">=14"): the 14
-#: r7-rotation slots (all green in r7) plus six fixed slots whose
-#: families also went driver-green in r7 (window_rank,
-#: join_semi_anti, grouping_sets_agg, explode_unnest,
-#: user_sessionization, dq_orphan_lineitems) plus doc_fingerprint's
-#: slot are given to the documented 14-name queue head, the queue's
-#: next four, and the three families newly registered in r8
-#: (corpus_datacard_sketch, winnow_quotation_pairs,
-#: doc_dup_span_stats — new code enters the hard gate immediately).
+#: Cumulative driver-hash-checked families after r8: 142 of 192 (the
+#: 21-slot r8 rotation went 50/50 green in CORRECTNESS_r08). r9 goes
+#: all-in on finishing the verification debt: every non-parity fixed
+#: slot is displaced (each is multi-round driver-green with pytest +
+#: local-gate coverage standing) and the full 43-slot tail is given
+#: to never-checked families — the documented 23-name r9 queue, the
+#: 8 r7-registered families, and 12 of the remaining 20 (breadth
+#: families and four TPC-H variants first).
 #:
-#: r9 rotation queue, in priority order (never-window-checked
-#: families first):
-#: orders_revenue_trend, doc_length_psi, events_ab_test_z,
-#: langid_eval_metrics, orders_key_skew, dedup_canonical_docs,
-#: dedup_ngram_containment_pairs, ngram_novelty_scores,
-#: dsir_importance_weights, orders_table_profile,
-#: split_leakage_safe, filter_funnel_report, doc_boilerplate_ratio,
-#: contamination_semantic, hybrid_rrf_search, source_lang_chi2,
-#: bpe_segment_tokens, doc_length_ks_test, orders_trailing_revenue,
-#: corpus_mixture_entropy, dup_cluster_histogram,
-#: packing_efficiency, events_value_quantiles_by_type, plus the
-#: families newly registered in r7 (doc_unigram_cross_entropy,
-#: doc_bigram_cross_entropy, source_copy_matrix,
-#: tokenizer_fertility_by_lang, retrieval_ndcg, winnow_overlap_pairs,
-#: mixture_epoch_schedule, corpus_datacard). The three families newly
-#: registered in r8 (corpus_datacard_sketch, winnow_quotation_pairs,
-#: doc_dup_span_stats) are already in the r8 window; doc_fingerprint
-#: joins the displaced-but-still-registered pool.
+#: r10 rotation queue (the 8 never-checked families left after this
+#: block, all TPC-H-shaped variants of driver-green families):
+#: tpch_q8_shaped, tpch_q9_shaped, tpch_q11_shaped, tpch_q12_shaped,
+#: tpch_q15_shaped, tpch_q16_shaped, tpch_q20_shaped, tpch_q22_shaped.
 PRIORITY = [
-    # -- reference parity (the deliverable) --
+    # -- reference parity (the deliverable; permanently in-window) --
     "vendas_flagship",
     "projection",
     "pivot_sum_payments",
@@ -95,67 +76,53 @@ PRIORITY = [
     "timestamp_to_date",
     "string_normalize",
     "union_all_sources",
-    # -- LLM training-data pipeline families --
-    "dedup_exact_documents",
-    "dedup_minhash_pairs",
-    "dedup_ngram_jaccard_pairs",
-    # cosine-pairs stays in-window: it is the one family VERDICT r4
-    # flagged for a perf bisect, so its correctness must stay pinned
-    # while the implementation is touched
-    "dedup_embedding_cosine_pairs",
-    "embedding_cosine_topk",
-    "embedding_ivf_recall",
-    "semantic_dedup_clusters",
-    "text_language_id",
-    "text_quality_score",
-    # doc_fingerprint displaced r8 (multi-round driver-green; its md5
-    # fingerprint family stays exercised in-window by
-    # dedup_exact_documents) for the newly-registered dup-span family
-    "multimodal_features",
-    "pii_redaction",
-    "contamination_ngram",
-    "source_term_lift",
-    "curation_pipeline",
-    "sequence_packing",
-    "sample_hash_documents",
-    "zorder_orders",
-    # -- core relational / temporal / quality families --
-    # (window_rank, join_semi_anti, grouping_sets_agg, explode_unnest,
-    # user_sessionization, dq_orphan_lineitems were displaced r8 after
-    # going driver-green in CORRECTNESS_r07 — their slots now
-    # accumulate never-checked coverage; all six stay registered,
-    # locally gated, and pytest-covered)
-    "filter_predicates",
-    "groupby_aggregates",
-    "join_inner_agg",
-    "asof_join_events_orders",
-    "range_join_price_bands",
-    # -- r8 rotation block: 20 families never driver-checked before —
-    # the documented 14-name r8 queue head (VERDICT r7 ask #1, which
-    # says ">=14"), then the queue's next four, then the two families
-    # newly REGISTERED in r8 (brand-new code carries the highest
-    # regression risk, so it enters the hard gate immediately) --
-    "tpch_q21_shaped",
-    "bigram_pmi",
-    "events_sliding_exact",
-    "ann_batch_topk",
-    "mixture_temperature_weights",
-    "training_shuffle_topk",
-    "blocklist_filter_stats",
-    "incremental_dedup_new_batch",
-    "embedding_int8_quantize",
-    "embedding_random_projection",
-    "tfidf_top_source_terms",
-    "events_funnel_conversion",
-    "events_hour_baseline",
-    "parts_pareto_front",
-    "orders_bloom_prune",
-    "embedding_dim_stats",
-    "embedding_power_iteration",
-    "events_changepoint",
-    "corpus_datacard_sketch",
-    "winnow_quotation_pairs",
-    "doc_dup_span_stats",
+    # -- r9 rotation block: 43 families never driver-checked before.
+    # Order: the documented r9 queue head first (VERDICT r8 ask #1),
+    # then the families newly registered in r7 (never-checked since),
+    # then breadth families, then four TPC-H-shaped variants --
+    "orders_revenue_trend",
+    "doc_length_psi",
+    "events_ab_test_z",
+    "langid_eval_metrics",
+    "orders_key_skew",
+    "dedup_canonical_docs",
+    "dedup_ngram_containment_pairs",
+    "ngram_novelty_scores",
+    "dsir_importance_weights",
+    "orders_table_profile",
+    "split_leakage_safe",
+    "filter_funnel_report",
+    "doc_boilerplate_ratio",
+    "contamination_semantic",
+    "hybrid_rrf_search",
+    "source_lang_chi2",
+    "bpe_segment_tokens",
+    "doc_length_ks_test",
+    "orders_trailing_revenue",
+    "corpus_mixture_entropy",
+    "dup_cluster_histogram",
+    "packing_efficiency",
+    "events_value_quantiles_by_type",
+    "doc_unigram_cross_entropy",
+    "doc_bigram_cross_entropy",
+    "source_copy_matrix",
+    "retrieval_ndcg",
+    "tokenizer_fertility_by_lang",
+    "winnow_overlap_pairs",
+    "mixture_epoch_schedule",
+    "corpus_datacard",
+    "sample_split_counts",
+    "sample_stratified_quota",
+    "corpus_top_tokens",
+    "doc_length_histogram",
+    "latest_event_per_user",
+    "funnel_conversion",
+    "retention_cohorts",
+    "embedding_pq_topk",
+    "tpch_q4_shaped",
+    "tpch_q7_shaped",
+    "tpch_q10_shaped",
+    "tpch_q13_shaped",
 ]
 
 _LOADED = False

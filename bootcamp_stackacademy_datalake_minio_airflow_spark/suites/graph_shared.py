@@ -74,3 +74,20 @@ def part_cooccurrence_edges(
         except Exception:  # noqa: BLE001  # evicted entry's session may be gone
             pass
     return edges, n
+
+
+def evict(spark: SparkSession, sf_dir: str) -> bool:
+    """Drop the cached edge set for ``(this application, sf_dir)``;
+    returns whether an entry existed. The public seam for callers
+    (bench.py's cold reps) that must force a rebuild — reaching into
+    ``_CACHE`` with a hand-built key would silently no-op if the key
+    shape ever changed, quietly reporting warm numbers as cold
+    (ADVICE r8)."""
+    hit = _CACHE.pop((spark.sparkContext.applicationId, sf_dir), None)
+    if hit is None:
+        return False
+    try:
+        hit[0].unpersist(blocking=False)
+    except Exception:  # noqa: BLE001
+        pass
+    return True

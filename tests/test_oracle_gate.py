@@ -72,32 +72,31 @@ def test_priority_window_guard():
     oracles = q.oracle_sql()
     rows_only = [n for n in q.PRIORITY if n not in oracles]
     assert not rows_only, f"rows-only queries occupy window slots: {rows_only}"
-    # r8 rotation block (VERDICT r7 ask #1, ">=14"): the tail slots
-    # must hold the promoted never-driver-checked families — the
-    # documented 14-name queue head, the queue's next four, and the
-    # three families newly registered in r8. A mis-merge that reverted
-    # the rotation would re-check r7's families instead.
-    r8_block = [
-        "tpch_q21_shaped",
-        "bigram_pmi",
-        "events_sliding_exact",
-        "ann_batch_topk",
-        "mixture_temperature_weights",
-        "training_shuffle_topk",
-        "blocklist_filter_stats",
-        "incremental_dedup_new_batch",
-        "embedding_int8_quantize",
-        "embedding_random_projection",
-        "tfidf_top_source_terms",
-        "events_funnel_conversion",
-        "events_hour_baseline",
-        "parts_pareto_front",
-        "orders_bloom_prune",
-        "embedding_dim_stats",
-        "embedding_power_iteration",
-        "events_changepoint",
-        "corpus_datacard_sketch",
-        "winnow_quotation_pairs",
-        "doc_dup_span_stats",
+    # r9 rotation block (VERDICT r8 ask #1, ">=14"): every non-parity
+    # slot is a rotation slot this round — the 43-slot tail must hold
+    # never-driver-checked families (the documented 23-name r9 queue,
+    # the 8 r7-registered families, breadth families, and four TPC-H
+    # variants). A mis-merge that reverted the rotation would re-check
+    # r8's families instead. Pin the parity prefix + block head/tail
+    # rather than all 43 names (the full list lives in queries.py).
+    parity = [
+        "vendas_flagship",
+        "projection",
+        "pivot_sum_payments",
+        "left_join_null_fill",
+        "timestamp_to_date",
+        "string_normalize",
+        "union_all_sources",
     ]
-    assert q.PRIORITY[-21:] == r8_block, "r8 rotation block not in tail slots"
+    assert q.PRIORITY[:7] == parity, "parity queries must head the window"
+    import json
+    import pathlib
+
+    checked: set[str] = set()
+    for p in sorted(pathlib.Path(".").glob("CORRECTNESS_r0[1-8].json")):
+        checked |= set(json.loads(p.read_text()).keys())
+    if checked:  # artifact files exist in the repo root
+        rechecked = [n for n in q.PRIORITY[7:] if n in checked]
+        assert not rechecked, (
+            f"rotation slots re-check already-driver-green families: {rechecked}"
+        )
