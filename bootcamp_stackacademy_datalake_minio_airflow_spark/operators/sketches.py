@@ -225,13 +225,49 @@ def kmv_pair_jaccard(
     that fraction is an unbiased Jaccard estimate. Pure array math on
     the (tiny) sketch table; the corpora themselves are never
     joined."""
-    a = sketches.select(
-        F.col(group_col).alias("ga"), F.col("sketch").alias("sa")
+    # Pair enumeration WITHOUT a non-equi join: `a.join(b, ga < gb)`
+    # compiles to an Inner BroadcastNestedLoopJoin — harmless on a
+    # tiny sketch table, but it is exactly the plan shape the repo's
+    # hard pin bans (a lost equi-predicate elsewhere would hide behind
+    # the allowance). Instead: fold the group NAMES (bounded by the
+    # sketch contract — one row per group) into one ordered-pair list,
+    # explode it, and attach each side's sketch with a broadcast
+    # equi-join. Same output, hash-join-only plan.
+    names = sketches.agg(
+        F.sort_array(F.collect_set(group_col)).alias("__gs")
     )
-    b = sketches.select(
-        F.col(group_col).alias("gb"), F.col("sketch").alias("sb")
+    pair_of = F.filter(
+        F.flatten(
+            F.transform(
+                F.col("__gs"),
+                lambda x: F.transform(
+                    F.col("__gs"),
+                    lambda y: F.struct(x.alias("ga"), y.alias("gb")),
+                ),
+            )
+        ),
+        lambda p: p.ga < p.gb,
     )
-    pairs = a.join(b, F.col("ga") < F.col("gb"))
+    pairs = (
+        names.select(F.explode(pair_of).alias("p"))
+        .select("p.ga", "p.gb")
+        .join(
+            F.broadcast(
+                sketches.select(
+                    F.col(group_col).alias("ga"), F.col("sketch").alias("sa")
+                )
+            ),
+            "ga",
+        )
+        .join(
+            F.broadcast(
+                sketches.select(
+                    F.col(group_col).alias("gb"), F.col("sketch").alias("sb")
+                )
+            ),
+            "gb",
+        )
+    )
     union_k = F.slice(
         F.array_sort(F.array_distinct(F.concat(F.col("sa"), F.col("sb")))),
         1,

@@ -1,5 +1,6 @@
-"""Plan-SHAPE pins for the five most expensive bench queries
-(VERDICT r7 ask #6): the join strategies the bench numbers depend on
+"""Plan-SHAPE pins for the most expensive bench queries
+(VERDICT r7 ask #6, extended to the r8 top-5 per r8 ask #3): the
+join strategies the bench numbers depend on
 must survive a Spark upgrade or refactor. The heavy operators
 materialize intermediates (localCheckpoint / materialize-release), so
 the final DataFrame's plan is just an RDD scan — the interesting
@@ -30,11 +31,21 @@ import pytest
 import __spark_entry__ as ep
 
 TARGETS = [
+    # r7 top-5 (kept: regressions here are the costliest)
     "graph_triangle_counts",
     "dedup_ngram_jaccard_pairs",
     "basket_association_rules",
     "fuzzy_name_neighbors",
     "winnow_overlap_pairs",
+    # r8 top-5 additions (VERDICT r8 ask #3): the current cold-median
+    # leaders not already pinned, plus the two VERDICT named
+    # (curation_chunks_v2, source_overlap_kmv) and the iterative BPE
+    # merge loop
+    "graph_label_propagation",
+    "dedup_ngram_containment_pairs",
+    "curation_chunks_v2",
+    "source_overlap_kmv",
+    "bpe_merge_table",
 ]
 
 
@@ -75,7 +86,12 @@ def captured(spark, sf_dir):
 
 #: queries allowed to contain Cross-type BNLJ (scalar attach). Names
 #: outside this set must have NO BroadcastNestedLoopJoin at all.
-SCALAR_CROSS_OK = {"basket_association_rules"}
+SCALAR_CROSS_OK = {
+    "basket_association_rules",
+    # crossJoin(broadcast(<1-row p75 NLL cutoff>)) — the scalar-attach
+    # idiom; build side is one row by construction (a global agg)
+    "curation_chunks_v2",
+}
 
 _JOIN_TYPES = (
     "Inner|LeftOuter|RightOuter|FullOuter|LeftSemi|LeftAnti|Cross"
@@ -94,16 +110,35 @@ def test_no_cartesian_or_nested_loop_anywhere(captured):
             assert "BroadcastNestedLoopJoin" not in plans, name
 
 
+#: targets with no join at all by design — bpe_merge_table is an
+#: iterative pair-count aggregation with a per-round 1-row argmax;
+#: its scale shape is the partial-aggregate, pinned separately below
+JOINLESS = {"bpe_merge_table"}
+
+
 def test_every_target_joins_via_equi_join_operators(captured):
     # each of these queries is built on equi-joins (degree-ordered
     # wedge join, prefix-filter candidate join, basket self-join,
     # deletion-neighborhood join, fingerprint self-join): some
     # hash/merge equi-join node must appear in the executed plans
     for name, plans in captured.items():
+        if name in JOINLESS:
+            continue
         assert any(
             j in plans
             for j in ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin")
         ), name
+
+
+def test_bpe_merge_loop_aggregates_map_side(captured):
+    # the per-round pair count must be a hash aggregate (map-side
+    # partial -> final), not a sort-based fallback, and the loop must
+    # never join: a join appearing here would mean the merge-apply
+    # started shipping the corpus instead of the bounded pair table
+    plans = captured["bpe_merge_table"]
+    assert "HashAggregate" in plans
+    for j in ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin"):
+        assert j not in plans, f"bpe_merge_table grew a {j}"
 
 
 def test_basket_rules_support_side_broadcasts(captured):
