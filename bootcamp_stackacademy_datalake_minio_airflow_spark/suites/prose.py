@@ -1,0 +1,235 @@
+"""Real-prose fixture + oracle-gated query (VERDICT r8 ask #7).
+
+Every other lake in the repo is TPC-H-ish or synthetic text with a
+tiny vocabulary — which is exactly why `winnow_overlap_pairs` needed
+lake-tuned parameters (k=16/w=8) and why vocabulary-dependent tuning
+could hide. This module checks in a small corpus of GENUINE prose:
+public-domain paragraphs (pre-1929 US publications / life+70 authors
+— Austen 1813, Melville 1851, Dickens 1859, Carroll 1865, Lincoln
+1863, Kafka 1915, Cervantes 1605, Voltaire 1759), written out in
+plain ASCII. Minor wording drift from any canonical edition is
+irrelevant: every expectation is computed from THIS fixture — the
+texts serve as natural-language vocabulary with realistic n-gram
+statistics, not as citations.
+
+Two planted copy relationships ride inside the corpus, composed from
+the named constants below so tests can derive expected span lengths
+instead of hand-counting:
+
+- ``quoting`` (doc 9) embeds ``LINCOLN_QUOTE`` verbatim from
+  ``lincoln`` (doc 5) between distinct flanks — a 175-char quotation.
+- ``review`` (doc 10) embeds ``MELVILLE_QUOTE`` verbatim from
+  ``melville`` (doc 2) — an 86-char partial copy.
+
+The registered query ``prose_langid_quality`` runs the langid /
+quality / token operators over this corpus on BOTH engines (the
+corpus is embedded as literals, so the oracle needs no parquet
+table): real-prose behaviour of the text operators is hash-gated,
+not just pytest-asserted. tests/test_prose.py adds winnowing at the
+PUBLISHED k=5/w=4 (quotation recovery on genuine vocabulary) and
+exact dup-span recovery at gram_len=40.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.text import (
+    language_id,
+    punct_ratio,
+    quality_score,
+    token_count,
+)
+from ..queries import register
+
+#: the planted quotation payloads (shared verbatim between donor and
+#: quoting doc; distinct flank characters on every occurrence so the
+#: maximal duplicated span equals the plant — see FIXTURES.md rule)
+LINCOLN_QUOTE = (
+    "Four score and seven years ago our fathers brought forth on this "
+    "continent a new nation, conceived in Liberty, and dedicated to the "
+    "proposition that all men are created equal."
+)
+MELVILLE_QUOTE = (
+    "having little or no money in my purse, and nothing particular to "
+    "interest me on shore"
+)
+
+#: (doc_id, expected_lang, title, text)
+PROSE: list[tuple[int, str, str, str]] = [
+    (
+        1,
+        "en",
+        "Pride and Prejudice (Austen, 1813)",
+        "It is a truth universally acknowledged, that a single man in "
+        "possession of a good fortune, must be in want of a wife. However "
+        "little known the feelings or views of such a man may be on his "
+        "first entering a neighbourhood, this truth is so well fixed in "
+        "the minds of the surrounding families, that he is considered as "
+        "the rightful property of some one or other of their daughters.",
+    ),
+    (
+        2,
+        "en",
+        "Moby-Dick (Melville, 1851)",
+        "Call me Ishmael. Some years ago, never mind how long precisely, "
+        + MELVILLE_QUOTE
+        + ", I thought I would sail about a little and see the watery "
+        "part of the world. It is a way I have of driving off the spleen "
+        "and regulating the circulation.",
+    ),
+    (
+        3,
+        "en",
+        "A Tale of Two Cities (Dickens, 1859)",
+        "It was the best of times, it was the worst of times, it was the "
+        "age of wisdom, it was the age of foolishness, it was the epoch "
+        "of belief, it was the epoch of incredulity, it was the season "
+        "of Light, it was the season of Darkness, it was the spring of "
+        "hope, it was the winter of despair.",
+    ),
+    (
+        4,
+        "en",
+        "Alice's Adventures in Wonderland (Carroll, 1865)",
+        "Alice was beginning to get very tired of sitting by her sister "
+        "on the bank, and of having nothing to do: once or twice she had "
+        "peeped into the book her sister was reading, but it had no "
+        "pictures or conversations in it, and what is the use of a book, "
+        "thought Alice, without pictures or conversations?",
+    ),
+    (
+        5,
+        "en",
+        "Gettysburg Address (Lincoln, 1863)",
+        LINCOLN_QUOTE
+        + " Now we are engaged in a great civil war, testing whether "
+        "that nation, or any nation so conceived and so dedicated, can "
+        "long endure.",
+    ),
+    (
+        6,
+        "de",
+        "Die Verwandlung (Kafka, 1915)",
+        "Als Gregor Samsa eines Morgens aus unruhigen Traeumen erwachte, "
+        "fand er sich in seinem Bett zu einem ungeheueren Ungeziefer "
+        "verwandelt. Er lag auf seinem panzerartig harten Ruecken und "
+        "sah, wenn er den Kopf ein wenig hob, seinen gewoelbten braunen "
+        "Bauch, auf dessen Hoehe sich die Bettdecke kaum noch erhalten "
+        "konnte. Die vielen Beinchen flimmerten ihm hilflos vor den "
+        "Augen. Was ist mit mir geschehen, dachte er. Es war kein Traum.",
+    ),
+    (
+        7,
+        "es",
+        "Don Quijote (Cervantes, 1605)",
+        "En un lugar de la Mancha, de cuyo nombre no quiero acordarme, "
+        "no ha mucho tiempo que vivia un hidalgo de los de lanza en "
+        "astillero, adarga antigua, rocin flaco y galgo corredor. Una "
+        "olla de algo mas vaca que carnero, salpicon las mas noches, "
+        "duelos y quebrantos los sabados, lentejas los viernes, algun "
+        "palomino de anadidura los domingos, consumian las tres partes "
+        "de su hacienda.",
+    ),
+    (
+        8,
+        "fr",
+        "Candide (Voltaire, 1759)",
+        "Il y avait en Westphalie, dans le chateau de monsieur le baron "
+        "de Thunder-ten-tronckh, un jeune garcon a qui la nature avait "
+        "donne les moeurs les plus douces. Sa physionomie annoncait son "
+        "ame. Il avait le jugement assez droit, avec l'esprit le plus "
+        "simple; c'est, je crois, pour cette raison qu'on le nommait "
+        "Candide.",
+    ),
+    (
+        9,
+        "en",
+        "planted quotation of doc 5",
+        "The address opens with the famous words: "
+        + LINCOLN_QUOTE
+        + " Scholars have long admired the compression of those opening "
+        "lines and the cadence they set for everything that follows.",
+    ),
+    (
+        10,
+        "en",
+        "planted partial copy of doc 2",
+        "One early reviewer copied the line "
+        + MELVILLE_QUOTE
+        + " verbatim into his notice, praising the narrator's dry wit "
+        "while complaining at length about the chapters on cetology.",
+    ),
+]
+
+
+def prose_df(spark: SparkSession) -> DataFrame:
+    """The fixture as a (doc_id, text) DataFrame."""
+    return spark.createDataFrame(
+        [(i, t) for i, _lang, _title, t in PROSE], "doc_id int, text string"
+    )
+
+
+def _values_sql() -> str:
+    rows = ",\n    ".join(
+        "({}, '{}')".format(i, t.replace("'", "''"))
+        for i, _lang, _title, t in PROSE
+    )
+    return rows
+
+
+#: langid CASE chain + quality formula — the same specs the
+#: `text_language_id` / `text_quality_score` oracles embed (they ARE
+#: the spec; see operators/text.py), applied to the literal corpus.
+_PROSE_ORACLE = r"""
+WITH prose(doc_id, text) AS (VALUES
+    {values}
+), tok AS (
+  SELECT doc_id, text,
+         string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS ts
+  FROM prose
+), scores AS (
+  SELECT doc_id, text,
+         CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(ts) END AS tok,
+         len(list_filter(ts, x -> x IN ('the','and','of','to','in','is','a'))) AS s_en,
+         len(list_filter(ts, x -> x IN ('der','die','und','das','ist','ein'))) AS s_de,
+         len(list_filter(ts, x -> x IN ('el','la','de','que','los','es'))) AS s_es,
+         len(list_filter(ts, x -> x IN ('le','la','les','des','est','une'))) AS s_fr,
+         length(text) AS n,
+         CASE WHEN length(text) > 0
+              THEN round(length(regexp_replace(text, '[^.,;:!?''"()\[\]{{}}-]', '', 'g'))
+                         * 1.0 / length(text), 4)
+              ELSE 0.0 END AS pr
+  FROM tok
+)
+SELECT doc_id,
+       CASE WHEN greatest(s_en, s_de, s_es, s_fr) = 0 THEN 'unknown'
+            WHEN s_en = greatest(s_en, s_de, s_es, s_fr) THEN 'en'
+            WHEN s_de = greatest(s_en, s_de, s_es, s_fr) THEN 'de'
+            WHEN s_es = greatest(s_en, s_de, s_es, s_fr) THEN 'es'
+            ELSE 'fr' END AS lang_guess,
+       CAST(tok AS BIGINT) AS n_tokens,
+       pr AS punct_ratio,
+       round(0.4 * (CASE WHEN n BETWEEN 50 AND 10000 THEN 1.0 ELSE 0.0 END)
+           + 0.3 * least(CASE WHEN tok > 0 THEN s_en * 1.0 / tok ELSE 0.0 END, 0.3) / 0.3
+           + 0.3 * (CASE WHEN pr <= 0.2 THEN 1.0 ELSE 0.0 END), 4) AS quality
+FROM scores
+""".format(values=_values_sql())
+
+
+@register("prose_langid_quality", _PROSE_ORACLE)
+def q_prose_langid_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID, token count, punctuation ratio, and quality score
+    over the real-prose corpus — the text operators exercised on
+    genuine natural-language vocabulary (both engines read the same
+    embedded literals, so this query is sf-independent by design;
+    ``sf_dir`` is unused)."""
+    df = prose_df(spark)
+    return df.select(
+        "doc_id",
+        language_id("text").alias("lang_guess"),
+        token_count("text").cast("long").alias("n_tokens"),
+        punct_ratio("text").alias("punct_ratio"),
+        quality_score("text").alias("quality"),
+    )
