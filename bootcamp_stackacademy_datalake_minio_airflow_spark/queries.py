@@ -63,11 +63,11 @@ def oracle_sql() -> dict[str, str]:
 #: 8 r7-registered families, and 12 of the remaining 20 (breadth
 #: families and four TPC-H variants first).
 #:
-#: r10 rotation queue (the 9 never-checked families left after this
+#: r10 rotation queue (the 10 never-checked families left after this
 #: block, all TPC-H-shaped variants of driver-green families):
-#: tpch_q8_shaped, tpch_q9_shaped, tpch_q11_shaped, tpch_q12_shaped,
-#: tpch_q13_shaped, tpch_q15_shaped, tpch_q16_shaped, tpch_q20_shaped,
-#: tpch_q22_shaped.
+#: tpch_q8_shaped, tpch_q9_shaped, tpch_q10_shaped, tpch_q11_shaped,
+#: tpch_q12_shaped, tpch_q13_shaped, tpch_q15_shaped, tpch_q16_shaped,
+#: tpch_q20_shaped, tpch_q22_shaped.
 PRIORITY = [
     # -- reference parity (the deliverable; permanently in-window) --
     "vendas_flagship",
@@ -122,10 +122,11 @@ PRIORITY = [
     "embedding_pq_topk",
     "tpch_q4_shaped",
     "tpch_q7_shaped",
-    "tpch_q10_shaped",
     # newly registered in r9 (real-prose corpus) — new code enters the
-    # hard gate immediately; tpch_q13_shaped moved to the r10 queue
+    # hard gate immediately; tpch_q10_shaped/tpch_q13_shaped moved to
+    # the r10 queue
     "prose_langid_quality",
+    "prose_dup_spans",
 ]
 
 _LOADED = False

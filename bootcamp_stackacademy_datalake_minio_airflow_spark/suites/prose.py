@@ -218,6 +218,39 @@ FROM scores
 """.format(values=_values_sql())
 
 
+def _prose_dup_span_oracle() -> str:
+    """The `doc_dup_span_stats` oracle retargeted at the literal
+    prose corpus: same span SQL (it IS the spec — Lee et al. 40-gram
+    positions merged into maximal spans), with `documents` swapped
+    for the VALUES CTE. Hash-gates the exact-dedup span math on
+    genuine prose with planted quotations, where the expected spans
+    are known to the character (tests/test_prose.py pins them)."""
+    from .breadth14 import _DUP_SPAN_ORACLE
+
+    body = _DUP_SPAN_ORACLE.replace(
+        "FROM documents WHERE text IS NOT NULL",
+        "FROM prose WHERE text IS NOT NULL",
+    )
+    assert body != _DUP_SPAN_ORACLE, "dup-span oracle shape changed"
+    head, _, tail = body.partition("WITH ")
+    assert not head.strip()
+    return "WITH prose(doc_id, text) AS (VALUES\n    {}\n), {}".format(
+        _values_sql(), tail
+    )
+
+
+@register("prose_dup_spans", _prose_dup_span_oracle())
+def q_prose_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-substring spans over the real-prose corpus —
+    the planted 175-char Lincoln quotation and 86-char Melville copy
+    must surface as maximal spans (and nothing else may). Same
+    operator and gram length as `doc_dup_span_stats`; ``sf_dir`` is
+    unused (literal corpus on both engines)."""
+    from ..operators.dedup import dup_span_stats
+
+    return dup_span_stats(prose_df(spark), gram_len=40)
+
+
 @register("prose_langid_quality", _PROSE_ORACLE)
 def q_prose_langid_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID, token count, punctuation ratio, and quality score
