@@ -87,19 +87,20 @@ def _fake_features(data: bytes | None, dim: int = FEATURE_DIM) -> list[float]:
     for i, b in enumerate(data):
         acc[i % dim] += b
     total = float(sum(acc)) or 1.0
+    return [_round_half_away6(a / total) for a in acc]
 
-    # round-half-away-from-zero on the float product — bit-identical
-    # to SQL ROUND(x, 6) (DuckDB: std::round(x * 1e6) / 1e6). Python's
-    # round() is half-EVEN, which disagrees exactly when a/total lands
-    # on a dyadic 6th-decimal boundary (sf0.1 sweep hit 17/128 =
-    # 0.1328125 → Python 0.132812 vs SQL 0.132813 → hash mismatch).
-    # Values are non-negative here; p - floor(p) is exact for p < 2^52.
-    def _round6(q: float) -> float:
-        p = q * 1e6
-        fl = math.floor(p)
-        return (fl + 1 if p - fl >= 0.5 else fl) / 1e6
 
-    return [_round6(a / total) for a in acc]
+def _round_half_away6(q: float) -> float:
+    """Round-half-away-from-zero at 6 decimals on the float product —
+    bit-identical to SQL ROUND(x, 6) (DuckDB: std::round(x * 1e6) /
+    1e6) for non-negative q. Python's round() is half-EVEN, which
+    disagrees exactly when q lands on a dyadic 6th-decimal boundary
+    (the sf0.1 sweep hit 17/128 = 0.1328125 → Python 0.132812 vs SQL
+    0.132813 → hash mismatch). p - floor(p) is exact for p < 2^52, so
+    the .5 comparison never sees an addition rounding error."""
+    p = q * 1e6
+    fl = math.floor(p)
+    return (fl + 1 if p - fl >= 0.5 else fl) / 1e6
 
 
 def extract_features(

@@ -163,3 +163,33 @@ def test_sniff_codec():
     assert sniff_codec(None) == "unknown"
     assert sniff_codec(b"\xff\xd8\xff\xe0 jpegish") == "unknown"
     assert sniff_codec(encode_png(_rng_img(2, 2, 3))) == "png"
+
+
+def test_fake_feature_rounding_matches_sql_round_exactly():
+    """The stub extractor's per-lane rounding must bit-match SQL
+    ROUND(x, 6) — Python round() is half-even and split the
+    multimodal_features hash the first time a lane landed on a dyadic
+    boundary (sf0.1 sweep, 17/128). Sweep boundary dyadics and random
+    byte-fold ratios through DuckDB ROUND and compare."""
+    import duckdb
+
+    from bootcamp_stackacademy_datalake_minio_airflow_spark.operators.multimodal import (
+        _fake_features,
+        _round_half_away6,
+    )
+
+    cases = [k / 128 for k in range(1, 128)]  # all 7-bit dyadics in (0,1)
+    cases += [k / 1024 for k in range(1, 1024, 37)]
+    cases += [a / t for a in (17, 99, 123, 255) for t in (7, 13, 997, 1009)]
+    got = [_round_half_away6(q) for q in cases]
+    want = [
+        r[0]
+        for r in duckdb.sql(
+            "SELECT round(q, 6) FROM (SELECT unnest($1::DOUBLE[]) AS q)",
+            params=[cases],
+        ).fetchall()
+    ]
+    assert got == want
+    # end-to-end: a byte payload whose fold hits the observed boundary
+    feats = _fake_features(bytes([17, 111]), dim=2)
+    assert sum(f >= 0 for f in feats) == 2 and abs(sum(feats) - 1.0) < 1e-6

@@ -137,3 +137,21 @@ def test_shared_edge_cache_build_once_and_evict(spark, sf_dir):
     assert len(gs._CACHE) == gs._MAX_ENTRIES
     e3, n3 = gs.part_cooccurrence_edges(spark, sf_dir)
     assert n3 == n1
+
+
+def test_shared_edge_cache_public_evict_seam(spark, sf_dir):
+    """graph_shared.evict is the seam bench.py's cold reps depend on
+    (ADVICE r8: a hand-built private-dict key silently no-ops on a
+    key-shape change, turning cold timings into cache hits). The
+    return value is the loud signal: True exactly when an entry
+    existed for (this app, sf_dir)."""
+    from bootcamp_stackacademy_datalake_minio_airflow_spark.suites import graph_shared as gs
+
+    gs._CACHE.clear()
+    assert gs.evict(spark, sf_dir) is False  # nothing cached yet
+    e1, n1 = gs.part_cooccurrence_edges(spark, sf_dir)
+    assert gs.evict(spark, sf_dir) is True
+    assert gs.evict(spark, sf_dir) is False  # idempotent: gone now
+    # post-evict rebuild works and yields the same graph
+    _e2, n2 = gs.part_cooccurrence_edges(spark, sf_dir)
+    assert n2 == n1
