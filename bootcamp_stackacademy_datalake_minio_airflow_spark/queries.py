@@ -67,7 +67,9 @@ def oracle_sql() -> dict[str, str]:
 #: block, all TPC-H-shaped variants of driver-green families):
 #: tpch_q8_shaped, tpch_q9_shaped, tpch_q10_shaped, tpch_q11_shaped,
 #: tpch_q12_shaped, tpch_q13_shaped, tpch_q15_shaped, tpch_q16_shaped,
-#: tpch_q20_shaped, tpch_q22_shaped.
+#: tpch_q20_shaped, tpch_q22_shaped. When rotating, also bump the
+#: artifact glob in tests/test_oracle_gate.py (CORRECTNESS_r0[1-8] ->
+#: [1-9]) so the no-recheck guard sees this round's driver rows.
 PRIORITY = [
     # -- reference parity (the deliverable; permanently in-window) --
     "vendas_flagship",
