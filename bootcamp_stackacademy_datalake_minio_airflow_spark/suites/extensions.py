@@ -928,12 +928,15 @@ def q_source_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()
     )
     # grams is .distinct() output — the sketch can skip its own dedup
-    # exchange (assume_distinct), saving a second corpus-wide shuffle
-    est = kmv_pair_jaccard(
-        kmv_sketches(grams, "source", "g", k=32, assume_distinct=True),
-        "source",
-        k=32,
-    )
+    # exchange (assume_distinct), saving a second corpus-wide shuffle.
+    # The sketch table is consumed THREE times downstream (the pair
+    # enumerator's name fold + both broadcast equi-join sides) — left
+    # lazy, each consumer re-runs the corpus-wide bottom-k aggregation
+    # (measured +1.6s at sf0.1 when the r9 hash-join rewrite landed
+    # without this persist); it is one k-array row per source, so
+    # persisting is free and released with grams below
+    sk = kmv_sketches(grams, "source", "g", k=32, assume_distinct=True).persist()
+    est = kmv_pair_jaccard(sk, "source", k=32)
     sizes = grams.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
     # exact-intersection witness WITHOUT the gram self-join: group each
     # gram's (tiny, bounded-by-#sources) source set once and explode
@@ -977,7 +980,7 @@ def q_source_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("exact_jaccard"),
         )
     )
-    return _materialize_release(out, grams)
+    return _materialize_release(out, grams, sk)
 
 
 # --- from-scratch HyperLogLog (md5 registers -> fully replayable) ------------
