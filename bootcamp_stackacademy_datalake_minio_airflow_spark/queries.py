@@ -54,22 +54,34 @@ def oracle_sql() -> dict[str, str]:
 #: displaced queries stay registered, locally oracle-gated, and
 #: pytest-covered.
 #:
-#: Cumulative driver-hash-checked families after r8: 142 of 192 (the
-#: 21-slot r8 rotation went 50/50 green in CORRECTNESS_r08). r9 goes
-#: all-in on finishing the verification debt: every non-parity fixed
-#: slot is displaced (each is multi-round driver-green with pytest +
-#: local-gate coverage standing) and the full 43-slot tail is given
-#: to never-checked families — the documented 23-name r9 queue, the
-#: 8 r7-registered families, and 12 of the remaining 20 (breadth
-#: families and four TPC-H variants first).
+#: Cumulative driver-hash-checked families after r9: 182 of 194 (the
+#: 43-slot r9 rotation went 50/50 green in CORRECTNESS_r09). r10
+#: finishes the verification debt AND starts the steady-state
+#: re-verification cadence:
 #:
-#: r10 rotation queue (the 10 never-checked families left after this
-#: block, all TPC-H-shaped variants of driver-green families):
-#: tpch_q8_shaped, tpch_q9_shaped, tpch_q10_shaped, tpch_q11_shaped,
-#: tpch_q12_shaped, tpch_q13_shaped, tpch_q15_shaped, tpch_q16_shaped,
-#: tpch_q20_shaped, tpch_q22_shaped. When rotating, also bump the
-#: artifact glob in tests/test_oracle_gate.py (CORRECTNESS_r0[1-8] ->
-#: [1-9]) so the no-recheck guard sees this round's driver rows.
+#: STEADY-STATE ROTATION POLICY (r10+, machine-checked by
+#: tests/test_oracle_gate.py::test_rotation_follows_staleness_policy):
+#: the 43 non-parity slots are filled by sorting every registered
+#: family on (latest DRIVER-GREEN round, name) ascending and taking
+#: the first 43. "Green" = rows+schema+hash match with no error in a
+#: CORRECTNESS_r*.json artifact from a round before CURRENT_ROUND;
+#: families with no green row anywhere sort first (round 0), so any
+#: remaining verification debt is always consumed before re-checks.
+#: A family's r1–r3 green row was earned against a tree that has
+#: since changed substantially — oldest-green-first re-verifies the
+#: stalest evidence each round while new/fixed queries jump the
+#: queue automatically. The block below is the policy's output for
+#: CURRENT_ROUND = 10: the 12 never-green families (the 10 documented
+#: TPC-H variants + the two r1 stragglers dq_null_profile_orders —
+#: r1 hash FAIL, fixed since — and events_sliding_window — r1
+#: no_oracle, oracle added since), then all 20 families whose latest
+#: green is r1, all 6 from r3, and the first 5 (by name) from r4.
+#: The round whose driver artifact does not exist yet. The staleness
+#: guard in tests/test_oracle_gate.py reads every CORRECTNESS_r*.json
+#: with round < CURRENT_ROUND, so the glob is self-maintaining
+#: (ADVICE r9 #1) — bump this when writing the next round's block.
+CURRENT_ROUND = 10
+
 PRIORITY = [
     # -- reference parity (the deliverable; permanently in-window) --
     "vendas_flagship",
@@ -79,56 +91,54 @@ PRIORITY = [
     "timestamp_to_date",
     "string_normalize",
     "union_all_sources",
-    # -- r9 rotation block: 43 families never driver-checked before.
-    # Order: the documented r9 queue head first (VERDICT r8 ask #1),
-    # then the families newly registered in r7 (never-checked since),
-    # then breadth families, then four TPC-H-shaped variants --
-    "orders_revenue_trend",
-    "doc_length_psi",
-    "events_ab_test_z",
-    "langid_eval_metrics",
-    "orders_key_skew",
-    "dedup_canonical_docs",
-    "dedup_ngram_containment_pairs",
-    "ngram_novelty_scores",
-    "dsir_importance_weights",
-    "orders_table_profile",
-    "split_leakage_safe",
-    "filter_funnel_report",
-    "doc_boilerplate_ratio",
-    "contamination_semantic",
-    "hybrid_rrf_search",
-    "source_lang_chi2",
-    "bpe_segment_tokens",
-    "doc_length_ks_test",
-    "orders_trailing_revenue",
-    "corpus_mixture_entropy",
-    "dup_cluster_histogram",
-    "packing_efficiency",
-    "events_value_quantiles_by_type",
-    "doc_unigram_cross_entropy",
-    "doc_bigram_cross_entropy",
-    "source_copy_matrix",
-    "retrieval_ndcg",
-    "tokenizer_fertility_by_lang",
-    "winnow_overlap_pairs",
-    "mixture_epoch_schedule",
-    "corpus_datacard",
-    "sample_split_counts",
-    "sample_stratified_quota",
-    "corpus_top_tokens",
-    "doc_length_histogram",
-    "latest_event_per_user",
-    "funnel_conversion",
-    "retention_cohorts",
-    "embedding_pq_topk",
-    "tpch_q4_shaped",
-    "tpch_q7_shaped",
-    # newly registered in r9 (real-prose corpus) — new code enters the
-    # hard gate immediately; tpch_q10_shaped/tpch_q13_shaped moved to
-    # the r10 queue
-    "prose_langid_quality",
-    "prose_dup_spans",
+    # -- r10 rotation block: policy output (see module comment).
+    # First the 12 never-driver-green families (finishing the debt):
+    "dq_null_profile_orders",
+    "events_sliding_window",
+    "tpch_q10_shaped",
+    "tpch_q11_shaped",
+    "tpch_q12_shaped",
+    "tpch_q13_shaped",
+    "tpch_q15_shaped",
+    "tpch_q16_shaped",
+    "tpch_q20_shaped",
+    "tpch_q22_shaped",
+    "tpch_q8_shaped",
+    "tpch_q9_shaped",
+    # then oldest-latest-green: all 20 r1 families...
+    "case_when_bucketing",
+    "cube_agg",
+    "date_functions",
+    "distinct_agg_having",
+    "filter_like",
+    "join_full_outer",
+    "math_functions",
+    "percentile_agg",
+    "rollup_agg",
+    "set_intersect_except",
+    "string_functions",
+    "tpch_q14_shaped",
+    "tpch_q17_shaped",
+    "tpch_q18_shaped",
+    "tpch_q19_shaped",
+    "tpch_q2_shaped",
+    "tpch_q3_shaped",
+    "tpch_q5_shaped",
+    "tpch_q6_shaped",
+    "window_running_lag",
+    # ...all 6 r3 families...
+    "array_collect_orders",
+    "events_tumbling_window",
+    "json_extract_events",
+    "sort_limit_topk",
+    "stats_aggregates",
+    "text_token_count",
+    # ...and the first 5 (by name) of the 14 r4 families
+    "dedup_cross_doc_ngrams",
+    "dedup_minhash_documents",
+    "dedup_simhash_pairs",
+    "doc_winnow_fingerprints",
+    "embedding_ann_lsh_topk",
 ]
 
 _LOADED = False

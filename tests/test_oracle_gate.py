@@ -89,14 +89,61 @@ def test_priority_window_guard():
         "union_all_sources",
     ]
     assert q.PRIORITY[:7] == parity, "parity queries must head the window"
+
+
+def _latest_green_rounds() -> dict[str, int]:
+    """name -> most recent DRIVER-GREEN round (rows+schema+hash match,
+    no error) across every CORRECTNESS_r*.json artifact from a round
+    BEFORE queries.CURRENT_ROUND. Self-maintaining glob (ADVICE r9 #1:
+    a hard-coded r0[1-8] pattern silently weakened every round) and
+    keyed on GREEN rows, not any rows (VERDICT r9 wrong #1: the two r1
+    stragglers carried non-green r1 rows, which a has-a-row key would
+    have blocked from re-entering the window forever)."""
     import json
     import pathlib
+    import re
 
-    checked: set[str] = set()
-    for p in sorted(pathlib.Path(".").glob("CORRECTNESS_r0[1-8].json")):
-        checked |= set(json.loads(p.read_text()).keys())
-    if checked:  # artifact files exist in the repo root
-        rechecked = [n for n in q.PRIORITY[7:] if n in checked]
-        assert not rechecked, (
-            f"rotation slots re-check already-driver-green families: {rechecked}"
-        )
+    from bootcamp_stackacademy_datalake_minio_airflow_spark import queries as q
+
+    latest: dict[str, int] = {}
+    for p in pathlib.Path(".").glob("CORRECTNESS_r*.json"):
+        m = re.fullmatch(r"CORRECTNESS_r(\d+)\.json", p.name)
+        if not m or int(m.group(1)) >= q.CURRENT_ROUND:
+            continue
+        rnd = int(m.group(1))
+        for name, row in json.loads(p.read_text()).items():
+            green = (
+                row.get("rows_match")
+                and row.get("schema_match")
+                and row.get("hash_match")
+                and not row.get("err")
+            )
+            if green:
+                latest[name] = max(latest.get(name, 0), rnd)
+    return latest
+
+
+def test_rotation_follows_staleness_policy():
+    """Steady-state rotation cadence (VERDICT r9 asks #1+#2): the 43
+    non-parity window slots must be exactly the output of the
+    oldest-green-first policy — sort every non-parity family on
+    (latest driver-green round, name) ascending, take the first 43.
+    Never-green families sort as round 0, so verification debt is
+    always consumed before any re-check; once debt is zero, the
+    stalest evidence (r1-era green rows earned against a long-gone
+    tree) is re-verified first. Hand-editing PRIORITY to anything
+    else fails here with the exact expected block."""
+    from bootcamp_stackacademy_datalake_minio_airflow_spark import queries as q
+
+    latest = _latest_green_rounds()
+    if not latest:  # no artifacts in cwd (e.g. run outside repo root)
+        import pytest
+
+        pytest.skip("no CORRECTNESS_r*.json artifacts visible")
+    parity = set(q.PRIORITY[:7])
+    pool = [n for n in q.queries() if n not in parity]
+    expected = sorted(pool, key=lambda n: (latest.get(n, 0), n))[:43]
+    assert q.PRIORITY[7:] == expected, (
+        "rotation block violates oldest-green-first policy; expected "
+        f"{expected}"
+    )
