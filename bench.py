@@ -134,6 +134,12 @@ def main() -> None:
             warm_runs["graph_edge_build"].append(
                 round(time.perf_counter() - t0, 3)
             )
+    except AssertionError:
+        # a broken evict() means every later "cold" rep silently
+        # measures cache hits — the whole artifact is wrong, so abort
+        # rather than record a -1.0 rep (ADVICE r9 #3: the assert used
+        # to be swallowed by the handler below)
+        raise
     except Exception as e:  # noqa: BLE001
         print(f"bench error in graph_edge_build: {e}", file=sys.stderr)
         cold_runs["graph_edge_build"].append(-1.0)

@@ -93,14 +93,18 @@ def _fake_features(data: bytes | None, dim: int = FEATURE_DIM) -> list[float]:
 def _round_half_away6(q: float) -> float:
     """Round-half-away-from-zero at 6 decimals on the float product —
     bit-identical to SQL ROUND(x, 6) (DuckDB: std::round(x * 1e6) /
-    1e6) for non-negative q. Python's round() is half-EVEN, which
-    disagrees exactly when q lands on a dyadic 6th-decimal boundary
-    (the sf0.1 sweep hit 17/128 = 0.1328125 → Python 0.132812 vs SQL
-    0.132813 → hash mismatch). p - floor(p) is exact for p < 2^52, so
-    the .5 comparison never sees an addition rounding error."""
-    p = q * 1e6
+    1e6). Python's round() is half-EVEN, which disagrees exactly when
+    q lands on a dyadic 6th-decimal boundary (the sf0.1 sweep hit
+    17/128 = 0.1328125 → Python 0.132812 vs SQL 0.132813 → hash
+    mismatch). |p| - floor(|p|) is exact for |p| < 2^52, so the .5
+    comparison never sees an addition rounding error. Negative q
+    mirrors through abs (ADVICE r9 #2: the old floor-based form was
+    only correct for q >= 0 — -0.1328125 would have rounded toward
+    zero, silently reintroducing the hash split for a future caller)."""
+    p = abs(q) * 1e6
     fl = math.floor(p)
-    return (fl + 1 if p - fl >= 0.5 else fl) / 1e6
+    r = (fl + 1 if p - fl >= 0.5 else fl) / 1e6
+    return -r if q < 0 else r
 
 
 def extract_features(

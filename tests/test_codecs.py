@@ -181,6 +181,11 @@ def test_fake_feature_rounding_matches_sql_round_exactly():
     cases = [k / 128 for k in range(1, 128)]  # all 7-bit dyadics in (0,1)
     cases += [k / 1024 for k in range(1, 1024, 37)]
     cases += [a / t for a in (17, 99, 123, 255) for t in (7, 13, 997, 1009)]
+    # negative halves (ADVICE r9 #2): SQL rounds -0.1328125 AWAY from
+    # zero to -0.132813; the old floor-based helper rounded toward
+    # zero there. Sweep the mirrored dyadics so a future caller with
+    # signed input can't silently reintroduce the split.
+    cases += [-q for q in cases] + [0.0, -0.0]
     got = [_round_half_away6(q) for q in cases]
     want = [
         r[0]

@@ -30,23 +30,45 @@ import pytest
 
 import __spark_entry__ as ep
 
-TARGETS = [
-    # r7 top-5 (kept: regressions here are the costliest)
+#: Hand-kept historical pins (r7+r8 top-5s): regressions here are the
+#: costliest, and the list must survive a BENCH_FULL.json rewrite.
+HISTORICAL = [
     "graph_triangle_counts",
     "dedup_ngram_jaccard_pairs",
     "basket_association_rules",
     "fuzzy_name_neighbors",
     "winnow_overlap_pairs",
-    # r8 top-5 additions (VERDICT r8 ask #3): the current cold-median
-    # leaders not already pinned, plus the two VERDICT named
-    # (curation_chunks_v2, source_overlap_kmv) and the iterative BPE
-    # merge loop
     "graph_label_propagation",
     "dedup_ngram_containment_pairs",
     "curation_chunks_v2",
     "source_overlap_kmv",
     "bpe_merge_table",
 ]
+
+
+def _bench_top_n(n: int = 10) -> list[str]:
+    """Top-N cold-median registry queries from the checked-in bench
+    artifact (VERDICT r9 ask #4: hand-rotated TARGETS trailed the
+    bench by a round every round — new top-5 entrants like
+    bpe_segment_tokens went unpinned). graph_edge_build is bench
+    bookkeeping, not a registry query. Tolerant of a missing/smoke
+    artifact: pins then fall back to HISTORICAL alone."""
+    import json
+    import pathlib
+
+    p = pathlib.Path("BENCH_FULL.json")
+    if not p.exists():
+        return []
+    data = json.loads(p.read_text())
+    cm = data.get("queries_cold_med") or data.get("queries") or {}
+    names = set(ep.queries())
+    ranked = sorted(
+        ((v, k) for k, v in cm.items() if k in names and v > 0), reverse=True
+    )
+    return [k for _, k in ranked[:n]]
+
+
+TARGETS = sorted(set(HISTORICAL) | set(_bench_top_n()))
 
 
 def _plans_during(spark, run) -> str:
@@ -111,9 +133,11 @@ def test_no_cartesian_or_nested_loop_anywhere(captured):
 
 
 #: targets with no join at all by design — bpe_merge_table is an
-#: iterative pair-count aggregation with a per-round 1-row argmax;
-#: its scale shape is the partial-aggregate, pinned separately below
-JOINLESS = {"bpe_merge_table"}
+#: iterative pair-count aggregation with a per-round 1-row argmax
+#: (its scale shape is the partial-aggregate, pinned separately
+#: below); bpe_segment_tokens reuses that loop then applies the
+#: merge table as a map-only chained replace over the corpus
+JOINLESS = {"bpe_merge_table", "bpe_segment_tokens"}
 
 
 def test_every_target_joins_via_equi_join_operators(captured):

@@ -49,8 +49,9 @@ def test_no_cartesian_product_in_any_recorded_plan():
 
 
 def test_typed_bnlj_only_in_bounded_build_allowlist():
+    sections = _sections()  # parse the ~29k-line artifact once
     bad = []
-    for name, body in _sections().items():
+    for name, body in sections.items():
         if _TYPED.search(body) and name not in TYPED_BNLJ_OK:
             bad.append(name)
     assert not bad, f"typed BroadcastNestedLoopJoin outside allowlist: {bad}"
@@ -59,6 +60,6 @@ def test_typed_bnlj_only_in_bounded_build_allowlist():
     stale = [
         n
         for n in TYPED_BNLJ_OK
-        if n in _sections() and not _TYPED.search(_sections()[n])
+        if n in sections and not _TYPED.search(sections[n])
     ]
     assert not stale, f"allowlist entries no longer needed: {stale}"
