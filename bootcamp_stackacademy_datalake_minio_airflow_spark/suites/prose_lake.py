@@ -1,0 +1,146 @@
+"""Parquet prose lake at sf0.1-comparable volume (VERDICT r9 ask #7).
+
+The checked-in real-prose corpus (suites/prose.py) is ten paragraphs
+— enough to hash-gate operator BEHAVIOUR on genuine vocabulary, but
+the bench still ran every text/dedup family on the synthetic
+small-vocab `documents` table only. This module scales the ten
+paragraphs into a ~5,000-doc / ~1.5M-char parquet lake (the sf0.1
+`documents` shape) so the winnow / dup-span / langid families can be
+BENCHED on realistic vocabulary, not just tested on it.
+
+Generation protocol (fully deterministic — ``random.Random(doc
+index)``, no wall clock):
+
+- Each doc is composed of contiguous WORD WINDOWS (5–12 consecutive
+  words) sampled from the paragraphs of ONE language, so local
+  n-gram statistics stay realistic (word salad would destroy the
+  bigram/winnowing behaviour the lake exists to exercise) while
+  whole docs stay globally unique — a crawl is mostly unique text,
+  not 500 near-copies of everything (the scale_probe 10x lake is
+  deliberately that; this lake is deliberately not).
+- Languages cycle en-weighted (6 en : 1 de : 1 es : 1 fr per 9 docs)
+  so the langid evaluation has all classes.
+- A bounded planted tail rides inside, built from the named
+  constants so tests can assert recovery instead of hand-counting:
+  every doc with ``i % 50 == 7`` embeds ``LINCOLN_QUOTE`` verbatim,
+  ``i % 50 == 23`` embeds ``MELVILLE_QUOTE``, and ``i % 100 == 41``
+  is an EXACT duplicate of doc ``i-1`` (same text, new id) — ~2%
+  quotation incidence and ~1% exact-dup incidence.
+
+The lake is built once per path and fingerprinted: a content md5
+over (doc_id, text) is written alongside and re-checked on reuse, so
+a stale /tmp artifact from an older protocol can't silently feed the
+bench. Only ``documents.parquet`` is generated; the other nine
+tables are linked from a donor lake so ``load_table`` callers stay
+satisfied.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import random
+import shutil
+
+from .prose import LINCOLN_QUOTE, MELVILLE_QUOTE, PROSE
+
+#: protocol version — bump to invalidate cached lakes on any change
+#: to the generation code below
+_PROTOCOL = "prose-lake-v1"
+
+N_DOCS = 5000
+
+
+def _words_by_lang() -> dict[str, list[list[str]]]:
+    by_lang: dict[str, list[list[str]]] = {}
+    for _i, lang, _title, text in PROSE:
+        by_lang.setdefault(lang, []).append(text.split())
+    return by_lang
+
+
+_LANG_CYCLE = ["en", "en", "en", "de", "en", "es", "en", "fr", "en"]
+
+
+def _doc_text(i: int, by_lang: dict[str, list[list[str]]]) -> tuple[str, str]:
+    """(lang, text) for doc index i — deterministic in i alone."""
+    rng = random.Random(i)
+    lang = _LANG_CYCLE[i % len(_LANG_CYCLE)]
+    paras = by_lang[lang]
+    pieces: list[str] = []
+    n_chars = 0
+    target = rng.randint(180, 420)
+    while n_chars < target:
+        words = paras[rng.randrange(len(paras))]
+        w = rng.randint(5, 12)
+        start = rng.randrange(max(1, len(words) - w))
+        chunk = " ".join(words[start : start + w])
+        pieces.append(chunk)
+        n_chars += len(chunk) + 1
+    if i % 50 == 7:
+        pieces.insert(len(pieces) // 2, LINCOLN_QUOTE)
+    elif i % 50 == 23:
+        pieces.insert(len(pieces) // 2, MELVILLE_QUOTE)
+    return lang, " ".join(pieces)
+
+
+def _rows() -> list[tuple[int, str, str, str, int]]:
+    by_lang = _words_by_lang()
+    rows: list[tuple[int, str, str, str, int]] = []
+    prev_text, prev_lang = "", "en"
+    for i in range(1, N_DOCS + 1):
+        if i % 100 == 41 and prev_text:
+            lang, text = prev_lang, prev_text  # exact duplicate, new id
+        else:
+            lang, text = _doc_text(i, by_lang)
+        rows.append((i, text, lang, f"prose_{lang}", len(text)))
+        prev_text, prev_lang = text, lang
+    return rows
+
+
+def _fingerprint(rows: list[tuple[int, str, str, str, int]]) -> str:
+    h = hashlib.md5(_PROTOCOL.encode())
+    for r in rows:
+        h.update(f"{r[0]}\x00{r[1]}\x01".encode())
+    return h.hexdigest()
+
+
+def prose_lake_dir(
+    link_from: str, out_dir: str = "/tmp/prose-lake"
+) -> str:
+    """Build (or reuse, fingerprint-checked) the prose lake; link the
+    nine non-document tables from ``link_from``."""
+    rows = _rows()
+    fp = _fingerprint(rows)
+    stamp = os.path.join(out_dir, ".fingerprint")
+    doc_path = os.path.join(out_dir, "documents.parquet")
+    os.makedirs(out_dir, exist_ok=True)
+    stale = not (
+        os.path.exists(doc_path)
+        and os.path.exists(stamp)
+        and open(stamp).read().strip() == fp
+    )
+    if stale:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        table = pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": pa.array([r[1] for r in rows], pa.string()),
+                "lang": pa.array([r[2] for r in rows], pa.string()),
+                "source": pa.array([r[3] for r in rows], pa.string()),
+                "n_chars": pa.array([r[4] for r in rows], pa.int64()),
+            }
+        )
+        pq.write_table(table, doc_path)
+        with open(stamp, "w") as f:
+            f.write(fp)
+    for f_name in os.listdir(link_from):
+        if f_name.endswith(".parquet") and f_name != "documents.parquet":
+            dst = os.path.join(out_dir, f_name)
+            if not os.path.exists(dst):
+                try:
+                    os.symlink(os.path.join(link_from, f_name), dst)
+                except OSError:
+                    shutil.copyfile(os.path.join(link_from, f_name), dst)
+    return out_dir

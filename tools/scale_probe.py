@@ -31,7 +31,6 @@ from bootcamp_stackacademy_datalake_minio_airflow_spark.session import get_spark
 
 BASE = "/root/testdata/sf0.1"
 WARM = "/root/testdata/sf0.001"
-TENX = "/tmp/probe10x"
 COPIES = 10
 REPS = 2
 
@@ -42,56 +41,86 @@ DEFAULT = [
     "bpe_merge_table",
 ]
 
+#: per-table replication SQL (c = copy index). documents follows the
+#: r7 protocol (disjoint ids, one-token perturbation -> near- not
+#: exact-dups); lineitem (opt-in, for the graph family) offsets BOTH
+#: keys so each copy is a disjoint subgraph — the distinct edge set,
+#: nodes, and triangles all scale by `copies`, which is what a graph
+#: probe must stress (same-key replication would collapse in the
+#: dedup and only stress the pre-distinct aggregate).
+SCALE_SQL = {
+    "documents": """
+        SELECT doc_id + c * 10000000 AS doc_id,
+               text || ' zq' || c AS text,
+               lang, source,
+               CAST(length(text || ' zq' || c) AS BIGINT) AS n_chars
+        FROM read_parquet('{base}/documents.parquet'),
+             (SELECT unnest(range({copies})) AS c)
+    """,
+    "lineitem": """
+        SELECT * REPLACE (l_orderkey + c * 1000000 AS l_orderkey,
+                          l_partkey + c * 100000 AS l_partkey)
+        FROM read_parquet('{base}/lineitem.parquet'),
+             (SELECT unnest(range({copies})) AS c)
+    """,
+}
 
-def build_tenx() -> None:
-    os.makedirs(TENX, exist_ok=True)
-    out = os.path.join(TENX, "documents.parquet")
-    if not os.path.exists(out):
-        duckdb.sql(
-            f"""
-            COPY (
-              SELECT doc_id + c * 10000000 AS doc_id,
-                     text || ' zq' || c AS text,
-                     lang, source,
-                     CAST(length(text || ' zq' || c) AS BIGINT) AS n_chars
-              FROM read_parquet('{BASE}/documents.parquet'),
-                   (SELECT unnest(range({COPIES})) AS c)
-            ) TO '{out}' (FORMAT PARQUET)
-            """
-        )
-    # every other table rides along unchanged (the probed queries are
-    # documents-only; links keep load_table satisfied if one isn't)
+
+def build_lake(copies: int, tables: list[str]) -> str:
+    out_dir = f"/tmp/probe{copies}x_{'_'.join(sorted(tables))}"
+    os.makedirs(out_dir, exist_ok=True)
+    for t in tables:
+        out = os.path.join(out_dir, f"{t}.parquet")
+        if not os.path.exists(out):
+            sql = SCALE_SQL[t].format(base=BASE, copies=copies)
+            duckdb.sql(f"COPY ({sql}) TO '{out}' (FORMAT PARQUET)")
+    # every other table rides along unchanged (links keep load_table
+    # satisfied for tables the probed queries don't scale)
     for f in os.listdir(BASE):
-        if f.endswith(".parquet") and f != "documents.parquet":
-            dst = os.path.join(TENX, f)
+        if f.endswith(".parquet") and f.removesuffix(".parquet") not in tables:
+            dst = os.path.join(out_dir, f)
             if not os.path.exists(dst):
                 try:
                     os.symlink(os.path.join(BASE, f), dst)
                 except OSError:
                     shutil.copyfile(os.path.join(BASE, f), dst)
+    return out_dir
 
 
 def main() -> None:
-    names = sys.argv[1:] or DEFAULT
-    build_tenx()
+    args = sys.argv[1:]
+    copies = COPIES
+    tables = ["documents"]
+    names: list[str] = []
+    for a in args:
+        if a.startswith("--copies="):
+            copies = int(a.split("=", 1)[1])
+        elif a.startswith("--scale-tables="):
+            tables = a.split("=", 1)[1].split(",")
+        else:
+            names.append(a)
+    names = names or DEFAULT
+    big_dir = build_lake(copies, tables)
+    nx = f"{copies}x"
     spark = get_spark("scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
     qs = ep.queries()
-    n1 = duckdb.sql(
-        f"SELECT COUNT(*), SUM(length(text)) FROM read_parquet('{BASE}/documents.parquet')"
-    ).fetchone()
-    n10 = duckdb.sql(
-        f"SELECT COUNT(*), SUM(length(text)) FROM read_parquet('{TENX}/documents.parquet')"
-    ).fetchone()
-    print(f"1x lake: {n1[0]} docs / {n1[1]} chars; 10x: {n10[0]} / {n10[1]}")
-    print("| operator | 1x | 10x | time ratio | rows 1x -> 10x |")
+    for t in tables:
+        a = duckdb.sql(
+            f"SELECT COUNT(*) FROM read_parquet('{BASE}/{t}.parquet')"
+        ).fetchone()
+        b = duckdb.sql(
+            f"SELECT COUNT(*) FROM read_parquet('{big_dir}/{t}.parquet')"
+        ).fetchone()
+        print(f"{t}: 1x {a[0]} rows; {nx} {b[0]} rows")
+    print(f"| operator | 1x | {nx} | time ratio | rows 1x -> {nx} |")
     print("|---|---|---|---|---|")
     for name in names:
         fn = qs[name]
         fn(spark, WARM).count()  # JIT/codegen warm-up, untimed
         times: dict[str, float] = {}
         rows: dict[str, int] = {}
-        for label, d in (("1x", BASE), ("10x", TENX)):
+        for label, d in (("1x", BASE), (nx, big_dir)):
             best = float("inf")
             for _ in range(REPS):
                 spark.catalog.clearCache()
@@ -99,10 +128,10 @@ def main() -> None:
                 rows[label] = fn(spark, d).count()
                 best = min(best, time.perf_counter() - t0)
             times[label] = best
-        ratio = times["10x"] / times["1x"] if times["1x"] > 0 else float("inf")
+        ratio = times[nx] / times["1x"] if times["1x"] > 0 else float("inf")
         print(
-            f"| `{name}` | {times['1x']:.1f}s | {times['10x']:.1f}s "
-            f"| {ratio:.1f}x | {rows['1x']} -> {rows['10x']} |"
+            f"| `{name}` | {times['1x']:.1f}s | {times[nx]:.1f}s "
+            f"| {ratio:.1f}x | {rows['1x']} -> {rows[nx]} |"
         )
         sys.stdout.flush()
 
