@@ -71,11 +71,12 @@ def oracle_sql() -> dict[str, str]:
 #: since changed substantially — oldest-green-first re-verifies the
 #: stalest evidence each round while new/fixed queries jump the
 #: queue automatically. The block below is the policy's output for
-#: CURRENT_ROUND = 10: the 12 never-green families (the 10 documented
+#: CURRENT_ROUND = 10: the 13 never-green families (the 10 documented
 #: TPC-H variants + the two r1 stragglers dq_null_profile_orders —
 #: r1 hash FAIL, fixed since — and events_sliding_window — r1
-#: no_oracle, oracle added since), then all 20 families whose latest
-#: green is r1, all 6 from r3, and the first 5 (by name) from r4.
+#: no_oracle, oracle added since — + prose_winnow_pairs, newly
+#: registered this round), then all 20 families whose latest
+#: green is r1, all 6 from r3, and the first 4 (by name) from r4.
 #: The round whose driver artifact does not exist yet. The staleness
 #: guard in tests/test_oracle_gate.py reads every CORRECTNESS_r*.json
 #: with round < CURRENT_ROUND, so the glob is self-maintaining
@@ -92,9 +93,12 @@ PRIORITY = [
     "string_normalize",
     "union_all_sources",
     # -- r10 rotation block: policy output (see module comment).
-    # First the 12 never-driver-green families (finishing the debt):
+    # First the 13 never-driver-green families (finishing the debt;
+    # prose_winnow_pairs is NEW this round, so the policy routes it
+    # straight into the window — locally hash-verified before entry):
     "dq_null_profile_orders",
     "events_sliding_window",
+    "prose_winnow_pairs",
     "tpch_q10_shaped",
     "tpch_q11_shaped",
     "tpch_q12_shaped",
@@ -133,12 +137,12 @@ PRIORITY = [
     "sort_limit_topk",
     "stats_aggregates",
     "text_token_count",
-    # ...and the first 5 (by name) of the 14 r4 families
+    # ...and the first 4 (by name) of the 14 r4 families (the new
+    # prose_winnow_pairs slot displaced embedding_ann_lsh_topk)
     "dedup_cross_doc_ngrams",
     "dedup_minhash_documents",
     "dedup_simhash_pairs",
     "doc_winnow_fingerprints",
-    "embedding_ann_lsh_topk",
 ]
 
 _LOADED = False

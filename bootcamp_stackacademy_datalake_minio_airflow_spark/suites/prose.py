@@ -251,6 +251,66 @@ def q_prose_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dup_span_stats(prose_df(spark), gram_len=40)
 
 
+#: winnowing at the PUBLISHED k=5/window=4 over the prose corpus —
+#: the same fingerprint spec as `winnow_quotation_pairs`' oracle
+#: (grams of k=5 md5-hashed, window-of-4 minima, df cap BETWEEN 2 AND
+#: 8 cutting corpus-wide boilerplate), retargeted at the VALUES CTE.
+_PROSE_WINNOW_ORACLE = r"""
+WITH prose(doc_id, text) AS (VALUES
+    {values}
+), norm AS (
+  SELECT doc_id,
+         regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+  FROM prose WHERE text IS NOT NULL
+), grams AS (
+  SELECT doc_id,
+         list_transform(range(1, greatest(length(t)-4, 1)+1),
+                        i -> md5(substr(t, i, 5))) AS hg
+  FROM norm
+), fps AS (
+  SELECT DISTINCT doc_id, fp FROM (
+    SELECT doc_id,
+           unnest(list_transform(
+             range(1, greatest(len(hg)-3, 1)+1),
+             i -> list_aggregate(hg[i:i+3], 'min'))) AS fp
+    FROM grams
+  )
+), keep AS (
+  SELECT fp FROM fps GROUP BY fp HAVING COUNT(*) BETWEEN 2 AND 8
+), r AS (
+  SELECT doc_id, fp FROM fps JOIN keep USING (fp)
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(COUNT(*) AS BIGINT) AS n_shared
+FROM r a JOIN r b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2 HAVING COUNT(*) >= 2
+""".format(values=_values_sql())
+
+
+@register("prose_winnow_pairs", _PROSE_WINNOW_ORACLE)
+def q_prose_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing overlap pairs at the PUBLISHED k=5/window=4
+    (Schleimer/Wilkerson/Aiken running example) over the real-prose
+    corpus, md5 hash family so the oracle replays every stage. The
+    two planted copy relationships — (5, 9) the 175-char Lincoln
+    quotation, (2, 10) the 86-char Melville line — must surface, and
+    tests/test_prose.py pins that they outscore every generic
+    shared-English pair. Closes the last gap in the prose corpus's
+    hash-gating: langid/quality and exact dup spans were already
+    oracle-gated (`prose_langid_quality`, `prose_dup_spans`);
+    winnowing on genuine vocabulary was pytest-only until now.
+    max_df=8 is the boilerplate cut for a 10-doc corpus (a
+    fingerprint present in >8 of 10 docs is corpus-wide glue, not a
+    copy signal); ``sf_dir`` is unused (literal corpus on both
+    engines)."""
+    from ..operators.text import winnow_overlap_pairs
+
+    return winnow_overlap_pairs(
+        prose_df(spark), k=5, window=4, min_shared=2, max_df=8,
+        hash_fn="md5",
+    )
+
+
 @register("prose_langid_quality", _PROSE_ORACLE)
 def q_prose_langid_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID, token count, punctuation ratio, and quality score

@@ -71,6 +71,26 @@ def test_winnow_published_params_recovers_quotations(spark):
     assert min(pairs[(5, 9)], pairs[(2, 10)]) > max(others, default=0), pairs
 
 
+def test_registered_prose_winnow_query_recovers_quotations(spark):
+    """The REGISTERED variant (md5 family so the oracle replays it,
+    max_df=8 boilerplate cut for the 10-doc corpus) must keep the
+    planted-pair dominance property of the xxhash64/max_df=64 pin
+    above — the hash family and the df cap change which generic
+    pairs survive, never the planted signal."""
+    from bootcamp_stackacademy_datalake_minio_airflow_spark.suites.prose import (
+        q_prose_winnow_pairs,
+    )
+
+    pairs = {
+        (r.id_a, r.id_b): r.n_shared
+        for r in q_prose_winnow_pairs(spark, "").collect()
+    }
+    assert (5, 9) in pairs, pairs
+    assert (2, 10) in pairs, pairs
+    others = [v for k, v in pairs.items() if k not in {(5, 9), (2, 10)}]
+    assert min(pairs[(5, 9)], pairs[(2, 10)]) > max(others, default=0), pairs
+
+
 def test_dup_spans_recover_planted_copies_exactly(spark):
     from bootcamp_stackacademy_datalake_minio_airflow_spark.operators.dedup import (
         dup_span_stats,
