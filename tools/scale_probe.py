@@ -11,8 +11,20 @@ probe asks "does the curve bend", not "what is the median").
 
 Usage:
     python tools/scale_probe.py [query ...]     # default: the r8 four
+    python tools/scale_probe.py --copies=100 doc_dup_span_stats
+    python tools/scale_probe.py --copies=30 --scale-tables=lineitem \
+        graph_triangle_counts
 
 Writes the markdown rows to stdout for COVERAGE.md.
+
+Resource protocol for second-decade (>=30x) probes, measured r10:
+set SPARK_DRIVER_MEMORY=64g — the corpus-gram localCheckpoint in the
+dup-span family OOMs the default 8g single-JVM heap at 100x (passes
+at 64g; on a cluster that state is partitioned across executors).
+Disk is the other single-box ceiling: the triangle family's wedge+
+edge shuffle spilled ~41 GB transiently at 30x and fills ~135 GB at
+100x — check `df /tmp` before launching (spark.local.dir defaults to
+/tmp) and prefer 30x when free disk is under ~150 GB.
 """
 
 from __future__ import annotations
