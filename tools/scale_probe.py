@@ -146,6 +146,12 @@ def main() -> None:
             f"| {ratio:.1f}x | {rows['1x']} -> {rows[nx]} |"
         )
         sys.stdout.flush()
+    # explicit stop: with tens of GB of localCheckpoint/shuffle blocks
+    # live, the implicit atexit teardown can hang the process for
+    # minutes after the last row prints (observed on the r10 100x
+    # runs); stopping the context inline releases blocks while the
+    # JVM is still healthy.
+    spark.stop()
 
 
 if __name__ == "__main__":
