@@ -73,3 +73,52 @@ def load_tables(
     spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TESTDATA_TABLES
 ) -> dict[str, DataFrame]:
     return {n: load_table(spark, sf_dir, n) for n in names}
+
+
+def link_donor_tables(src: str, out_dir: str, exclude: set[str]) -> None:
+    """Symlink every ``*.parquet`` in ``src`` into ``out_dir`` except
+    the names in ``exclude`` (tables the caller generates itself) —
+    the shared donor-linking idiom for derived lakes (the prose lake,
+    the scale-probe lakes), so ``load_table`` callers stay satisfied
+    for tables the derived lake doesn't rescale.
+
+    Donor changes are handled, not silently ignored (r10 self-review:
+    a first-build from a smoke donor left the other nine tables
+    pointing at 100x-smaller data for every later caller, and a
+    deleted donor left dangling links that the copy fallback wrote
+    THROUGH): a ``.donor`` stamp records ``src``; on mismatch every
+    non-excluded parquet is unlinked and re-linked from the new
+    donor, and stale/dangling symlinks are re-pointed individually.
+    """
+    import shutil
+
+    os.makedirs(out_dir, exist_ok=True)
+    donor_stamp = os.path.join(out_dir, ".donor")
+    prev_donor = (
+        open(donor_stamp).read().strip()
+        if os.path.exists(donor_stamp)
+        else None
+    )
+    if prev_donor != src:
+        for f_name in os.listdir(out_dir):
+            if f_name.endswith(".parquet") and f_name not in exclude:
+                os.unlink(os.path.join(out_dir, f_name))
+        with open(donor_stamp, "w") as f:
+            f.write(src)
+    for f_name in sorted(os.listdir(src)):
+        if not f_name.endswith(".parquet") or f_name in exclude:
+            continue
+        s = os.path.join(src, f_name)
+        dst = os.path.join(out_dir, f_name)
+        if os.path.islink(dst):
+            if os.readlink(dst) == s:
+                continue
+            os.unlink(dst)  # stale or dangling: re-point below
+        elif os.path.exists(dst):
+            continue  # real copy from THIS donor (stamp matched above)
+        try:
+            os.symlink(s, dst)
+        except OSError:
+            if os.path.lexists(dst):
+                os.unlink(dst)
+            shutil.copyfile(s, dst)

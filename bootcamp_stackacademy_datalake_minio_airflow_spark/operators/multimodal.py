@@ -104,7 +104,11 @@ def _round_half_away6(q: float) -> float:
     p = abs(q) * 1e6
     fl = math.floor(p)
     r = (fl + 1 if p - fl >= 0.5 else fl) / 1e6
-    return -r if q < 0 else r
+    # copysign, not a q < 0 branch: SQL ROUND preserves IEEE -0.0
+    # (and rounds tiny negatives to -0.0), while -0.0 < 0 is False —
+    # a sign-branch returns +0.0 there and a hash that formats floats
+    # would split on "0.0" vs "-0.0" (r10 self-review)
+    return math.copysign(r, q)
 
 
 def extract_features(

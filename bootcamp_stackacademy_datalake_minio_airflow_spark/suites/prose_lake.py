@@ -40,8 +40,8 @@ from __future__ import annotations
 import hashlib
 import os
 import random
-import shutil
 
+from ..catalog import link_donor_tables
 from .prose import LINCOLN_QUOTE, MELVILLE_QUOTE, PROSE
 
 #: protocol version — bump to invalidate cached lakes on any change
@@ -135,12 +135,5 @@ def prose_lake_dir(
         pq.write_table(table, doc_path)
         with open(stamp, "w") as f:
             f.write(fp)
-    for f_name in os.listdir(link_from):
-        if f_name.endswith(".parquet") and f_name != "documents.parquet":
-            dst = os.path.join(out_dir, f_name)
-            if not os.path.exists(dst):
-                try:
-                    os.symlink(os.path.join(link_from, f_name), dst)
-                except OSError:
-                    shutil.copyfile(os.path.join(link_from, f_name), dst)
+    link_donor_tables(link_from, out_dir, exclude={"documents.parquet"})
     return out_dir

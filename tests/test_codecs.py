@@ -195,6 +195,17 @@ def test_fake_feature_rounding_matches_sql_round_exactly():
         ).fetchall()
     ]
     assert got == want
+    # equality treats 0.0 == -0.0, so pin the SIGN too: SQL ROUND
+    # preserves -0.0 and rounds tiny negatives to -0.0, and a hash
+    # that formats floats splits on "0.0" vs "-0.0" (r10 self-review:
+    # the old q < 0 branch returned +0.0 for q = -0.0)
+    import math
+
+    assert [math.copysign(1.0, g) for g in got] == [
+        math.copysign(1.0, w) for w in want
+    ]
+    assert math.copysign(1.0, _round_half_away6(-0.0)) == -1.0
+    assert math.copysign(1.0, _round_half_away6(-1e-9)) == -1.0
     # end-to-end: a byte payload whose fold hits the observed boundary
     feats = _fake_features(bytes([17, 111]), dim=2)
     assert sum(f >= 0 for f in feats) == 2 and abs(sum(feats) - 1.0) < 1e-6

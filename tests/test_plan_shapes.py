@@ -30,9 +30,16 @@ import pytest
 
 import __spark_entry__ as ep
 
-#: Hand-kept historical pins (r7+r8 top-5s): regressions here are the
-#: costliest, and the list must survive a BENCH_FULL.json rewrite.
+#: Hand-kept historical pins: regressions here are the costliest, and
+#: the list must survive a BENCH_FULL.json rewrite. RATCHET RULE
+#: (r10 self-review): the auto-derived top-N below tracks whatever
+#: artifact is on disk, so a band-noise re-rank can silently UN-pin a
+#: query within a single round (bpe_segment_tokens entered the top-10
+#: on the mid-r10 artifact and fell out on the close-out one) — every
+#: query that has EVER entered a recorded top-10 therefore gets
+#: promoted here, append-only, at round close.
 HISTORICAL = [
+    # r7+r8 top-5s
     "graph_triangle_counts",
     "dedup_ngram_jaccard_pairs",
     "basket_association_rules",
@@ -43,6 +50,12 @@ HISTORICAL = [
     "curation_chunks_v2",
     "source_overlap_kmv",
     "bpe_merge_table",
+    # r9/r10 top-10 entrants (union of the mid-round and close-out
+    # artifacts' rankings)
+    "bpe_segment_tokens",
+    "doc_boilerplate_ratio",
+    "fuzzy_name_neighbors_k2",
+    "token_budget_selection",
 ]
 
 

@@ -30,7 +30,6 @@ edge shuffle spilled ~41 GB transiently at 30x and fills ~135 GB at
 from __future__ import annotations
 
 import os
-import shutil
 import sys
 import time
 
@@ -39,6 +38,7 @@ import duckdb
 sys.path.insert(0, ".")
 
 import __spark_entry__ as ep  # noqa: E402
+from bootcamp_stackacademy_datalake_minio_airflow_spark.catalog import link_donor_tables  # noqa: E402
 from bootcamp_stackacademy_datalake_minio_airflow_spark.session import get_spark  # noqa: E402
 
 BASE = "/root/testdata/sf0.1"
@@ -87,15 +87,9 @@ def build_lake(copies: int, tables: list[str]) -> str:
             sql = SCALE_SQL[t].format(base=BASE, copies=copies)
             duckdb.sql(f"COPY ({sql}) TO '{out}' (FORMAT PARQUET)")
     # every other table rides along unchanged (links keep load_table
-    # satisfied for tables the probed queries don't scale)
-    for f in os.listdir(BASE):
-        if f.endswith(".parquet") and f.removesuffix(".parquet") not in tables:
-            dst = os.path.join(out_dir, f)
-            if not os.path.exists(dst):
-                try:
-                    os.symlink(os.path.join(BASE, f), dst)
-                except OSError:
-                    shutil.copyfile(os.path.join(BASE, f), dst)
+    # satisfied for tables the probed queries don't scale); the shared
+    # helper re-points stale/dangling links if BASE ever changes
+    link_donor_tables(BASE, out_dir, exclude={f"{t}.parquet" for t in tables})
     return out_dir
 
 
@@ -112,6 +106,15 @@ def main() -> None:
         else:
             names.append(a)
     names = names or DEFAULT
+    if copies < 2:
+        # copies=1 would label both legs "1x" and silently self-compare
+        sys.exit("--copies must be >= 2 (the probe compares 1x vs Nx)")
+    unknown_tables = [t for t in tables if t not in SCALE_SQL]
+    if unknown_tables:
+        sys.exit(
+            f"--scale-tables: no replication SQL for {unknown_tables}; "
+            f"supported: {sorted(SCALE_SQL)}"
+        )
     big_dir = build_lake(copies, tables)
     nx = f"{copies}x"
     spark = get_spark("scale-probe")
