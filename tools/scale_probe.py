@@ -75,6 +75,17 @@ SCALE_SQL = {
         FROM read_parquet('{base}/lineitem.parquet'),
              (SELECT unnest(range({copies})) AS c)
     """,
+    # disjoint ids + a 0.001*c shift on dim 1 so replicas are distinct
+    # points (near- not exact-neighbors — the honest perturbation for
+    # ANN/quantization probes, same spirit as the documents protocol)
+    "embeddings": """
+        SELECT vec_id + c * 100000 AS vec_id,
+               list_prepend(CAST(embedding[1] + 0.001 * c AS FLOAT),
+                            embedding[2:]) AS embedding,
+               label
+        FROM read_parquet('{base}/embeddings.parquet'),
+             (SELECT unnest(range({copies})) AS c)
+    """,
 }
 
 
