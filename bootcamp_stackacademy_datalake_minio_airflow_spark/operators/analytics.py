@@ -591,3 +591,92 @@ def ks_two_sample(
         F.coalesce(F.max("__na"), F.lit(0).cast("long")).alias("n_a"),
         F.coalesce(F.max("__nb"), F.lit(0).cast("long")).alias("n_b"),
     )
+
+
+def poisson_bootstrap_mean_ci(
+    df,
+    key_col: str,
+    val_col: str,
+    n_reps: int = 100,
+    alpha: float = 0.05,
+    salt: str = "boot",
+):
+    """Poisson bootstrap CI for the mean — the single-pass resampling
+    scheme that scales (Chamandy et al., "Estimating Uncertainty for
+    Massive Data Streams", Google 2012): instead of materializing B
+    resamples, each row draws an independent Poisson(1) replication
+    weight per replicate, so the whole bootstrap is one map-side
+    explode + one partial-aggregable groupBy(rep) — B×|rows| rows
+    exist only inside the map stage, and the shuffle carries B rows
+    per partition.
+
+    Determinism: the weight comes from an md5 draw on
+    ``salt:rep:key`` against PRE-COMPUTED Poisson(1) CDF hex
+    thresholds (truncated at k=5, a 0.06% tail both engines cut
+    identically), so DuckDB replays every draw. CI bounds are order
+    statistics of the ROUND(mean, 4) replicate means with rep-id
+    tie-break — no percentile interpolation to diverge on.
+
+    Returns one row: n_reps (surviving replicates), mean, ci_lo,
+    ci_hi. The only driver traffic is the B replicate means
+    (bounded by ``n_reps``, never by the data).
+    """
+    import math
+
+    from pyspark.sql import functions as F
+
+    from .sampling import _hex_threshold
+
+    spark = df.sparkSession
+    # Poisson(1) CDF, truncated at k=5
+    pmf, cum, cdf = math.exp(-1.0), 0.0, []
+    for k in range(5):
+        cum += pmf
+        cdf.append(_hex_threshold(min(cum, 1.0)))
+        pmf /= k + 1
+
+    vals = df.select(
+        F.col(key_col).alias("__k"), F.col(val_col).cast("double").alias("__v")
+    ).filter(F.col(val_col).isNotNull())
+    reps = vals.withColumn(
+        "__rep", F.explode(F.sequence(F.lit(1), F.lit(int(n_reps))))
+    )
+    draw = F.substring(
+        F.md5(
+            F.concat(
+                F.lit(f"{salt}:"),
+                F.col("__rep").cast("string"),
+                F.lit(":"),
+                F.col("__k").cast("string"),
+            )
+        ),
+        1,
+        8,
+    )
+    w = F.when(draw < cdf[0], 0)
+    for k in range(1, 5):
+        w = w.when(draw < cdf[k], k)
+    w = w.otherwise(5)
+
+    means = (
+        reps.groupBy("__rep")
+        .agg(
+            F.round(F.sum(w * F.col("__v")) / F.sum(w), 4).alias("__m"),
+            F.sum(w).alias("__sw"),
+        )
+        .filter(F.col("__sw") > 0)
+        .select("__rep", "__m")
+        .collect()  # bounded by n_reps — replicate means, never data
+    )
+    ordered = sorted((float(r["__m"]), int(r["__rep"])) for r in means)
+    lo_idx = math.ceil(alpha / 2.0 * n_reps)  # 1-based order statistic
+    hi_idx = math.ceil((1.0 - alpha / 2.0) * n_reps)
+    lo = ordered[lo_idx - 1][0] if len(ordered) >= lo_idx else None
+    hi = ordered[hi_idx - 1][0] if len(ordered) >= hi_idx else None
+
+    return vals.agg(F.round(F.avg("__v"), 4).alias("mean")).select(
+        F.lit(len(ordered)).cast("long").alias("n_reps"),
+        F.col("mean"),
+        F.lit(lo).cast("double").alias("ci_lo"),
+        F.lit(hi).cast("double").alias("ci_hi"),
+    )

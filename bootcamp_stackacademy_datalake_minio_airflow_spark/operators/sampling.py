@@ -683,3 +683,21 @@ def epoch_schedule(
         .cast("long")
         .alias("alloc_tokens"),
     )
+
+
+def kfold_group_assign(
+    df: DataFrame, group_col: str, k: int = 5, salt: str = "cv"
+) -> DataFrame:
+    """Group-aware k-fold assignment: fold = md5-fold of the GROUP key
+    mod k, so every row of a group lands in the same fold by
+    construction — the cross-validation analogue of ``group_split``'s
+    leakage guarantee (same-author/same-user rows can never straddle
+    a train/test boundary). Pure map-side column, no shuffle; the
+    md5-derived fold is engine-portable (DuckDB replays it with the
+    digit-position fold, suites/extensions._hex_fold).
+    """
+    fold = (
+        F.conv(_draw(F.col(group_col), f"{salt}:"), 16, 10).cast("long")
+        % int(k)
+    ).cast("int")
+    return df.withColumn("fold", fold)

@@ -759,3 +759,53 @@ def winnow_overlap_pairs(
         .filter(F.col("n_shared") >= min_shared)
     )
     return _materialize_release(result, fp)
+
+
+def next_token_examples(
+    df: DataFrame, id_col: str, text_col: str, ctx_len: int = 2
+) -> DataFrame:
+    """Next-token training-example construction: for each document,
+    emit the (context, target) pairs an autoregressive LM trains on —
+    context = the ``ctx_len`` preceding whitespace tokens (space-
+    joined), target = the next token — then collapse to per-doc
+    counts plus an ORDER-INSENSITIVE integer checksum (sum of 8-hex
+    md5 folds of ``context '>' target``), so the oracle hash-gates
+    the exact example set without materializing it in the result.
+
+    Map-side only until the final per-doc aggregate: the token array
+    never leaves its row (examples come from element_at over a
+    sequence), so the shuffle carries one row per (doc, example) into
+    a partial-aggregable groupBy — the 100 TB shape for corpus-scale
+    example construction.
+    """
+    idc = F.col(id_col)
+    arr = tokens(text_col)
+    n = F.size(arr)
+    base = (
+        df.filter(F.length(F.trim(F.col(text_col))) > 0)
+        .select(idc.alias("__id"), arr.alias("__t"), n.alias("__n"))
+        .filter(F.col("__n") > ctx_len)
+    )
+    ctx = F.concat_ws(
+        " ", *[F.element_at("__t", F.col("__i") - j) for j in range(ctx_len, 0, -1)]
+    )
+    tgt = F.element_at("__t", F.col("__i"))
+    ex = base.select(
+        "__id",
+        F.explode(F.sequence(F.lit(ctx_len + 1), F.col("__n"))).alias("__i"),
+        "__t",
+    ).select(
+        "__id",
+        ctx.alias("context"),
+        tgt.alias("target"),
+    )
+    fold = F.conv(
+        F.substring(F.md5(F.concat(F.col("context"), F.lit(">"), F.col("target"))), 1, 8),
+        16,
+        10,
+    ).cast("long")
+    return ex.groupBy(F.col("__id").alias(id_col)).agg(
+        F.count("*").cast("long").alias("n_examples"),
+        F.countDistinct("context").cast("long").alias("n_unique_contexts"),
+        F.sum(fold).alias("example_checksum"),
+    )

@@ -71,12 +71,12 @@ def oracle_sql() -> dict[str, str]:
 #: since changed substantially — oldest-green-first re-verifies the
 #: stalest evidence each round while new/fixed queries jump the
 #: queue automatically. The block below is the policy's output for
-#: CURRENT_ROUND = 10: the 13 never-green families (the 10 documented
+#: CURRENT_ROUND = 10: the 18 never-green families (the 10 documented
 #: TPC-H variants + the two r1 stragglers dq_null_profile_orders —
 #: r1 hash FAIL, fixed since — and events_sliding_window — r1
-#: no_oracle, oracle added since — + prose_winnow_pairs, newly
+#: no_oracle, oracle added since — + the six queries newly
 #: registered this round), then all 20 families whose latest
-#: green is r1, all 6 from r3, and the first 4 (by name) from r4.
+#: green is r1 and the first 5 (by name) from r3.
 #: The round whose driver artifact does not exist yet. The staleness
 #: guard in tests/test_oracle_gate.py reads every CORRECTNESS_r*.json
 #: with round < CURRENT_ROUND, so the glob is self-maintaining
@@ -93,12 +93,21 @@ PRIORITY = [
     "string_normalize",
     "union_all_sources",
     # -- r10 rotation block: policy output (see module comment).
-    # First the 13 never-driver-green families (finishing the debt;
-    # prose_winnow_pairs is NEW this round, so the policy routes it
-    # straight into the window — locally hash-verified before entry):
+    # First the 18 never-driver-green families (finishing the debt;
+    # prose_winnow_pairs and the five ML-estimation queries
+    # (bootstrap_ci_order_value, crossval_fold_assignment,
+    # kmeans_embedding_clusters, lm_training_examples,
+    # quality_logreg_gd) are NEW this round, so the policy routes
+    # them straight into the window — each locally hash-verified at
+    # sf0.001/0.01/0.1 before entry):
+    "bootstrap_ci_order_value",
+    "crossval_fold_assignment",
     "dq_null_profile_orders",
     "events_sliding_window",
+    "kmeans_embedding_clusters",
+    "lm_training_examples",
     "prose_winnow_pairs",
+    "quality_logreg_gd",
     "tpch_q10_shaped",
     "tpch_q11_shaped",
     "tpch_q12_shaped",
@@ -130,19 +139,14 @@ PRIORITY = [
     "tpch_q5_shaped",
     "tpch_q6_shaped",
     "window_running_lag",
-    # ...all 6 r3 families...
+    # ...and the first 5 (by name) of the 6 r3 families (the five
+    # new never-green slots displaced text_token_count and the four
+    # r4 families — all already driver-green, re-queued for r11)
     "array_collect_orders",
     "events_tumbling_window",
     "json_extract_events",
     "sort_limit_topk",
     "stats_aggregates",
-    "text_token_count",
-    # ...and the first 4 (by name) of the 14 r4 families (the new
-    # prose_winnow_pairs slot displaced embedding_ann_lsh_topk)
-    "dedup_cross_doc_ngrams",
-    "dedup_minhash_documents",
-    "dedup_simhash_pairs",
-    "doc_winnow_fingerprints",
 ]
 
 _LOADED = False
@@ -172,6 +176,7 @@ def _ensure_loaded() -> None:
         breadth12,
         breadth13,
         breadth14,
+        breadth15,
         extensions,
         prose,
     )

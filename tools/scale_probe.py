@@ -75,6 +75,15 @@ SCALE_SQL = {
         FROM read_parquet('{base}/lineitem.parquet'),
              (SELECT unnest(range({copies})) AS c)
     """,
+    # disjoint order AND customer keys so each copy is a disjoint
+    # group universe — the honest shape for the bootstrap (per-key
+    # draws stay distinct) and k-fold (group count scales) families
+    "orders": """
+        SELECT * REPLACE (o_orderkey + c * 10000000 AS o_orderkey,
+                          o_custkey + c * 1000000 AS o_custkey)
+        FROM read_parquet('{base}/orders.parquet'),
+             (SELECT unnest(range({copies})) AS c)
+    """,
     # disjoint ids + a 0.001*c shift on dim 1 so replicas are distinct
     # points (near- not exact-neighbors — the honest perturbation for
     # ANN/quantization probes, same spirit as the documents protocol)
