@@ -102,53 +102,24 @@ def logreg_gd_train(
     the comparison sees the same double).
     """
     spark = df.sparkSession
-    y = (label_col if not isinstance(label_col, str) else F.col(label_col)).cast(
-        "double"
-    )
-    xs = [
-        (c if not isinstance(c, str) else F.col(c)).cast("double")
-        for c in feature_cols
-    ]
     names = [
         c if isinstance(c, str) else c._jc.toString() for c in feature_cols
     ]
-    feat = df.select(
-        y.alias("__y"), *[xs[j].alias(f"__x{j}") for j in range(len(xs))]
-    )
-
-    w = [0.0] * (1 + len(xs))  # [bias, w1..wd]
+    feat = _gd_feat(df, label_col, feature_cols)
+    w = _gd_fit(feat, len(feature_cols), lr, n_steps)
+    if w is None:
+        return spark.createDataFrame(
+            [],
+            "n_docs BIGINT, w_bias DOUBLE, "
+            + ", ".join(f"w_{nm} DOUBLE" for nm in names)
+            + ", accuracy DOUBLE",
+        )
 
     def _z(weights):
         z = F.lit(weights[0])
-        for j in range(len(xs)):
+        for j in range(len(feature_cols)):
             z = z + F.lit(weights[j + 1]) * F.col(f"__x{j}")
         return z
-
-    for _ in range(n_steps):
-        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-_z(w)))
-        aggs = [F.count("*").alias("__n"), F.sum(p - F.col("__y")).alias("__g0")]
-        aggs += [
-            F.sum((p - F.col("__y")) * F.col(f"__x{j}")).alias(f"__g{j + 1}")
-            for j in range(len(xs))
-        ]
-        row = feat.agg(*aggs).collect()[0]  # one scalar row per step
-        n = row["__n"]
-        if not n:
-            return spark.createDataFrame(
-                [],
-                "n_docs BIGINT, w_bias DOUBLE, "
-                + ", ".join(f"w_{nm} DOUBLE" for nm in names)
-                + ", accuracy DOUBLE",
-            )
-        # half-away-from-zero at 6 decimals — matches SQL ROUND(x, 6)
-        # exactly (Python round() is half-even; see multimodal's
-        # dyadic-boundary hash split, r8 ask #4 / ADVICE r9 #2)
-        from .multimodal import _round_half_away6
-
-        w = [
-            _round_half_away6(w[j] - lr * (float(row[f"__g{j}"]) / n))
-            for j in range(len(w))
-        ]
 
     correct = (
         (_z(w) >= 0.0) == (F.col("__y") == 1.0)
@@ -159,6 +130,188 @@ def logreg_gd_train(
     ).select(
         "n_docs",
         F.lit(w[0]).alias("w_bias"),
-        *[F.lit(w[j + 1]).alias(f"w_{names[j]}") for j in range(len(xs))],
+        *[
+            F.lit(w[j + 1]).alias(f"w_{names[j]}")
+            for j in range(len(feature_cols))
+        ],
         "accuracy",
+    )
+
+
+def _gd_feat(df: DataFrame, label_col, feature_cols: list) -> DataFrame:
+    """Project (label, features) to the canonical __y/__x{j} frame."""
+    y = (
+        label_col if not isinstance(label_col, str) else F.col(label_col)
+    ).cast("double")
+    xs = [
+        (c if not isinstance(c, str) else F.col(c)).cast("double")
+        for c in feature_cols
+    ]
+    return df.select(
+        y.alias("__y"), *[xs[j].alias(f"__x{j}") for j in range(len(xs))]
+    )
+
+
+def _gd_fit(
+    feat: DataFrame, d: int, lr: float, n_steps: int
+) -> list[float] | None:
+    """The shared GD loop: ``n_steps`` map-side-combinable gradient
+    aggregates, weights half-away-ROUND(·, 6) between steps (matches
+    SQL ROUND; Python round() is half-even — see multimodal's
+    dyadic-boundary hash split, r8 ask #4 / ADVICE r9 #2). Returns
+    the final weights [bias, w1..wd], or None on empty input."""
+    from .multimodal import _round_half_away6
+
+    w = [0.0] * (1 + d)
+    for _ in range(n_steps):
+        z = F.lit(w[0])
+        for j in range(d):
+            z = z + F.lit(w[j + 1]) * F.col(f"__x{j}")
+        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+        aggs = [F.count("*").alias("__n"), F.sum(p - F.col("__y")).alias("__g0")]
+        aggs += [
+            F.sum((p - F.col("__y")) * F.col(f"__x{j}")).alias(f"__g{j + 1}")
+            for j in range(d)
+        ]
+        row = feat.agg(*aggs).collect()[0]  # one scalar row per step
+        n = row["__n"]
+        if not n:
+            return None
+        w = [
+            _round_half_away6(w[j] - lr * (float(row[f"__g{j}"]) / n))
+            for j in range(len(w))
+        ]
+    return w
+
+
+def logreg_calibration_bins(
+    df: DataFrame,
+    label_col,
+    feature_cols: list,
+    lr: float = 0.5,
+    n_steps: int = 3,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Reliability diagram of the GD classifier: train with the same
+    seeded loop as ``logreg_gd_train``, then bin the predicted
+    probability into ``n_bins`` equal-width bins and report per bin
+    (bin, n_docs, mean_p, frac_pos) — the calibration table a score
+    threshold gets picked from. Binning keys on ROUND(p, 6) before
+    the floor so a last-ulp exp() difference between engines cannot
+    flip a bin edge. One training pass + one scoring aggregate."""
+    spark = df.sparkSession
+    feat = _gd_feat(df, label_col, feature_cols)
+    w = _gd_fit(feat, len(feature_cols), lr, n_steps)
+    if w is None:
+        return spark.createDataFrame(
+            [], "bin INT, n_docs BIGINT, mean_p DOUBLE, frac_pos DOUBLE"
+        )
+    z = F.lit(w[0])
+    for j in range(len(feature_cols)):
+        z = z + F.lit(w[j + 1]) * F.col(f"__x{j}")
+    p6 = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
+    b = F.least(F.floor(p6 * n_bins).cast("int"), F.lit(n_bins - 1))
+    return (
+        feat.select(b.alias("bin"), p6.alias("__p"), "__y")
+        .groupBy("bin")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.round(F.avg("__p"), 4).alias("mean_p"),
+            F.round(F.avg("__y"), 4).alias("frac_pos"),
+        )
+    )
+
+
+# --- multinomial Naive Bayes (count-exact training -> oracle-replayable) -----
+
+
+def naive_bayes_confusion(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    label_col: str,
+) -> DataFrame:
+    """Multinomial Naive Bayes with add-1 smoothing, trained and
+    evaluated IN the engine, reported as a confusion matrix
+    (label, predicted, n_docs).
+
+    Unlike the GD twin, TRAINING here is integer-exact (class/word
+    counts), so the only floats are the per-doc log-score sums. The
+    unseen-word smoothing term factors out of the join:
+
+        score(d, c) = Σ_{w∈d∩V_c} n_dw·ln(cnt_cw + 1)
+                      − n_d·ln(tot_c + V) + ln(n_c / N)
+
+    so the doc-word table inner-joins the class-word table on the
+    word alone (fan-out ≤ #classes, an enum-sized dimension) and
+    missing (w, c) pairs contribute exactly 0 — no outer join, no
+    per-class vocabulary densification. Class stats ride on a
+    broadcast (#classes rows); V and N are two collected scalars.
+    argmax keys on ROUND(score, 4) with the class name as tie-break.
+    """
+    from .text import tokens
+
+    spark = df.sparkSession
+    base = (
+        df.filter(
+            F.col(text_col).isNotNull()
+            & (F.length(F.trim(text_col)) > 0)
+            & F.col(label_col).isNotNull()
+        )
+        .select(
+            F.col(id_col).alias("__id"),
+            F.col(label_col).alias("__y"),
+            tokens(text_col).alias("__ts"),
+        )
+    )
+    dw = (
+        base.select("__id", "__y", F.explode("__ts").alias("__w"))
+        .groupBy("__id", "__y", "__w")
+        .agg(F.count("*").cast("long").alias("__c"))
+    )
+    docs = dw.groupBy("__id", "__y").agg(F.sum("__c").alias("__nd"))
+    cw = dw.groupBy(F.col("__y").alias("__cls"), "__w").agg(
+        F.sum("__c").alias("__cnt")
+    )
+    # two corpus scalars + the enum-sized class-stats broadcast
+    scal = dw.agg(
+        F.countDistinct("__w").alias("v"), F.countDistinct("__id").alias("n")
+    ).collect()
+    if not scal or not scal[0]["n"]:
+        return spark.createDataFrame(
+            [], f"{label_col} STRING, predicted STRING, n_docs BIGINT"
+        )
+    v_size, n_total = int(scal[0]["v"]), int(scal[0]["n"])
+    cls = cw.groupBy("__cls").agg(F.sum("__cnt").alias("__tot")).join(
+        docs.groupBy(F.col("__y").alias("__cls")).agg(
+            F.countDistinct("__id").alias("__ndocs")
+        ),
+        "__cls",
+    )
+
+    s1 = (
+        dw.join(cw, "__w")
+        .groupBy("__id", "__cls")
+        .agg(F.sum(F.col("__c") * F.log(F.col("__cnt") + 1)).alias("__s1"))
+    )
+    scored = (
+        docs.crossJoin(F.broadcast(cls))  # enum-sized build side
+        .join(s1, ["__id", "__cls"], "left")
+        .select(
+            "__id",
+            "__y",
+            "__cls",
+            F.round(
+                F.coalesce(F.col("__s1"), F.lit(0.0))
+                - F.col("__nd") * F.log(F.col("__tot") + F.lit(float(v_size)))
+                + F.log(F.col("__ndocs") * 1.0 / F.lit(float(n_total))),
+                4,
+            ).alias("__score"),
+        )
+    )
+    pred = scored.groupBy("__id", "__y").agg(
+        F.max(F.struct("__score", "__cls")).getField("__cls").alias("predicted")
+    )
+    return pred.groupBy(F.col("__y").alias(label_col), "predicted").agg(
+        F.count("*").cast("long").alias("n_docs")
     )

@@ -701,3 +701,41 @@ def kfold_group_assign(
         % int(k)
     ).cast("int")
     return df.withColumn("fold", fold)
+
+
+def target_encode_oof(
+    df: DataFrame,
+    group_col: str,
+    cat_col: str,
+    val_col: str,
+    k: int = 5,
+    salt: str = "cv",
+) -> DataFrame:
+    """Out-of-fold target encoding — the leakage-safe categorical
+    encoder (a category's encoding for fold f is the target mean
+    computed WITHOUT fold f's rows, so a row never sees its own
+    label): oof_mean(c, f) = (S_c − s_cf) / (N_c − n_cf).
+
+    Folds come from ``kfold_group_assign`` (group-keyed, so the
+    leakage guarantee extends to groups). One partial-aggregable
+    rollup to (category, fold) cells, then per-category totals via a
+    window PARTITIONED BY category (k rows per partition — bounded by
+    the fold count, never the data). Returns (category, fold, n_rows,
+    oof_mean) with oof_mean NULL when a category exists only in one
+    fold (no out-of-fold rows to average)."""
+    cells = (
+        kfold_group_assign(df, group_col, k=k, salt=salt)
+        .groupBy(F.col(cat_col).alias("category"), "fold")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum(F.col(val_col).cast("double")).alias("__s"),
+        )
+    )
+    w = Window.partitionBy("category")
+    n_tot = F.sum("n_rows").over(w)
+    s_tot = F.sum("__s").over(w)
+    oof = F.when(
+        n_tot - F.col("n_rows") > 0,
+        F.round((s_tot - F.col("__s")) / (n_tot - F.col("n_rows")), 4),
+    )
+    return cells.select("category", "fold", "n_rows", oof.alias("oof_mean"))

@@ -809,3 +809,32 @@ def next_token_examples(
         F.countDistinct("context").cast("long").alias("n_unique_contexts"),
         F.sum(fold).alias("example_checksum"),
     )
+
+
+def feature_hash_buckets(
+    df: DataFrame, text_col: str, n_buckets: int = 64, salt: str = "fh"
+) -> DataFrame:
+    """Hashing-trick vectorizer summary (Weinberger et al. 2009):
+    every token hashes to one of ``n_buckets`` signed buckets
+    (bucket from the 8-hex md5 fold, sign from the 9th hex digit's
+    parity — the signed variant that makes collisions unbiased), and
+    the corpus collapses to one row per bucket: (bucket, n_tokens,
+    signed_sum). Integer-exact end to end — counts and ±1 sums, no
+    floats anywhere — and one partial-aggregable groupBy over a
+    fixed-size key domain: the 100 TB shape for vocabulary-free
+    featurization."""
+    w = F.explode(tokens(text_col)).alias("__w")
+    toks = df.filter(F.length(F.trim(text_col)) > 0).select(w)
+    h = F.md5(F.concat(F.lit(f"{salt}:"), F.col("__w")))
+    bucket = (
+        F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % n_buckets
+    ).cast("int")
+    sign = F.lit(1) - 2 * (
+        F.conv(F.substring(h, 9, 1), 16, 10).cast("long") % 2
+    ).cast("int")
+    return toks.select(bucket.alias("bucket"), sign.alias("__s")).groupBy(
+        "bucket"
+    ).agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        F.sum("__s").cast("long").alias("signed_sum"),
+    )

@@ -2,9 +2,11 @@
 machinery — seeded Lloyd k-means (the oracle-replayable twin of the
 MLlib quantizer behind ``ivf_index``), full-batch-GD logistic
 regression (the twin of the MLlib classifier in
-``operators/classifier.py``), a Poisson-bootstrap CI (the one-pass
-resampling scheme that scales — Chamandy et al. 2012), group-aware
-k-fold assignment, and next-token training-example construction.
+``operators/classifier.py``), multinomial Naive Bayes (count-exact
+training), a Poisson-bootstrap CI (the one-pass resampling scheme
+that scales — Chamandy et al. 2012), Kaplan-Meier time-to-event
+survival, group-aware k-fold assignment, leakage-safe out-of-fold
+target encoding, and next-token training-example construction.
 
 The reference has none of these (SURVEY §2 marks every analytics /
 ML category absent) — they are part of the mandated
@@ -105,7 +107,12 @@ _PUNCT_SQL = (
 )
 
 
-def _logreg_oracle(lr: float = _LR, n_steps: int = _GD_STEPS) -> str:
+def _logreg_oracle(
+    lr: float = _LR, n_steps: int = _GD_STEPS, final: str | None = None
+) -> str:
+    """The unrolled-GD CTE chain; ``final`` overrides the closing
+    SELECT (it sees ``feat`` and ``w{n_steps}``) so the calibration
+    twin reuses the identical training replay."""
     parts = [
         f"""
     WITH base AS (
@@ -121,6 +128,10 @@ def _logreg_oracle(lr: float = _LR, n_steps: int = _GD_STEPS) -> str:
       FROM base
     ), w0 AS (SELECT 0.0 AS b, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3)"""
     ]
+    # MATERIALIZED: each w{s} is referenced twice downstream; DuckDB
+    # inlines plain CTEs, which re-evaluates the whole gradient chain
+    # per reference (2^steps full-corpus scans — measured hang at 12
+    # steps). Materializing keeps the replay linear in steps.
     for s in range(1, n_steps + 1):
         parts.append(f"""
     , s{s} AS (
@@ -134,21 +145,25 @@ def _logreg_oracle(lr: float = _LR, n_steps: int = _GD_STEPS) -> str:
              SUM((p - y) * x2) / COUNT(*) AS g2,
              SUM((p - y) * x3) / COUNT(*) AS g3
       FROM s{s}
-    ), w{s} AS (
+    ), w{s} AS MATERIALIZED (
       SELECT ROUND(w.b - {lr} * g.gb, 6) AS b,
              ROUND(w.w1 - {lr} * g.g1, 6) AS w1,
              ROUND(w.w2 - {lr} * g.g2, 6) AS w2,
              ROUND(w.w3 - {lr} * g.g3, 6) AS w3
       FROM w{s - 1} w CROSS JOIN g{s} g
     )""")
-    parts.append(f"""
+    parts.append(
+        final
+        if final is not None
+        else f"""
     SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
            w.b AS w_bias, w.w1 AS w_len, w.w2 AS w_stop, w.w3 AS w_punct,
            ROUND(SUM(CASE WHEN ((w.b + w.w1 * x1 + w.w2 * x2 + w.w3 * x3)
                                 >= 0) = (y = 1.0)
                           THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 4) AS accuracy
     FROM feat CROSS JOIN w{n_steps} w
-    GROUP BY w.b, w.w1, w.w2, w.w3""")
+    GROUP BY w.b, w.w1, w.w2, w.w3"""
+    )
     return "".join(parts)
 
 
@@ -165,22 +180,29 @@ def q_quality_logreg_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
     step — the MLlib L-BFGS path (train_embedding_classifier) stays
     pytest-covered; this is its hash-gated twin."""
     from ..operators.classifier import logreg_gd_train
+
+    feat = _quality_feat(load_table(spark, sf_dir, "documents"))
+    return logreg_gd_train(
+        feat, "y", ["len", "stop", "punct"], lr=_LR, n_steps=_GD_STEPS
+    )
+
+
+def _quality_feat(docs: DataFrame) -> DataFrame:
+    """The shared exact-provenance feature frame (y, len, stop,
+    punct) both GD queries train on — mirrored by the oracle's
+    ``feat`` CTE."""
     from ..operators.text import STOPWORDS, punct_ratio, tokens
 
-    docs = load_table(spark, sf_dir, "documents")
     base = docs.filter(
         F.col("text").isNotNull() & (F.length(F.trim("text")) > 0)
     ).select("lang", "text", tokens("text").alias("__ts"))
     nt = F.size("__ts")
     stop = F.size(F.filter("__ts", lambda t: t.isin(*STOPWORDS["en"])))
-    feat = base.select(
+    return base.select(
         F.when(F.col("lang") == "en", 1.0).otherwise(0.0).alias("y"),
         F.least(nt / 100.0, F.lit(3.0)).alias("len"),
         F.round(stop * 1.0 / nt, 4).alias("stop"),
         punct_ratio("text").alias("punct"),
-    )
-    return logreg_gd_train(
-        feat, "y", ["len", "stop", "punct"], lr=_LR, n_steps=_GD_STEPS
     )
 
 
@@ -324,3 +346,349 @@ def q_crossval_fold_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("o_totalprice"), 2).alias("revenue"),
         )
     )
+
+
+# --- multinomial Naive Bayes language classifier -------------------------------
+
+_NB_ORACLE = rf"""
+    WITH base AS (
+      SELECT doc_id, lang, string_split({_NORM_SQL}, ' ') AS ts
+      FROM documents
+      WHERE text IS NOT NULL AND length(trim(text)) > 0 AND lang IS NOT NULL
+    ), dw AS (
+      SELECT doc_id, lang, w, CAST(COUNT(*) AS BIGINT) AS c
+      FROM (SELECT doc_id, lang, unnest(ts) AS w FROM base)
+      GROUP BY doc_id, lang, w
+    ), docs AS (
+      SELECT doc_id, lang, CAST(SUM(c) AS BIGINT) AS nd
+      FROM dw GROUP BY doc_id, lang
+    ), cw AS (
+      SELECT lang AS cls, w, CAST(SUM(c) AS BIGINT) AS cnt
+      FROM dw GROUP BY lang, w
+    ), nd AS (
+      SELECT lang AS cls, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS ndocs
+      FROM dw GROUP BY lang
+    ), cls AS (
+      SELECT cw.cls, CAST(SUM(cnt) AS BIGINT) AS tot, nd.ndocs
+      FROM cw JOIN nd USING (cls) GROUP BY cw.cls, nd.ndocs
+    ), scal AS (
+      SELECT CAST(COUNT(DISTINCT w) AS DOUBLE) AS v,
+             CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS n
+      FROM dw
+    ), s1 AS (
+      SELECT dw.doc_id, cw.cls, SUM(dw.c * ln(cw.cnt + 1)) AS s1
+      FROM dw JOIN cw USING (w) GROUP BY dw.doc_id, cw.cls
+    ), scored AS (
+      SELECT d.doc_id, d.lang, c.cls,
+             ROUND(COALESCE(s1.s1, 0.0) - d.nd * ln(c.tot + scal.v)
+                   + ln(c.ndocs * 1.0 / scal.n), 4) AS score
+      FROM docs d CROSS JOIN cls c CROSS JOIN scal
+      LEFT JOIN s1 ON s1.doc_id = d.doc_id AND s1.cls = c.cls
+    ), pred AS (
+      SELECT lang, cls AS predicted FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY doc_id ORDER BY score DESC, cls DESC) AS rn
+        FROM scored
+      ) WHERE rn = 1
+    )
+    SELECT lang, predicted, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM pred GROUP BY lang, predicted
+    """
+
+
+@register("naive_bayes_langid", _NB_ORACLE)
+def q_naive_bayes_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive Bayes language classifier trained in-engine
+    (operators/classifier.py:naive_bayes_confusion): add-1-smoothed
+    class-word counts (integer-exact training), per-doc log-score via
+    a word-keyed inner join (the smoothing term factors out, so
+    unseen words never densify), argmax on ROUND(score, 4) with class
+    tie-break, reported as a (lang, predicted) confusion matrix. The
+    oracle replays the entire train+score+argmax pipeline."""
+    from ..operators.classifier import naive_bayes_confusion
+
+    docs = load_table(spark, sf_dir, "documents")
+    return naive_bayes_confusion(docs, "doc_id", "text", "lang")
+
+
+# --- Kaplan-Meier retention curve ----------------------------------------------
+
+_KM_ORACLE = """
+    WITH pu AS (
+      SELECT user_id,
+             CAST(MIN(ts) AS DATE) AS f,
+             CAST(MIN(CASE WHEN event_type = 'purchase' THEN ts END)
+                  AS DATE) AS tgt,
+             CAST(MAX(ts) AS DATE) AS l
+      FROM events GROUP BY user_id
+    ),
+    lt AS (
+      SELECT CASE WHEN tgt IS NOT NULL THEN date_diff('day', f, tgt)
+                  ELSE date_diff('day', f, l) END AS t,
+             CASE WHEN tgt IS NOT NULL THEN 1 ELSE 0 END AS death
+      FROM pu
+    ), tt AS (
+      SELECT t, CAST(SUM(death) AS BIGINT) AS d,
+             CAST(COUNT(*) AS BIGINT) AS m
+      FROM lt GROUP BY t
+    ), staged AS (
+      SELECT t, d,
+             CAST(SUM(m) OVER ()
+                  - SUM(m) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)
+                  + m AS BIGINT) AS n
+      FROM tt
+    )
+    SELECT t AS t_days, n AS n_at_risk, d AS n_deaths,
+           CASE WHEN MAX(CASE WHEN d = n THEN 1 ELSE 0 END)
+                     OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) = 1
+                THEN 0.0
+                ELSE ROUND(exp(SUM(CASE WHEN d < n
+                                        THEN ln((n - d) * 1.0 / n)
+                                        ELSE 0.0 END)
+                               OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)), 4)
+           END AS survival
+    FROM staged
+    QUALIFY d > 0
+    """
+
+
+@register("retention_kaplan_meier", _KM_ORACLE)
+def q_retention_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier time-to-first-purchase
+    (operators/survival.py:kaplan_meier_time_to_event): duration =
+    days from a user's first event to their first 'purchase'; users
+    who never purchase are censored at their last observed day (at
+    risk, never a death) — the estimator retention_cohorts can't
+    provide when the window truncates outcomes. The stream collapses
+    to one row per DISTINCT duration day before any window, so the KM
+    windows run over a span-bounded table (COVERAGE window-audit
+    row); at-risk/death counts are integer-exact and the survival
+    product is exp(cum-SUM of ln) in identical ASC order on both
+    engines."""
+    from ..operators.survival import kaplan_meier_time_to_event
+
+    ev = load_table(spark, sf_dir, "events")
+    return kaplan_meier_time_to_event(
+        ev, "user_id", "ts", "event_type", target_type="purchase"
+    )
+
+
+# --- out-of-fold target encoding -------------------------------------------------
+
+
+def _te_oracle(k: int = 5) -> str:
+    fold = _hex_fold("md5('cv:' || CAST(o.o_custkey AS VARCHAR))")
+    return f"""
+    WITH j AS (
+      SELECT o.o_totalprice AS v, c.c_mktsegment AS category,
+             CAST({fold} % {k} AS INT) AS fold
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ), cells AS (
+      SELECT category, fold, CAST(COUNT(*) AS BIGINT) AS n_rows, SUM(v) AS s
+      FROM j GROUP BY category, fold
+    )
+    SELECT category, fold, n_rows,
+           CASE WHEN SUM(n_rows) OVER (PARTITION BY category) - n_rows > 0
+                THEN ROUND((SUM(s) OVER (PARTITION BY category) - s)
+                           / (SUM(n_rows) OVER (PARTITION BY category)
+                              - n_rows), 4)
+           END AS oof_mean
+    FROM cells
+    """
+
+
+@register("target_encoding_oof", _te_oracle())
+def q_target_encoding_oof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-fold target encoding of market segment against order
+    value (operators/sampling.py:target_encode_oof): encoding for
+    (category, fold) is the target mean WITHOUT that fold's rows —
+    the leakage-safe categorical encoder, folds group-keyed on the
+    customer so the guarantee extends to groups. One rollup to
+    (category, fold) cells + per-category window sums (k rows per
+    partition — bounded by the fold count)."""
+    from ..operators.sampling import target_encode_oof
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    joined = orders.join(
+        F.broadcast(cust.select("c_custkey", "c_mktsegment")),
+        orders.o_custkey == F.col("c_custkey"),
+    )
+    return target_encode_oof(
+        joined, "o_custkey", "c_mktsegment", "o_totalprice", k=5, salt="cv"
+    )
+
+
+# --- GD classifier calibration (reliability bins) -------------------------------
+
+#: the calibration twin trains longer and hotter than the headline
+#: GD query (6 steps, lr=8) so the probability mass actually spreads
+#: across bins on the fixture corpus — at (3, 0.5) every document
+#: lands in one decile and the reliability table is a 1-row gate
+_CALIB_LR = 8.0
+_CALIB_STEPS = 6
+
+_CALIB_FINAL = f"""
+    SELECT bin, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(AVG(p6), 4) AS mean_p, ROUND(AVG(y), 4) AS frac_pos
+    FROM (
+      SELECT y, LEAST(CAST(FLOOR(p6 * 10) AS INT), 9) AS bin, p6 FROM (
+        SELECT y, ROUND(1.0 / (1.0 + exp(-(w.b + w.w1 * x1 + w.w2 * x2
+                                           + w.w3 * x3))), 6) AS p6
+        FROM feat CROSS JOIN w{_CALIB_STEPS} w
+      )
+    )
+    GROUP BY bin
+    """
+
+
+@register(
+    "logreg_calibration_bins",
+    _logreg_oracle(lr=_CALIB_LR, n_steps=_CALIB_STEPS, final=_CALIB_FINAL),
+)
+def q_logreg_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram of the GD quality classifier
+    (operators/classifier.py:logreg_calibration_bins): the identical
+    seeded training replay as quality_logreg_gd (shared CTE chain in
+    the oracle, shared _gd_fit on the Spark side — here at 6 steps,
+    lr=8 so predictions spread across deciles), then decile bins of
+    the predicted probability with per-bin (n, mean_p, frac_pos) —
+    the table a score threshold gets picked from. Binning keys on
+    ROUND(p, 6) before the floor so a last-ulp exp() difference
+    cannot flip a bin edge."""
+    from ..operators.classifier import logreg_calibration_bins
+
+    feat = _quality_feat(load_table(spark, sf_dir, "documents"))
+    return logreg_calibration_bins(
+        feat, "y", ["len", "stop", "punct"],
+        lr=_CALIB_LR, n_steps=_CALIB_STEPS, n_bins=10,
+    )
+
+
+# --- 2-component 1-D Gaussian mixture via EM -------------------------------------
+
+_GMM_PI = "3.141592653589793"
+
+
+def _gmm_dens_sql(src_p: str) -> str:
+    terms = []
+    for k in (1, 2):
+        terms.append(
+            f"p.w{k} * exp(-((x - p.mu{k}) * (x - p.mu{k}))"
+            f" / (2.0 * p.v{k})) / sqrt(2.0 * {_GMM_PI} * p.v{k}) AS d{k}"
+        )
+    return f"""
+      SELECT x, p.n, {', '.join(terms)}
+      FROM vals CROSS JOIN {src_p} p"""
+
+
+def _gmm_oracle(n_iter: int = 2) -> str:
+    parts = [f"""
+    WITH raw AS (
+      SELECT CAST(o_totalprice AS DOUBLE) AS r FROM orders
+      WHERE o_totalprice IS NOT NULL
+    ), st AS (
+      SELECT COUNT(*) AS n, ROUND(AVG(r), 2) AS m,
+             CASE WHEN ROUND(sqrt(var_pop(r)), 2) > 0
+                  THEN ROUND(sqrt(var_pop(r)), 2) ELSE 1.0 END AS s
+      FROM raw
+    ), vals AS (
+      SELECT ROUND((r - st.m) / st.s, 4) AS x, st.n
+      FROM raw CROSS JOIN st
+    ), st2 AS (
+      SELECT MAX(n) AS n, MIN(x) AS mn, MAX(x) AS mx,
+             CASE WHEN ROUND(var_pop(x), 4) > 0
+                  THEN ROUND(var_pop(x), 4) ELSE 1.0 END AS v0
+      FROM vals
+    ), p0 AS (
+      SELECT n,
+             0.5 AS w1, ROUND(mn + (mx - mn) / 4.0, 4) AS mu1, v0 AS v1,
+             0.5 AS w2, ROUND(mn + 3.0 * (mx - mn) / 4.0, 4) AS mu2, v0 AS v2
+      FROM st2
+    )"""]
+    for t in range(1, n_iter + 1):
+        parts.append(f"""
+    , e{t} AS ({_gmm_dens_sql(f'p{t - 1}')})
+    , m{t} AS (
+      SELECT MAX(n) AS n,
+             SUM(d1 / (d1 + d2)) AS n1,
+             SUM(d1 / (d1 + d2) * x) AS s1,
+             SUM(d1 / (d1 + d2) * x * x) AS q1,
+             SUM(1.0 - d1 / (d1 + d2)) AS n2,
+             SUM((1.0 - d1 / (d1 + d2)) * x) AS s2,
+             SUM((1.0 - d1 / (d1 + d2)) * x * x) AS q2
+      FROM e{t}
+    ), p{t} AS (
+      SELECT n, ROUND(n1 / n, 6) AS w1, mu1,
+             CASE WHEN ROUND(q1 / n1 - mu1 * mu1, 6) > 0
+                  THEN ROUND(q1 / n1 - mu1 * mu1, 6) ELSE 0.000001 END AS v1,
+             ROUND(n2 / n, 6) AS w2, mu2,
+             CASE WHEN ROUND(q2 / n2 - mu2 * mu2, 6) > 0
+                  THEN ROUND(q2 / n2 - mu2 * mu2, 6) ELSE 0.000001 END AS v2
+      FROM (SELECT *, ROUND(s1 / n1, 6) AS mu1, ROUND(s2 / n2, 6) AS mu2
+            FROM m{t})
+    )""")
+    parts.append(f"""
+    , ef AS ({_gmm_dens_sql(f'p{n_iter}')})
+    SELECT 1 AS component, p.w1 AS weight, p.mu1 AS mu, p.v1 AS sigma2,
+           (SELECT ROUND(SUM(d1 / (d1 + d2)), 2) FROM ef) AS n_soft
+    FROM p{n_iter} p WHERE p.n > 0
+    UNION ALL
+    SELECT 2, p.w2, p.mu2, p.v2,
+           (SELECT ROUND(SUM(1.0 - d1 / (d1 + d2)), 2) FROM ef)
+    FROM p{n_iter} p WHERE p.n > 0""")
+    return "".join(parts)
+
+
+@register("gmm_em_order_values", _gmm_oracle())
+def q_gmm_em_order_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-component 1-D Gaussian mixture over standardized order
+    values (operators/mixture.py:gmm_em_1d): 2 EM iterations from a
+    closed-form quartile-point init, parameters ROUND(·, 6) between
+    iterations, every iteration one map-side-combinable aggregate.
+    The oracle replays the whole descent — standardization, init,
+    both E/M rounds, final soft counts. Per-row standardization is a
+    numerical requirement: it keeps the M-step variance cancellation
+    five orders of magnitude above the cross-engine summation noise
+    (module docstring)."""
+    from ..operators.mixture import gmm_em_1d
+
+    orders = load_table(spark, sf_dir, "orders")
+    return gmm_em_1d(orders, "o_totalprice", n_iter=2)
+
+
+# --- hashing-trick featurizer ------------------------------------------------------
+
+
+def _fh_oracle(n_buckets: int = 64) -> str:
+    bucket = _hex_fold("md5('fh:' || w)")
+    return rf"""
+    WITH toks AS (
+      SELECT unnest(string_split({_NORM_SQL}, ' ')) AS w
+      FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0
+    ), h AS (
+      SELECT CAST({bucket} % {n_buckets} AS INT) AS bucket,
+             1 - 2 * ((strpos('0123456789abcdef',
+                              substr(md5('fh:' || w), 9, 1)) - 1) % 2) AS s
+      FROM toks
+    )
+    SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(s) AS BIGINT) AS signed_sum
+    FROM h GROUP BY bucket
+    """
+
+
+@register("feature_hash_buckets", _fh_oracle())
+def q_feature_hash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick featurizer summary
+    (operators/text.py:feature_hash_buckets): tokens hash to 64
+    signed buckets (bucket = 8-hex md5 fold mod 64, sign = parity of
+    the 9th hex digit — the signed variant that keeps collisions
+    unbiased), corpus collapses to (bucket, n_tokens, signed_sum).
+    Integer-exact end to end; one partial-aggregable groupBy over a
+    fixed 64-key domain — vocabulary-free featurization at any
+    scale."""
+    from ..operators.text import feature_hash_buckets
+
+    docs = load_table(spark, sf_dir, "documents")
+    return feature_hash_buckets(docs, "text", n_buckets=64, salt="fh")

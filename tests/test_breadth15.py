@@ -226,3 +226,251 @@ def test_kfold_groups_never_straddle(spark):
     for u in (0, 7, 39):
         expected = int(_md5hex(f"cv:{u}")[:8], 16) % 5
         assert by_user[u] == {expected}
+
+
+# --- Naive Bayes --------------------------------------------------------------
+
+
+def test_naive_bayes_planted_separable(spark):
+    from bootcamp_stackacademy_datalake_minio_airflow_spark.operators.classifier import (
+        naive_bayes_confusion,
+    )
+
+    rows = [
+        (1, "alpha beta alpha", "en"),
+        (2, "alpha beta beta", "en"),
+        (3, "gamma delta gamma", "de"),
+        (4, "delta gamma delta", "de"),
+        (5, None, "en"),  # dropped
+        (6, "alpha beta", None),  # dropped (no label)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    out = {
+        (r["lang"], r["predicted"]): r["n_docs"]
+        for r in naive_bayes_confusion(df, "doc_id", "text", "lang").collect()
+    }
+    # fully-separated vocabularies -> a perfect diagonal
+    assert out == {("en", "en"): 2, ("de", "de"): 2}
+
+
+def test_naive_bayes_empty(spark):
+    from bootcamp_stackacademy_datalake_minio_airflow_spark.operators.classifier import (
+        naive_bayes_confusion,
+    )
+
+    df = spark.createDataFrame([], "doc_id INT, text STRING, lang STRING")
+    out = naive_bayes_confusion(df, "doc_id", "text", "lang")
+    assert out.columns == ["lang", "predicted", "n_docs"]
+    assert out.count() == 0
+
+
+# --- Kaplan-Meier ----------------------------------------------------------------
+
+
+def test_kaplan_meier_hand_curve(spark):
+    from datetime import datetime
+
+    from bootcamp_stackacademy_datalake_minio_airflow_spark.operators.survival import (
+        kaplan_meier_time_to_event,
+    )
+
+    def ev(u, day, typ):
+        return (u, datetime(2024, 1, 1 + day), typ)
+
+    rows = [
+        # u1: death at t=1
+        ev(1, 0, "view"), ev(1, 1, "purchase"),
+        # u2: death at t=2
+        ev(2, 0, "view"), ev(2, 2, "purchase"),
+        # u3: censored at t=2 (never purchases)
+        ev(3, 0, "view"), ev(3, 2, "view"),
+        # u4: death at t=3
+        ev(4, 0, "view"), ev(4, 3, "purchase"),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_type"])
+    out = {
+        r["t_days"]: r
+        for r in kaplan_meier_time_to_event(df, "user_id", "ts").collect()
+    }
+    # KM by hand: t=1: n=4,d=1 -> S=0.75; t=2: n=3,d=1 -> 0.5 (censored
+    # u3 leaves at t=2 too, still at risk AT t=2); t=3: n=1,d=1 -> 0.0
+    assert set(out) == {1, 2, 3}
+    assert (out[1]["n_at_risk"], out[1]["n_deaths"]) == (4, 1)
+    assert out[1]["survival"] == 0.75
+    assert (out[2]["n_at_risk"], out[2]["n_deaths"]) == (3, 1)
+    assert out[2]["survival"] == 0.5
+    assert (out[3]["n_at_risk"], out[3]["n_deaths"]) == (1, 1)
+    assert out[3]["survival"] == 0.0
+
+
+def test_kaplan_meier_monotone_on_events(spark, sf_dir):
+    from bootcamp_stackacademy_datalake_minio_airflow_spark.catalog import load_table
+    from bootcamp_stackacademy_datalake_minio_airflow_spark.operators.survival import (
+        kaplan_meier_time_to_event,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    rows = sorted(
+        kaplan_meier_time_to_event(ev, "user_id", "ts").collect(),
+        key=lambda r: r["t_days"],
+    )
+    assert rows, "expected at least one death time on the fixture"
+    # survival is a non-increasing step function in [0, 1]
+    vals = [r["survival"] for r in rows]
+    assert all(0.0 <= v <= 1.0 for v in vals)
+    assert all(a >= b for a, b in zip(vals, vals[1:]))
+    # at-risk counts strictly decrease across increasing t
+    ns = [r["n_at_risk"] for r in rows]
+    assert all(a > b for a, b in zip(ns, ns[1:]))
+
+
+# --- out-of-fold target encoding ---------------------------------------------------
+
+
+def test_target_encode_oof_exact(spark):
+    from bootcamp_stackacademy_datalake_minio_airflow_spark.operators.sampling import (
+        kfold_group_assign,
+        target_encode_oof,
+    )
+
+    rows = [(g, "A" if g < 20 else "B", float(g)) for g in range(30)]
+    df = spark.createDataFrame(rows, ["g", "cat", "v"])
+    out = target_encode_oof(df, "g", "cat", "v", k=3, salt="s")
+    got = {(r["category"], r["fold"]): r for r in out.collect()}
+    # engine-independent replication
+    folds = {
+        r["g"]: r["fold"]
+        for r in kfold_group_assign(df, "g", k=3, salt="s").collect()
+    }
+    from collections import defaultdict
+
+    cell_n, cell_s = defaultdict(int), defaultdict(float)
+    for g, cat, v in rows:
+        cell_n[(cat, folds[g])] += 1
+        cell_s[(cat, folds[g])] += v
+    for (cat, f), r in got.items():
+        n_tot = sum(v for (c, _), v in cell_n.items() if c == cat)
+        s_tot = sum(v for (c, _), v in cell_s.items() if c == cat)
+        n_oof = n_tot - cell_n[(cat, f)]
+        if n_oof:
+            assert r["oof_mean"] == pytest.approx(
+                round((s_tot - cell_s[(cat, f)]) / n_oof, 4), abs=2e-4
+            )
+        else:
+            assert r["oof_mean"] is None
+        assert r["n_rows"] == cell_n[(cat, f)]
+
+
+def test_target_encode_oof_single_fold_category_is_null(spark):
+    from bootcamp_stackacademy_datalake_minio_airflow_spark.operators.sampling import (
+        target_encode_oof,
+    )
+
+    # one group => one fold => no out-of-fold rows for its category
+    df = spark.createDataFrame([(1, "solo", 5.0)], ["g", "cat", "v"])
+    row = target_encode_oof(df, "g", "cat", "v", k=5).collect()[0]
+    assert row["oof_mean"] is None
+
+
+# --- GMM via EM ------------------------------------------------------------------
+
+
+def test_gmm_recovers_planted_bimodal(spark):
+    from bootcamp_stackacademy_datalake_minio_airflow_spark.operators.mixture import (
+        gmm_em_1d,
+    )
+
+    # two tight planted modes at 10 and 50, equal mass
+    vals = [10.0 + 0.1 * (i % 5) for i in range(100)] + [
+        50.0 + 0.1 * (i % 5) for i in range(100)
+    ]
+    df = spark.createDataFrame([(v,) for v in vals], ["v"])
+    rows = sorted(
+        gmm_em_1d(df, "v", n_iter=2).collect(), key=lambda r: r["mu"]
+    )
+    assert len(rows) == 2
+    # standardized units: after only 2 EM iterations from the wide
+    # quartile init the means are pulled clearly apart toward the
+    # planted modes (full convergence would put them at ~±1)
+    assert rows[0]["mu"] < -0.4 and rows[1]["mu"] > 0.4
+    assert rows[0]["weight"] == pytest.approx(0.5, abs=0.1)
+    assert rows[1]["weight"] == pytest.approx(0.5, abs=0.1)
+    assert rows[0]["n_soft"] == pytest.approx(100, abs=10)
+    assert rows[1]["n_soft"] == pytest.approx(100, abs=10)
+    # both components have shrunk well below the unit corpus variance
+    assert all(r["sigma2"] < 0.8 for r in rows)
+
+
+def test_gmm_constant_column_unit_variance_branch(spark):
+    from bootcamp_stackacademy_datalake_minio_airflow_spark.operators.mixture import (
+        gmm_em_1d,
+    )
+
+    df = spark.createDataFrame([(7.0,)] * 50, ["v"])
+    rows = gmm_em_1d(df, "v", n_iter=2).collect()
+    # constant input: standardization takes the unit-scale branch and
+    # both components collapse onto the single point without NaNs
+    assert len(rows) == 2
+    assert all(r["n_soft"] == r["n_soft"] for r in rows)  # no NaN
+    assert sum(r["n_soft"] for r in rows) == pytest.approx(50, abs=0.1)
+
+
+def test_gmm_empty(spark):
+    from bootcamp_stackacademy_datalake_minio_airflow_spark.operators.mixture import (
+        gmm_em_1d,
+    )
+
+    df = spark.createDataFrame([], "v DOUBLE")
+    out = gmm_em_1d(df, "v")
+    assert out.columns == ["component", "weight", "mu", "sigma2", "n_soft"]
+    assert out.count() == 0
+
+
+# --- calibration bins ----------------------------------------------------------------
+
+
+def test_calibration_bins_on_separable_data(spark):
+    from bootcamp_stackacademy_datalake_minio_airflow_spark.operators.classifier import (
+        logreg_calibration_bins,
+    )
+
+    rows = [(1.0, 2.0 + 0.01 * i) for i in range(50)] + [
+        (0.0, -2.0 - 0.01 * i) for i in range(50)
+    ]
+    df = spark.createDataFrame(rows, ["y", "x"])
+    out = logreg_calibration_bins(df, "y", ["x"], lr=2.0, n_steps=5).collect()
+    assert sum(r["n_docs"] for r in out) == 100
+    assert len(out) >= 2  # separable data spreads across bins
+    for r in out:
+        lo, hi = r["bin"] / 10.0, (r["bin"] + 1) / 10.0 if r["bin"] < 9 else 1.0
+        assert lo <= r["mean_p"] <= hi + 1e-9
+        assert 0.0 <= r["frac_pos"] <= 1.0
+    # calibration direction: higher-p bins are purer in positives
+    srt = sorted(out, key=lambda r: r["bin"])
+    assert srt[0]["frac_pos"] <= srt[-1]["frac_pos"]
+
+
+# --- feature hashing ---------------------------------------------------------------
+
+
+def test_feature_hash_matches_python_replication(spark):
+    from collections import defaultdict
+
+    from bootcamp_stackacademy_datalake_minio_airflow_spark.operators.text import (
+        feature_hash_buckets,
+    )
+
+    docs = [(1, "Alpha beta  gamma"), (2, "beta delta"), (3, None), (4, " ")]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {
+        r["bucket"]: (r["n_tokens"], r["signed_sum"])
+        for r in feature_hash_buckets(df, "text", n_buckets=64).collect()
+    }
+    exp_n, exp_s = defaultdict(int), defaultdict(int)
+    for w in ["alpha", "beta", "gamma", "beta", "delta"]:
+        h = _md5hex(f"fh:{w}")
+        b = int(h[:8], 16) % 64
+        s = 1 - 2 * (int(h[8], 16) % 2)
+        exp_n[b] += 1
+        exp_s[b] += s
+    assert got == {b: (exp_n[b], exp_s[b]) for b in exp_n}

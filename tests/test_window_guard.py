@@ -35,6 +35,7 @@ ALLOWED_GLOBAL_WINDOWS = {
     "mixture_epoch_schedule",
     "orders_key_skew",
     "parts_pareto_front",
+    "retention_kaplan_meier",
     "retrieval_ndcg",
     "source_lang_chi2",
     "token_zipf_fit",

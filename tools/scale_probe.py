@@ -75,6 +75,23 @@ SCALE_SQL = {
         FROM read_parquet('{base}/lineitem.parquet'),
              (SELECT unnest(range({copies})) AS c)
     """,
+    # disjoint user AND event ids per copy, timestamps unchanged —
+    # each copy is a disjoint user universe over the SAME observation
+    # window (the honest shape for survival/funnel probes: the
+    # duration-day domain stays fixed while subjects scale)
+    "events": """
+        SELECT * REPLACE (event_id + c * 100000000 AS event_id,
+                          user_id + c * 1000000 AS user_id)
+        FROM read_parquet('{base}/events.parquet'),
+             (SELECT unnest(range({copies})) AS c)
+    """,
+    # customer scales in lockstep with orders (same c_custkey offset
+    # rule), so order->customer joins stay total on the scaled lake
+    "customer": """
+        SELECT * REPLACE (c_custkey + c * 1000000 AS c_custkey)
+        FROM read_parquet('{base}/customer.parquet'),
+             (SELECT unnest(range({copies})) AS c)
+    """,
     # disjoint order AND customer keys so each copy is a disjoint
     # group universe — the honest shape for the bootstrap (per-key
     # draws stay distinct) and k-fold (group count scales) families
