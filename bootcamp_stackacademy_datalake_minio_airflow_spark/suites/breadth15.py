@@ -232,10 +232,13 @@ def _bootstrap_oracle(n_reps: int = _BOOT_REPS, alpha: float = _BOOT_ALPHA) -> s
       SELECT o_orderkey AS k, CAST(o_totalprice AS DOUBLE) AS v FROM orders
       WHERE o_totalprice IS NOT NULL
     ), reps AS (SELECT unnest(range(1, {n_reps + 1})) AS rep),
+    -- 4 lane-packed draws per md5 (see poisson_bootstrap_mean_ci):
+    -- rep r reads 8 hex chars at lane (r-1)%4 of md5(salt:block:key)
     draws AS (
       SELECT rep, v,
-             substr(md5('boot:' || CAST(rep AS VARCHAR) || ':'
-                        || CAST(k AS VARCHAR)), 1, 8) AS d
+             substr(md5('boot:' || CAST((rep - 1) // 4 AS VARCHAR) || ':'
+                        || CAST(k AS VARCHAR)),
+                    1 + 8 * CAST((rep - 1) % 4 AS INT), 8) AS d
       FROM vals CROSS JOIN reps
     ), wt AS (
       SELECT rep, v, CASE {cases} ELSE 5 END AS w FROM draws

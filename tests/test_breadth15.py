@@ -150,7 +150,9 @@ def test_logreg_gd_empty_input(spark):
 
 
 def _poisson_weight(rep: int, key, cdf) -> int:
-    d = _md5hex(f"boot:{rep}:{key}")[:8]
+    # 4 lane-packed draws per md5, mirroring the operator
+    block, lane = (rep - 1) // 4, (rep - 1) % 4
+    d = _md5hex(f"boot:{block}:{key}")[8 * lane : 8 * lane + 8]
     for k, t in enumerate(cdf):
         if d < t:
             return k
