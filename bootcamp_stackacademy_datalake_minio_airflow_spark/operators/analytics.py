@@ -699,3 +699,95 @@ def poisson_bootstrap_mean_ci(
         F.lit(lo).cast("double").alias("ci_lo"),
         F.lit(hi).cast("double").alias("ci_hi"),
     )
+
+
+def split_conformal_coverage(
+    df,
+    key_col: str,
+    group_col: str,
+    val_col: str,
+    train_frac: float = 0.5,
+    calib_frac: float = 0.3,
+    alpha: float = 0.1,
+    salt: str = "conf",
+):
+    """Split-conformal prediction intervals (Papadopoulos et al. 2002;
+    Lei et al. 2018): md5-split the rows into train/calibration/test,
+    fit the simplest group-mean regressor on train, take q_hat = the
+    ceil((1−α)(n_calib+1))-th smallest absolute calibration residual
+    (the finite-sample-corrected conformal quantile), and report the
+    empirical coverage of ±q_hat on test — which the conformal
+    guarantee puts at ≥ 1−α regardless of the model.
+
+    Distributed shape: the model is a broadcast-sized per-group mean
+    table; the conformal quantile is ONE order statistic, fetched by
+    sort+offset (never a global window over data); driver traffic is
+    two scalars (n_calib, q_hat). Determinism: draws are the house
+    md5-prefix family, residuals ROUND(·, 4) with the row key as the
+    sort tie-break, k computed by the identical ceil arithmetic on
+    both engines (clamped to n_calib; the unclamped k > n_calib case
+    means q_hat = +inf — a degenerate 100%-coverage report nobody
+    ships)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from .sampling import _draw, _hex_threshold
+
+    spark = df.sparkSession
+    t_train = _hex_threshold(train_frac)
+    t_calib = _hex_threshold(train_frac + calib_frac)
+    base = df.select(
+        F.col(key_col).alias("__id"),
+        F.col(group_col).alias("__g"),
+        F.col(val_col).cast("double").alias("__v"),
+        _draw(F.col(key_col), f"{salt}:").alias("__d"),
+    ).filter(F.col("__v").isNotNull())
+    train = base.filter(F.col("__d") < t_train)
+    calib = base.filter((F.col("__d") >= t_train) & (F.col("__d") < t_calib))
+    test = base.filter(F.col("__d") >= t_calib)
+
+    model = train.groupBy("__g").agg(
+        F.round(F.avg("__v"), 4).alias("__pred"),
+        F.count("*").cast("long").alias("__ntr"),
+    )
+    res = (
+        calib.join(F.broadcast(model), "__g")
+        .select("__id", F.round(F.abs(F.col("__v") - F.col("__pred")), 4).alias("__r"))
+    )
+    n_calib = res.count()
+    if n_calib == 0:
+        return spark.createDataFrame(
+            [],
+            "n_train BIGINT, n_calib BIGINT, n_test BIGINT, "
+            "q_hat DOUBLE, coverage DOUBLE",
+        )
+    k = min(math.ceil((1.0 - alpha) * (n_calib + 1)), n_calib)
+    q_hat = float(
+        res.orderBy("__r", "__id").offset(k - 1).limit(1).collect()[0]["__r"]
+    )
+
+    scored = test.join(F.broadcast(model), "__g").select(
+        F.round(F.abs(F.col("__v") - F.col("__pred")), 4).alias("__r")
+    )
+    return (
+        train.agg(F.count("*").cast("long").alias("n_train"))
+        .crossJoin(
+            scored.agg(
+                F.count("*").cast("long").alias("n_test"),
+                F.round(
+                    F.avg(
+                        F.when(F.col("__r") <= q_hat, 1.0).otherwise(0.0)
+                    ),
+                    4,
+                ).alias("coverage"),
+            )
+        )
+        .select(
+            "n_train",
+            F.lit(n_calib).cast("long").alias("n_calib"),
+            "n_test",
+            F.lit(q_hat).alias("q_hat"),
+            "coverage",
+        )
+    )

@@ -71,11 +71,11 @@ def oracle_sql() -> dict[str, str]:
 #: since changed substantially — oldest-green-first re-verifies the
 #: stalest evidence each round while new/fixed queries jump the
 #: queue automatically. The block below is the policy's output for
-#: CURRENT_ROUND = 10: the 24 never-green families (the 10 documented
+#: CURRENT_ROUND = 10: the 25 never-green families (the 10 documented
 #: TPC-H variants + the two r1 stragglers dq_null_profile_orders —
 #: r1 hash FAIL, fixed since — and events_sliding_window — r1
-#: no_oracle, oracle added since — + the twelve queries newly
-#: registered this round), then the first 19 (by name) of the 20
+#: no_oracle, oracle added since — + the thirteen queries newly
+#: registered this round), then the first 18 (by name) of the 20
 #: families whose latest green is r1.
 #: The round whose driver artifact does not exist yet. The staleness
 #: guard in tests/test_oracle_gate.py reads every CORRECTNESS_r*.json
@@ -93,17 +93,19 @@ PRIORITY = [
     "string_normalize",
     "union_all_sources",
     # -- r10 rotation block: policy output (see module comment).
-    # First the 24 never-driver-green families (finishing the debt;
-    # prose_winnow_pairs and the eleven estimation queries
-    # (bootstrap_ci_order_value, crossval_fold_assignment,
-    # feature_hash_buckets, gmm_em_order_values,
-    # kmeans_embedding_clusters, lm_training_examples,
-    # logreg_calibration_bins, naive_bayes_langid, quality_logreg_gd,
-    # retention_kaplan_meier, target_encoding_oof) are NEW this
-    # round, so the policy routes them straight into the window —
-    # each locally hash-verified at sf0.001/0.01/0.1 AND on the three
-    # degenerate lakes before entry):
+    # First the 25 never-driver-green families (finishing the debt;
+    # prose_winnow_pairs and the twelve estimation queries
+    # (bootstrap_ci_order_value, conformal_interval_coverage,
+    # crossval_fold_assignment, feature_hash_buckets,
+    # gmm_em_order_values, kmeans_embedding_clusters,
+    # lm_training_examples, logreg_calibration_bins,
+    # naive_bayes_langid, quality_logreg_gd, retention_kaplan_meier,
+    # target_encoding_oof) are NEW this round, so the policy routes
+    # them straight into the window — each locally hash-verified at
+    # sf0.001/0.01/0.1 AND on the three degenerate lakes before
+    # entry):
     "bootstrap_ci_order_value",
+    "conformal_interval_coverage",
     "crossval_fold_assignment",
     "dq_null_profile_orders",
     "events_sliding_window",
@@ -146,10 +148,9 @@ PRIORITY = [
     "tpch_q2_shaped",
     "tpch_q3_shaped",
     "tpch_q5_shaped",
-    "tpch_q6_shaped",
-    # (window_running_lag, the r3 families, and the four r4 families
-    # were displaced by the eleven new never-green slots — all
-    # already driver-green, re-queued for r11)
+    # (tpch_q6_shaped, window_running_lag, the r3 families, and the
+    # four r4 families were displaced by the twelve new never-green
+    # slots — all already driver-green, re-queued for r11)
 ]
 
 _LOADED = False

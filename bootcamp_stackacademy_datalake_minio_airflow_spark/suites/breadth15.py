@@ -695,3 +695,66 @@ def q_feature_hash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return feature_hash_buckets(docs, "text", n_buckets=64, salt="fh")
+
+
+# --- split-conformal prediction intervals ------------------------------------------
+
+
+def _conformal_oracle(
+    train_frac: float = 0.5, calib_frac: float = 0.3, alpha: float = 0.1
+) -> str:
+    from ..operators.sampling import _hex_threshold
+
+    t1 = _hex_threshold(train_frac)
+    t2 = _hex_threshold(train_frac + calib_frac)
+    lvl = 1.0 - alpha
+    return f"""
+    WITH base AS (
+      SELECT o_orderkey AS id, o_orderpriority AS g,
+             CAST(o_totalprice AS DOUBLE) AS v,
+             substr(md5('conf:' || CAST(o_orderkey AS VARCHAR)), 1, 8) AS d
+      FROM orders WHERE o_totalprice IS NOT NULL
+    ), train AS (SELECT * FROM base WHERE d < '{t1}'),
+    calib AS (SELECT * FROM base WHERE d >= '{t1}' AND d < '{t2}'),
+    test AS (SELECT * FROM base WHERE d >= '{t2}'),
+    model AS (SELECT g, ROUND(AVG(v), 4) AS pred FROM train GROUP BY g),
+    cres AS (
+      SELECT c.id, ROUND(abs(c.v - m.pred), 4) AS r
+      FROM calib c JOIN model m USING (g)
+    ), qh AS (
+      SELECT r AS q_hat FROM (
+        SELECT r, ROW_NUMBER() OVER (ORDER BY r, id) AS rn,
+               COUNT(*) OVER () AS nc
+        FROM cres
+      ) WHERE rn = LEAST(CAST(ceil({lvl} * (nc + 1)) AS BIGINT), nc)
+    ), tres AS (
+      SELECT ROUND(abs(t.v - m.pred), 4) AS r FROM test t JOIN model m USING (g)
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM train) AS n_train,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM cres) AS n_calib,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM tres) AS n_test,
+           (SELECT q_hat FROM qh) AS q_hat,
+           (SELECT ROUND(AVG(CASE WHEN r <= (SELECT q_hat FROM qh)
+                                  THEN 1.0 ELSE 0.0 END), 4) FROM tres)
+             AS coverage
+    WHERE (SELECT COUNT(*) FROM cres) > 0
+    """
+
+
+@register("conformal_interval_coverage", _conformal_oracle())
+def q_conformal_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal prediction intervals on order values
+    (operators/analytics.py:split_conformal_coverage): md5-split into
+    train/calibration/test, group-mean regressor per order priority,
+    q_hat = the finite-sample-corrected conformal quantile of
+    calibration residuals (one sort+offset order statistic, never a
+    data-sized window), empirical test coverage of ±q_hat — the
+    conformal guarantee puts it at >= 1−α model-free. The oracle
+    replays splits, model, order statistic, and coverage."""
+    from ..operators.analytics import split_conformal_coverage
+
+    orders = load_table(spark, sf_dir, "orders")
+    return split_conformal_coverage(
+        orders, "o_orderkey", "o_orderpriority", "o_totalprice",
+        train_frac=0.5, calib_frac=0.3, alpha=0.1, salt="conf",
+    )

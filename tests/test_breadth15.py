@@ -476,3 +476,54 @@ def test_feature_hash_matches_python_replication(spark):
         exp_n[b] += 1
         exp_s[b] += s
     assert got == {b: (exp_n[b], exp_s[b]) for b in exp_n}
+
+
+# --- split-conformal intervals -----------------------------------------------------
+
+
+def test_conformal_matches_python_replication(spark):
+    from bootcamp_stackacademy_datalake_minio_airflow_spark.operators.analytics import (
+        split_conformal_coverage,
+    )
+    from bootcamp_stackacademy_datalake_minio_airflow_spark.operators.sampling import (
+        _hex_threshold,
+    )
+
+    rows = [(i, "g%d" % (i % 3), float(100 + (i * 13) % 40)) for i in range(300)]
+    df = spark.createDataFrame(rows, ["id", "g", "v"])
+    got = split_conformal_coverage(
+        df, "id", "g", "v", train_frac=0.5, calib_frac=0.3, alpha=0.1,
+        salt="conf",
+    ).collect()[0]
+
+    t1, t2 = _hex_threshold(0.5), _hex_threshold(0.8)
+    split = {}
+    for i, g, v in rows:
+        d = _md5hex(f"conf:{i}")[:8]
+        split[i] = "train" if d < t1 else ("calib" if d < t2 else "test")
+    train = [(g, v) for i, g, v in rows if split[i] == "train"]
+    model = {}
+    for g in {g for g, _ in train}:
+        vs = [v for gg, v in train if gg == g]
+        model[g] = round(sum(vs) / len(vs), 4)
+    cres = sorted(
+        (round(abs(v - model[g]), 4), i)
+        for i, g, v in rows
+        if split[i] == "calib" and g in model
+    )
+    k = min(math.ceil(0.9 * (len(cres) + 1)), len(cres))
+    q_hat = cres[k - 1][0]
+    tres = [
+        round(abs(v - model[g]), 4)
+        for i, g, v in rows
+        if split[i] == "test" and g in model
+    ]
+    cov = round(sum(1.0 for r in tres if r <= q_hat) / len(tres), 4)
+
+    assert got["n_train"] == len(train)
+    assert got["n_calib"] == len(cres)
+    assert got["n_test"] == len(tres)
+    assert got["q_hat"] == pytest.approx(q_hat, abs=2e-4)
+    assert got["coverage"] == pytest.approx(cov, abs=2e-4)
+    # the conformal guarantee: coverage >= 1 - alpha (up to test noise)
+    assert got["coverage"] >= 0.8
