@@ -56,6 +56,10 @@ HISTORICAL = [
     "doc_boilerplate_ratio",
     "fuzzy_name_neighbors_k2",
     "token_budget_selection",
+    # r10 second-session close-out top-10 entrants (ratchet)
+    "bootstrap_ci_order_value",
+    "embedding_ann_lsh_topk",
+    "graph_kcore_membership",
 ]
 
 
@@ -126,6 +130,10 @@ SCALAR_CROSS_OK = {
     # crossJoin(broadcast(<1-row p75 NLL cutoff>)) — the scalar-attach
     # idiom; build side is one row by construction (a global agg)
     "curation_chunks_v2",
+    # crossJoin(broadcast(<1-row converged flag>)) — operators/graph.py
+    # kcore attaches the convergence verdict (a global MIN aggregate)
+    # to every membership row; one-row build by construction
+    "graph_kcore_membership",
 }
 
 _JOIN_TYPES = (
@@ -150,7 +158,17 @@ def test_no_cartesian_or_nested_loop_anywhere(captured):
 #: (its scale shape is the partial-aggregate, pinned separately
 #: below); bpe_segment_tokens reuses that loop then applies the
 #: merge table as a map-only chained replace over the corpus
-JOINLESS = {"bpe_merge_table", "bpe_segment_tokens"}
+#: bootstrap_ci_order_value is a block-explode -> lane-explode ->
+#: partial-aggregable groupBy(rep): resamples never join anything.
+#: embedding_ann_lsh_topk computes the multiprobe bucket set on the
+#: driver and applies it as an isin FILTER on the bucketed scan, then
+#: TakeOrdered-reranks — the whole point is that no join ever happens
+JOINLESS = {
+    "bpe_merge_table",
+    "bpe_segment_tokens",
+    "bootstrap_ci_order_value",
+    "embedding_ann_lsh_topk",
+}
 
 
 def test_every_target_joins_via_equi_join_operators(captured):
