@@ -627,7 +627,6 @@ def poisson_bootstrap_mean_ci(
 
     from .sampling import _hex_threshold
 
-    spark = df.sparkSession
     # Poisson(1) CDF, truncated at k=5
     pmf, cum, cdf = math.exp(-1.0), 0.0, []
     for k in range(5):
@@ -751,21 +750,28 @@ def split_conformal_coverage(
         F.round(F.avg("__v"), 4).alias("__pred"),
         F.count("*").cast("long").alias("__ntr"),
     )
+    # res feeds two actions (the count and the order statistic):
+    # persist so the split + model + residual join runs once, and
+    # release before returning — the returned plan never reads res
     res = (
         calib.join(F.broadcast(model), "__g")
         .select("__id", F.round(F.abs(F.col("__v") - F.col("__pred")), 4).alias("__r"))
+        .persist()
     )
-    n_calib = res.count()
-    if n_calib == 0:
-        return spark.createDataFrame(
-            [],
-            "n_train BIGINT, n_calib BIGINT, n_test BIGINT, "
-            "q_hat DOUBLE, coverage DOUBLE",
+    try:
+        n_calib = res.count()
+        if n_calib == 0:
+            return spark.createDataFrame(
+                [],
+                "n_train BIGINT, n_calib BIGINT, n_test BIGINT, "
+                "q_hat DOUBLE, coverage DOUBLE",
+            )
+        k = min(math.ceil((1.0 - alpha) * (n_calib + 1)), n_calib)
+        q_hat = float(
+            res.orderBy("__r", "__id").offset(k - 1).limit(1).collect()[0]["__r"]
         )
-    k = min(math.ceil((1.0 - alpha) * (n_calib + 1)), n_calib)
-    q_hat = float(
-        res.orderBy("__r", "__id").offset(k - 1).limit(1).collect()[0]["__r"]
-    )
+    finally:
+        res.unpersist()
 
     scored = test.join(F.broadcast(model), "__g").select(
         F.round(F.abs(F.col("__v") - F.col("__pred")), 4).alias("__r")

@@ -102,9 +102,17 @@ def logreg_gd_train(
     the comparison sees the same double).
     """
     spark = df.sparkSession
-    names = [
-        c if isinstance(c, str) else c._jc.toString() for c in feature_cols
-    ]
+    # feature_cols must be NAMES: the output schema embeds them as
+    # w_<name> columns (and the empty path as DDL), and deriving a
+    # name from a Column would need the private _jc handle, which is
+    # absent under Spark Connect (r10 review)
+    bad = [c for c in feature_cols if not isinstance(c, str)]
+    if bad:
+        raise TypeError(
+            "feature_cols must be column-name strings; alias expressions "
+            f"in a select() first (got {bad})"
+        )
+    names = list(feature_cols)
     feat = _gd_feat(df, label_col, feature_cols)
     w = _gd_fit(feat, len(feature_cols), lr, n_steps)
     if w is None:
@@ -251,7 +259,6 @@ def naive_bayes_confusion(
     """
     from .text import tokens
 
-    spark = df.sparkSession
     base = (
         df.filter(
             F.col(text_col).isNotNull()
@@ -264,24 +271,32 @@ def naive_bayes_confusion(
             tokens(text_col).alias("__ts"),
         )
     )
+    # dw feeds FOUR consumers (docs, cw twice via cls/s1, the scalar
+    # agg): persist so the tokenize/explode/groupBy pipeline runs once
+    # (the KMV multi-consumer lesson), released after the result
+    # materializes via _materialize_release below
     dw = (
         base.select("__id", "__y", F.explode("__ts").alias("__w"))
         .groupBy("__id", "__y", "__w")
         .agg(F.count("*").cast("long").alias("__c"))
+        .persist()
     )
     docs = dw.groupBy("__id", "__y").agg(F.sum("__c").alias("__nd"))
     cw = dw.groupBy(F.col("__y").alias("__cls"), "__w").agg(
         F.sum("__c").alias("__cnt")
     )
-    # two corpus scalars + the enum-sized class-stats broadcast
+    # two corpus scalars + the enum-sized class-stats broadcast (this
+    # collect also fills the dw cache for every later consumer)
     scal = dw.agg(
         F.countDistinct("__w").alias("v"), F.countDistinct("__id").alias("n")
     ).collect()
-    if not scal or not scal[0]["n"]:
-        return spark.createDataFrame(
-            [], f"{label_col} STRING, predicted STRING, n_docs BIGINT"
-        )
-    v_size, n_total = int(scal[0]["v"]), int(scal[0]["n"])
+    v_size, n_total = int(scal[0]["v"] or 0), int(scal[0]["n"] or 0)
+    if n_total == 0:
+        # fall through with a safe denominator: every downstream frame
+        # is empty anyway, and the result keeps the label column's
+        # NATIVE type (a hardcoded STRING schema here disagreed with
+        # the non-empty path for non-string labels — r10 review)
+        n_total = 1
     cls = cw.groupBy("__cls").agg(F.sum("__cnt").alias("__tot")).join(
         docs.groupBy(F.col("__y").alias("__cls")).agg(
             F.countDistinct("__id").alias("__ndocs")
@@ -312,6 +327,12 @@ def naive_bayes_confusion(
     pred = scored.groupBy("__id", "__y").agg(
         F.max(F.struct("__score", "__cls")).getField("__cls").alias("predicted")
     )
-    return pred.groupBy(F.col("__y").alias(label_col), "predicted").agg(
+    confusion = pred.groupBy(F.col("__y").alias(label_col), "predicted").agg(
         F.count("*").cast("long").alias("n_docs")
     )
+    from .dedup import _materialize_release
+
+    # the confusion matrix is |classes|² rows — eager materialization
+    # is free, and releasing dw keeps repeated invocations (the bench
+    # loop) from accumulating cached token tables
+    return _materialize_release(confusion, dw)

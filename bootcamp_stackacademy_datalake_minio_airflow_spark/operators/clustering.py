@@ -29,7 +29,7 @@ no clustering at all (SURVEY §2 marks the category absent).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 #: hard ceiling on the codebook collect — k*dim rows, not corpus rows
@@ -63,7 +63,10 @@ def _assign_expr(vec_col, vv, centroids: dict[int, list[float]]):
         cands.append(
             F.struct(F.round(d2, 4).alias("d"), F.lit(cid).alias("c"))
         )
-    best = F.least(*cands)
+    # F.least requires >= 2 columns; a single surviving centroid (all
+    # points in one cluster, or k=1) is a legitimate state — every
+    # point trivially assigns to it
+    best = cands[0] if len(cands) == 1 else F.least(*cands)
     return best.getField("c"), best.getField("d")
 
 
@@ -118,10 +121,9 @@ def kmeans_lloyd_seeded(
         )
     centroids = {i: list(r["__v"]) for i, r in enumerate(seed_rows)}
 
-    cur = base
     for _ in range(n_iter):
         cid, _d = _assign_expr(F.col("__v"), F.col("__vv"), centroids)
-        assigned = cur.select("__id", "__v", "__vv", cid.alias("__c"))
+        assigned = base.select("__id", "__v", "__vv", cid.alias("__c"))
         # one k*dim-cell aggregate; means rounded to 6 BETWEEN iterations
         mean_rows = (
             assigned.select("__c", F.posexplode("__v").alias("__i", "__x"))

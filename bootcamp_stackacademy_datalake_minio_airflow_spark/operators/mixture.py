@@ -23,16 +23,14 @@ import math
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .multimodal import _round_half_away6
+from .multimodal import _round_half_away, _round_half_away6
 
 _PI = 3.141592653589793
 
 
 def _round4(q: float) -> float:
-    p = abs(q) * 1e4
-    fl = math.floor(p)
-    r = (fl + 1 if p - fl >= 0.5 else fl) / 1e4
-    return math.copysign(r, q)
+    """SQL-ROUND(x, 4) — the shared half-away helper at 4 decimals."""
+    return _round_half_away(q, 1e4)
 
 
 def _dens(x, w: float, mu: float, var: float):
@@ -42,6 +40,18 @@ def _dens(x, w: float, mu: float, var: float):
         * F.exp(-((x - F.lit(mu)) * (x - F.lit(mu))) / (F.lit(2.0) * F.lit(var)))
         / F.sqrt(F.lit(2.0) * F.lit(_PI) * F.lit(var))
     )
+
+
+def _resp(x, p1, p2):
+    """Component-1 responsibility, underflow-guarded IDENTICALLY to
+    the oracle: when both densities underflow to 0.0 (a far outlier
+    under tight components) the point splits evenly instead of
+    producing 0/0 = NaN — which would otherwise crash the driver-side
+    rounding and, worse, diverge from any engine that treats the row
+    differently."""
+    d1 = _dens(x, *p1)
+    d2 = _dens(x, *p2)
+    return F.when(d1 + d2 > 0, d1 / (d1 + d2)).otherwise(F.lit(0.5))
 
 
 def gmm_em_1d(
@@ -105,9 +115,7 @@ def gmm_em_1d(
     ]
 
     for _ in range(n_iter):
-        d1 = _dens(F.col("__x"), *params[0])
-        d2 = _dens(F.col("__x"), *params[1])
-        r1 = d1 / (d1 + d2)
+        r1 = _resp(F.col("__x"), params[0], params[1])
         r2 = F.lit(1.0) - r1
         row = vals.agg(
             F.sum(r1).alias("n1"),
@@ -120,7 +128,10 @@ def gmm_em_1d(
         nxt = []
         for k in (1, 2):
             nk = float(row[f"n{k}"])
-            if nk <= 0.0:  # component collapsed — keep it (both engines)
+            if nk <= 0.0:
+                # component fully starved (every row's responsibility
+                # underflowed to exactly 0): keep its parameters — the
+                # oracle's p{t} CASE WHEN n_k > 0 branch mirrors this
                 nxt.append(params[k - 1])
                 continue
             mu = _round_half_away6(float(row[f"s{k}"]) / nk)
@@ -131,9 +142,7 @@ def gmm_em_1d(
         params = nxt
 
     # final soft counts under the final parameters (one aggregate)
-    d1 = _dens(F.col("__x"), *params[0])
-    d2 = _dens(F.col("__x"), *params[1])
-    r1 = d1 / (d1 + d2)
+    r1 = _resp(F.col("__x"), params[0], params[1])
     rows = [
         F.struct(
             F.lit(k + 1).alias("component"),

@@ -90,6 +90,18 @@ def _fake_features(data: bytes | None, dim: int = FEATURE_DIM) -> list[float]:
     return [_round_half_away6(a / total) for a in acc]
 
 
+def _round_half_away(q: float, scale: float) -> float:
+    """Round-half-away-from-zero at an arbitrary decimal ``scale``
+    (1e4 = 4 decimals, 1e6 = 6) — the parameterized core of
+    ``_round_half_away6`` below, shared so other operators
+    (operators/mixture.py) don't re-implement the subtle sign/boundary
+    behavior documented there."""
+    p = abs(q) * scale
+    fl = math.floor(p)
+    r = (fl + 1 if p - fl >= 0.5 else fl) / scale
+    return math.copysign(r, q)
+
+
 def _round_half_away6(q: float) -> float:
     """Round-half-away-from-zero at 6 decimals on the float product —
     bit-identical to SQL ROUND(x, 6) (DuckDB: std::round(x * 1e6) /

@@ -129,7 +129,9 @@ PRIORITY = [
     "tpch_q22_shaped",
     "tpch_q8_shaped",
     "tpch_q9_shaped",
-    # then oldest-latest-green: all 20 r1 families...
+    # then oldest-latest-green: the first 18 (by name) of the 20 r1
+    # families (tpch_q6_shaped and window_running_lag fell off the
+    # 43-slot end when the twelve new never-green queries entered)...
     "case_when_bucketing",
     "cube_agg",
     "date_functions",

@@ -580,9 +580,16 @@ def _gmm_dens_sql(src_p: str) -> str:
             f"p.w{k} * exp(-((x - p.mu{k}) * (x - p.mu{k}))"
             f" / (2.0 * p.v{k})) / sqrt(2.0 * {_GMM_PI} * p.v{k}) AS d{k}"
         )
+    # responsibility guarded identically to operators/mixture._resp:
+    # both densities underflowing to 0 splits the point evenly
+    # instead of 0/0
     return f"""
-      SELECT x, p.n, {', '.join(terms)}
-      FROM vals CROSS JOIN {src_p} p"""
+      SELECT x, n,
+             CASE WHEN d1 + d2 > 0 THEN d1 / (d1 + d2) ELSE 0.5 END AS r1
+      FROM (
+        SELECT x, p.n, {', '.join(terms)}
+        FROM vals CROSS JOIN {src_p} p
+      )"""
 
 
 def _gmm_oracle(n_iter: int = 2) -> str:
@@ -595,7 +602,7 @@ def _gmm_oracle(n_iter: int = 2) -> str:
              CASE WHEN ROUND(sqrt(var_pop(r)), 2) > 0
                   THEN ROUND(sqrt(var_pop(r)), 2) ELSE 1.0 END AS s
       FROM raw
-    ), vals AS (
+    ), vals AS MATERIALIZED (
       SELECT ROUND((r - st.m) / st.s, 4) AS x, st.n
       FROM raw CROSS JOIN st
     ), st2 AS (
@@ -609,36 +616,51 @@ def _gmm_oracle(n_iter: int = 2) -> str:
              0.5 AS w2, ROUND(mn + 3.0 * (mx - mn) / 4.0, 4) AS mu2, v0 AS v2
       FROM st2
     )"""]
+    # p{t} is MATERIALIZED: it is referenced by both e{t+1} and the
+    # next p (the logreg 2^steps re-evaluation lesson). The collapse
+    # branch (n_k = 0 after a full underflow starvation) keeps the
+    # previous parameters, mirroring operators/mixture's nk <= 0 path.
     for t in range(1, n_iter + 1):
         parts.append(f"""
     , e{t} AS ({_gmm_dens_sql(f'p{t - 1}')})
     , m{t} AS (
       SELECT MAX(n) AS n,
-             SUM(d1 / (d1 + d2)) AS n1,
-             SUM(d1 / (d1 + d2) * x) AS s1,
-             SUM(d1 / (d1 + d2) * x * x) AS q1,
-             SUM(1.0 - d1 / (d1 + d2)) AS n2,
-             SUM((1.0 - d1 / (d1 + d2)) * x) AS s2,
-             SUM((1.0 - d1 / (d1 + d2)) * x * x) AS q2
+             SUM(r1) AS n1, SUM(r1 * x) AS s1, SUM(r1 * x * x) AS q1,
+             SUM(1.0 - r1) AS n2, SUM((1.0 - r1) * x) AS s2,
+             SUM((1.0 - r1) * x * x) AS q2
       FROM e{t}
-    ), p{t} AS (
-      SELECT n, ROUND(n1 / n, 6) AS w1, mu1,
-             CASE WHEN ROUND(q1 / n1 - mu1 * mu1, 6) > 0
-                  THEN ROUND(q1 / n1 - mu1 * mu1, 6) ELSE 0.000001 END AS v1,
-             ROUND(n2 / n, 6) AS w2, mu2,
-             CASE WHEN ROUND(q2 / n2 - mu2 * mu2, 6) > 0
-                  THEN ROUND(q2 / n2 - mu2 * mu2, 6) ELSE 0.000001 END AS v2
-      FROM (SELECT *, ROUND(s1 / n1, 6) AS mu1, ROUND(s2 / n2, 6) AS mu2
-            FROM m{t})
+    ), p{t} AS MATERIALIZED (
+      SELECT n,
+             CASE WHEN n1 > 0 THEN ROUND(n1 / n, 6) ELSE pw1 END AS w1,
+             CASE WHEN n1 > 0 THEN mu1n ELSE pmu1 END AS mu1,
+             CASE WHEN n1 > 0 THEN (CASE WHEN v1n > 0 THEN v1n
+                                         ELSE 0.000001 END)
+                  ELSE pv1 END AS v1,
+             CASE WHEN n2 > 0 THEN ROUND(n2 / n, 6) ELSE pw2 END AS w2,
+             CASE WHEN n2 > 0 THEN mu2n ELSE pmu2 END AS mu2,
+             CASE WHEN n2 > 0 THEN (CASE WHEN v2n > 0 THEN v2n
+                                         ELSE 0.000001 END)
+                  ELSE pv2 END AS v2
+      FROM (
+        SELECT *, ROUND(q1 / n1 - mu1n * mu1n, 6) AS v1n,
+               ROUND(q2 / n2 - mu2n * mu2n, 6) AS v2n
+        FROM (
+          SELECT m.*, ROUND(m.s1 / m.n1, 6) AS mu1n,
+                 ROUND(m.s2 / m.n2, 6) AS mu2n,
+                 p.w1 AS pw1, p.mu1 AS pmu1, p.v1 AS pv1,
+                 p.w2 AS pw2, p.mu2 AS pmu2, p.v2 AS pv2
+          FROM m{t} m CROSS JOIN p{t - 1} p
+        )
+      )
     )""")
     parts.append(f"""
     , ef AS ({_gmm_dens_sql(f'p{n_iter}')})
     SELECT 1 AS component, p.w1 AS weight, p.mu1 AS mu, p.v1 AS sigma2,
-           (SELECT ROUND(SUM(d1 / (d1 + d2)), 2) FROM ef) AS n_soft
+           (SELECT ROUND(SUM(r1), 2) FROM ef) AS n_soft
     FROM p{n_iter} p WHERE p.n > 0
     UNION ALL
     SELECT 2, p.w2, p.mu2, p.v2,
-           (SELECT ROUND(SUM(1.0 - d1 / (d1 + d2)), 2) FROM ef)
+           (SELECT ROUND(SUM(1.0 - r1), 2) FROM ef)
     FROM p{n_iter} p WHERE p.n > 0""")
     return "".join(parts)
 

@@ -527,3 +527,23 @@ def test_conformal_matches_python_replication(spark):
     assert got["coverage"] == pytest.approx(cov, abs=2e-4)
     # the conformal guarantee: coverage >= 1 - alpha (up to test noise)
     assert got["coverage"] >= 0.8
+
+
+def test_gmm_far_outlier_underflow_guard(spark):
+    # one 1e9 outlier among 2000 unit values: after standardization
+    # every component density underflows to exactly 0.0 for some rows
+    # at the quartile init — the guarded responsibility must split
+    # those rows evenly instead of producing 0/0 = NaN (which crashed
+    # the driver-side rounding before the guard existed)
+    from bootcamp_stackacademy_datalake_minio_airflow_spark.operators.mixture import (
+        gmm_em_1d,
+    )
+
+    vals = [(1.0,)] * 2000 + [(1e9,)]
+    df = spark.createDataFrame(vals, ["v"])
+    rows = gmm_em_1d(df, "v", n_iter=2).collect()
+    assert len(rows) == 2
+    for r in rows:
+        for c in ("weight", "mu", "sigma2", "n_soft"):
+            assert r[c] == r[c], f"NaN in {c}"  # NaN != NaN
+    assert sum(r["n_soft"] for r in rows) == pytest.approx(2001, abs=0.1)
