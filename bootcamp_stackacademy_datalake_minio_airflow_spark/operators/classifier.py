@@ -271,15 +271,19 @@ def naive_bayes_confusion(
             tokens(text_col).alias("__ts"),
         )
     )
-    # dw feeds FOUR consumers (docs, cw twice via cls/s1, the scalar
-    # agg): persist so the tokenize/explode/groupBy pipeline runs once
-    # (the KMV multi-consumer lesson), released after the result
-    # materializes via _materialize_release below
+    # dw feeds four consumers (docs, cw via cls and s1, the scalar
+    # agg) and is deliberately NOT persisted: the KMV multi-consumer
+    # persist was tried here and measured ~2x SLOWER at sf0.1 (4.6s
+    # vs 2.3s warm standalone) — dw is corpus-wide (one row per
+    # (doc, word)), so the cache write + eager release pass cost more
+    # than re-running the codegen'd tokenize/explode/groupBy per
+    # consumer. At cluster scale with expensive storage reads the
+    # trade flips; revisit with a persist(StorageLevel.MEMORY_AND_
+    # DISK) behind a size estimate if scans dominate.
     dw = (
         base.select("__id", "__y", F.explode("__ts").alias("__w"))
         .groupBy("__id", "__y", "__w")
         .agg(F.count("*").cast("long").alias("__c"))
-        .persist()
     )
     docs = dw.groupBy("__id", "__y").agg(F.sum("__c").alias("__nd"))
     cw = dw.groupBy(F.col("__y").alias("__cls"), "__w").agg(
@@ -327,12 +331,6 @@ def naive_bayes_confusion(
     pred = scored.groupBy("__id", "__y").agg(
         F.max(F.struct("__score", "__cls")).getField("__cls").alias("predicted")
     )
-    confusion = pred.groupBy(F.col("__y").alias(label_col), "predicted").agg(
+    return pred.groupBy(F.col("__y").alias(label_col), "predicted").agg(
         F.count("*").cast("long").alias("n_docs")
     )
-    from .dedup import _materialize_release
-
-    # the confusion matrix is |classes|² rows — eager materialization
-    # is free, and releasing dw keeps repeated invocations (the bench
-    # loop) from accumulating cached token tables
-    return _materialize_release(confusion, dw)
