@@ -180,63 +180,21 @@ def main() -> None:
         # later timings don't inherit earlier queries' cache pressure
         spark.catalog.clearCache()
 
-    # Prose-lake tier (VERDICT r9 ask #7): the text/dedup bench
-    # families above run on the synthetic small-vocab documents table;
-    # these entries re-time the vocabulary-sensitive families on the
-    # deterministic real-prose lake (suites/prose_lake.py — ~5k docs /
-    # ~1.6M chars of genuine multi-language prose with a bounded
-    # planted dup/quotation tail), reported as proselake_<name>.
-    PROSE_BENCH = [
-        "winnow_overlap_pairs",
-        "doc_dup_span_stats",
-        "langid_eval_metrics",
-    ]
-    try:
-        from bootcamp_stackacademy_datalake_minio_airflow_spark.suites.prose_lake import (
-            prose_lake_dir,
-        )
-
-        prose_dir = prose_lake_dir(sf_dir)
-    except Exception as e:  # noqa: BLE001
-        print(f"bench error building prose lake: {e}", file=sys.stderr)
-        prose_dir = None
-    for name in PROSE_BENCH:
-        key = f"proselake_{name}"
-        cold_runs[key] = []
-        warm_runs[key] = []
-        if prose_dir is None:
-            cold_runs[key].append(-1.0)
-            warm_runs[key].append(-1.0)
-            continue
-        fn = qs[name]
-        for _ in range(reps):
-            spark.catalog.clearCache()
-            t0 = time.perf_counter()
-            try:
-                fn(spark, prose_dir).count()
-                cold_runs[key].append(round(time.perf_counter() - t0, 3))
-            except Exception as e:  # noqa: BLE001
-                print(f"bench error in {key}: {e}", file=sys.stderr)
-                cold_runs[key].append(-1.0)
-                warm_runs[key].append(-1.0)
-                break
-            t0 = time.perf_counter()
-            try:
-                fn(spark, prose_dir).count()
-                warm_runs[key].append(round(time.perf_counter() - t0, 3))
-            except Exception as e:  # noqa: BLE001
-                print(f"bench warm error in {key}: {e}", file=sys.stderr)
-                warm_runs[key].append(-1.0)
-        spark.catalog.clearCache()
+    # The prose-lake tier (VERDICT r9 ask #7) is no longer a bench
+    # special case: proselake_{winnow_overlap_pairs, doc_dup_span_
+    # stats, langid_eval_metrics} are oracle-paired registry queries
+    # (suites/prose_lake.py, VERDICT r10 ask #2) and are timed by the
+    # main loop above like everything else — so set(BENCH) minus
+    # set(registry) is exactly {graph_edge_build}.
 
     timings = {n: _median(v) for n, v in cold_runs.items()}
     warm_timings = {n: _median(v) for n, v in warm_runs.items()}
 
     # drift guard: every registered query must appear in the loop —
     # a silently vanished query would read as a faster suite
-    # (+1: the synthetic graph_edge_build line; + the prose-lake tier)
-    assert len(timings) == len(qs) + 1 + len(PROSE_BENCH), (
-        f"bench covered {len(timings) - 1 - len(PROSE_BENCH)} of "
+    # (+1: the synthetic graph_edge_build line)
+    assert len(timings) == len(qs) + 1, (
+        f"bench covered {len(timings) - 1} of "
         f"{len(qs)} registered queries"
     )
     total = round(sum(t for t in timings.values() if t >= 0), 3)

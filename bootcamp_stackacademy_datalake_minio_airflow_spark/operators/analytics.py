@@ -649,6 +649,11 @@ def poisson_bootstrap_mean_ci(
     # the oracle replays the identical block/lane arithmetic.
     if n_reps % 4:
         raise ValueError(f"n_reps must be a multiple of 4, got {n_reps}")
+    # alpha outside (0, 1) would make lo_idx 0 (Python's negative
+    # indexing then silently returns the MAX replicate mean) or index
+    # past the replicate list — reject instead (ADVICE r10)
+    if not 0.0 < alpha < 1.0:
+        raise ValueError(f"alpha must be in (0, 1), got {alpha}")
     blocks = vals.withColumn(
         "__blk", F.explode(F.sequence(F.lit(0), F.lit(int(n_reps) // 4 - 1)))
     ).withColumn(

@@ -155,9 +155,18 @@ def _gd_feat(df: DataFrame, label_col, feature_cols: list) -> DataFrame:
         (c if not isinstance(c, str) else F.col(c)).cast("double")
         for c in feature_cols
     ]
-    return df.select(
+    feat = df.select(
         y.alias("__y"), *[xs[j].alias(f"__x{j}") for j in range(len(xs))]
     )
+    # drop rows with a NULL label or feature: F.sum skips NULL gradient
+    # terms while COUNT(*) would still count the row, silently biasing
+    # the gradients, n_docs, and the accuracy denominator (ADVICE r10;
+    # the sibling NB/bootstrap/conformal/GMM operators all filter).
+    # Registered queries pre-filter, so their oracles are unchanged.
+    cond = F.col("__y").isNotNull()
+    for j in range(len(xs)):
+        cond = cond & F.col(f"__x{j}").isNotNull()
+    return feat.filter(cond)
 
 
 def _gd_fit(
@@ -289,8 +298,7 @@ def naive_bayes_confusion(
     cw = dw.groupBy(F.col("__y").alias("__cls"), "__w").agg(
         F.sum("__c").alias("__cnt")
     )
-    # two corpus scalars + the enum-sized class-stats broadcast (this
-    # collect also fills the dw cache for every later consumer)
+    # two corpus scalars + the enum-sized class-stats broadcast
     scal = dw.agg(
         F.countDistinct("__w").alias("v"), F.countDistinct("__id").alias("n")
     ).collect()

@@ -185,6 +185,7 @@ def _ensure_loaded() -> None:
         breadth15,
         extensions,
         prose,
+        prose_lake,
     )
 
     # A driver that checks a bounded prefix of the registry (round 1's

@@ -132,6 +132,12 @@ def q_distinct_having(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(*) AS n
     FROM lineitem
     GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    -- empty-input parity (VERDICT r10 ask #3): Spark emits ZERO rows
+    -- for grouping-sets constructs over empty input; standard SQL
+    -- (DuckDB) emits the grand-total row with COUNT(*)=0. The guard
+    -- is a no-op on non-empty input (every group incl. the grand
+    -- total has COUNT(*)>=1) and drops exactly that row when empty.
+    HAVING COUNT(*) > 0
     """,
 )
 def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -148,6 +154,7 @@ def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
            ROUND(SUM(o_totalprice), 2) AS total
     FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    HAVING COUNT(*) > 0  -- empty-input parity; see rollup_agg
     """,
 )
 def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:

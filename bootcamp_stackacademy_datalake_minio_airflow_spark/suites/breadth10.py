@@ -388,9 +388,9 @@ def q_events_ab_test_z(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- model evaluation + skew diagnostics -------------------------------------
 
 
-@register(
-    "langid_eval_metrics",
-    r"""
+#: named so the prose-lake twin (suites/prose_lake.py) can re-target
+#: the same SQL at the prose corpus via a FROM-swap
+_LANGID_EVAL_ORACLE = r"""
     WITH tok AS (
       SELECT doc_id, lang,
              string_split(
@@ -444,8 +444,10 @@ def q_events_ab_test_z(spark: SparkSession, sf_dir: str) -> DataFrame:
                               + CAST(tp AS DOUBLE) / n_gold) END, 4) + 0.0
              AS f1
     FROM j
-    """,
-)
+    """
+
+
+@register("langid_eval_metrics", _LANGID_EVAL_ORACLE)
 def q_langid_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-class precision/recall/F1 of the stopword language-ID
     against the gold ``lang`` column (operators/analytics.py:

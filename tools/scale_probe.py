@@ -94,9 +94,12 @@ SCALE_SQL = {
     """,
     # disjoint order AND customer keys so each copy is a disjoint
     # group universe — the honest shape for the bootstrap (per-key
-    # draws stay distinct) and k-fold (group count scales) families
+    # draws stay distinct) and k-fold (group count scales) families.
+    # o_orderkey uses the SAME c*1e6 offset as lineitem's l_orderkey
+    # (ADVICE r10): a probe that scales both tables keeps every
+    # orders<->lineitem join total instead of dangling for c>0
     "orders": """
-        SELECT * REPLACE (o_orderkey + c * 10000000 AS o_orderkey,
+        SELECT * REPLACE (o_orderkey + c * 1000000 AS o_orderkey,
                           o_custkey + c * 1000000 AS o_custkey)
         FROM read_parquet('{base}/orders.parquet'),
              (SELECT unnest(range({copies})) AS c)
