@@ -71,17 +71,18 @@ def oracle_sql() -> dict[str, str]:
 #: since changed substantially — oldest-green-first re-verifies the
 #: stalest evidence each round while new/fixed queries jump the
 #: queue automatically. The block below is the policy's output for
-#: CURRENT_ROUND = 10: the 25 never-green families (the 10 documented
-#: TPC-H variants + the two r1 stragglers dq_null_profile_orders —
-#: r1 hash FAIL, fixed since — and events_sliding_window — r1
-#: no_oracle, oracle added since — + the thirteen queries newly
-#: registered this round), then the first 18 (by name) of the 20
-#: families whose latest green is r1.
+#: CURRENT_ROUND = 11: the 3 never-green families (the proselake
+#: twins newly registered this round — VERDICT r10 ask #2, each
+#: locally hash-verified before entry), the 2 r1-last-green families
+#: (tpch_q6_shaped, window_running_lag — displaced from the r10
+#: window by that round's never-green influx), then oldest-green
+#: ascending: 6 r3 families, 14 r4 families, 14 r5 families, and the
+#: first 4 (by name) of the r6 families.
 #: The round whose driver artifact does not exist yet. The staleness
 #: guard in tests/test_oracle_gate.py reads every CORRECTNESS_r*.json
 #: with round < CURRENT_ROUND, so the glob is self-maintaining
 #: (ADVICE r9 #1) — bump this when writing the next round's block.
-CURRENT_ROUND = 10
+CURRENT_ROUND = 11
 
 PRIORITY = [
     # -- reference parity (the deliverable; permanently in-window) --
@@ -92,67 +93,57 @@ PRIORITY = [
     "timestamp_to_date",
     "string_normalize",
     "union_all_sources",
-    # -- r10 rotation block: policy output (see module comment).
-    # First the 25 never-driver-green families (finishing the debt;
-    # prose_winnow_pairs and the twelve estimation queries
-    # (bootstrap_ci_order_value, conformal_interval_coverage,
-    # crossval_fold_assignment, feature_hash_buckets,
-    # gmm_em_order_values, kmeans_embedding_clusters,
-    # lm_training_examples, logreg_calibration_bins,
-    # naive_bayes_langid, quality_logreg_gd, retention_kaplan_meier,
-    # target_encoding_oof) are NEW this round, so the policy routes
-    # them straight into the window — each locally hash-verified at
-    # sf0.001/0.01/0.1 AND on the three degenerate lakes before
-    # entry):
-    "bootstrap_ci_order_value",
-    "conformal_interval_coverage",
-    "crossval_fold_assignment",
-    "dq_null_profile_orders",
-    "events_sliding_window",
-    "feature_hash_buckets",
-    "gmm_em_order_values",
-    "kmeans_embedding_clusters",
-    "lm_training_examples",
-    "logreg_calibration_bins",
-    "naive_bayes_langid",
-    "prose_winnow_pairs",
-    "quality_logreg_gd",
-    "retention_kaplan_meier",
-    "target_encoding_oof",
-    "tpch_q10_shaped",
-    "tpch_q11_shaped",
-    "tpch_q12_shaped",
-    "tpch_q13_shaped",
-    "tpch_q15_shaped",
-    "tpch_q16_shaped",
-    "tpch_q20_shaped",
-    "tpch_q22_shaped",
-    "tpch_q8_shaped",
-    "tpch_q9_shaped",
-    # then oldest-latest-green: the first 18 (by name) of the 20 r1
-    # families (tpch_q6_shaped and window_running_lag fell off the
-    # 43-slot end when the twelve new never-green queries entered)...
-    "case_when_bucketing",
-    "cube_agg",
-    "date_functions",
-    "distinct_agg_having",
-    "filter_like",
-    "join_full_outer",
-    "math_functions",
-    "percentile_agg",
-    "rollup_agg",
-    "set_intersect_except",
-    "string_functions",
-    "tpch_q14_shaped",
-    "tpch_q17_shaped",
-    "tpch_q18_shaped",
-    "tpch_q19_shaped",
-    "tpch_q2_shaped",
-    "tpch_q3_shaped",
-    "tpch_q5_shaped",
-    # (tpch_q6_shaped, window_running_lag, the r3 families, and the
-    # four r4 families were displaced by the twelve new never-green
-    # slots — all already driver-green, re-queued for r11)
+    # -- r11 rotation block: policy output (see module comment).
+    # Never-green first (the three proselake twins, new this round,
+    # each locally hash-verified at sf0.01 before entry):
+    "proselake_doc_dup_span_stats",
+    "proselake_langid_eval_metrics",
+    "proselake_winnow_overlap_pairs",
+    # the two r1-last-green stragglers displaced from the r10 window:
+    "tpch_q6_shaped",
+    "window_running_lag",
+    # r3-last-green:
+    "array_collect_orders",
+    "events_tumbling_window",
+    "json_extract_events",
+    "sort_limit_topk",
+    "stats_aggregates",
+    "text_token_count",
+    # r4-last-green:
+    "dedup_cross_doc_ngrams",
+    "dedup_minhash_documents",
+    "dedup_simhash_pairs",
+    "doc_winnow_fingerprints",
+    "embedding_ann_lsh_topk",
+    "embedding_centroid_confusion",
+    "embedding_pq_recall",
+    "event_attribution",
+    "graph_pagerank_parts",
+    "merge_upsert_semantics",
+    "multimodal_png_roundtrip",
+    "sample_source_mixture",
+    "text_clean_stats",
+    "text_repetition_signals",
+    # r5-last-green:
+    "bm25_search_topk",
+    "bpe_merge_table",
+    "curation_chunks_v2",
+    "dp_source_counts",
+    "events_distinct_users_hll",
+    "events_rate_anomaly",
+    "events_salted_distinct_users",
+    "fuzzy_name_neighbors",
+    "graph_triangle_counts",
+    "lm_bigram_nll",
+    "multimodal_wav_roundtrip",
+    "sample_weighted_reservoir",
+    "table_change_feed",
+    "token_cms_heavy_hitters",
+    # r6-last-green (first 4 by name; the rest re-queue for r12):
+    "activity_interval_overlap",
+    "cdc_chunk_dedup",
+    "doc_length_outliers",
+    "events_ewma_scores",
 ]
 
 _LOADED = False
