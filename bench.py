@@ -187,6 +187,47 @@ def main() -> None:
     # main loop above like everything else — so set(BENCH) minus
     # set(registry) is exactly {graph_edge_build}.
 
+    # Top-20 extra reps (VERDICT r10 ask #8): host-band swings forced
+    # same-hour A/B controls two rounds running, and the adjudication
+    # always happens on the MOST EXPENSIVE queries. Give the top-20
+    # by cold median two extra cold/warm reps — medians-of-5 exactly
+    # where deltas get litigated, +~15-20% suite wall-clock instead
+    # of the 67% a global 5-rep protocol would cost. Skipped on smoke
+    # runs (reps < 3: the smoke contract is speed, not bands).
+    if reps >= 3:
+        ranked = sorted(
+            ((m, n) for n, m in
+             ((n, _median(v)) for n, v in cold_runs.items()) if m >= 0),
+            reverse=True,
+        )
+        for _, name in ranked[:20]:
+            fn = qs.get(name)
+            if fn is None:
+                continue  # graph_edge_build has its own eviction seam
+            for _ in range(2):
+                spark.catalog.clearCache()
+                t0 = time.perf_counter()
+                try:
+                    fn(spark, sf_dir).count()
+                    cold_runs[name].append(
+                        round(time.perf_counter() - t0, 3)
+                    )
+                except Exception as e:  # noqa: BLE001
+                    print(f"bench error in {name}: {e}", file=sys.stderr)
+                    cold_runs[name].append(-1.0)
+                    warm_runs[name].append(-1.0)
+                    break
+                t0 = time.perf_counter()
+                try:
+                    fn(spark, sf_dir).count()
+                    warm_runs[name].append(
+                        round(time.perf_counter() - t0, 3)
+                    )
+                except Exception as e:  # noqa: BLE001
+                    print(f"bench warm error in {name}: {e}", file=sys.stderr)
+                    warm_runs[name].append(-1.0)
+            spark.catalog.clearCache()
+
     timings = {n: _median(v) for n, v in cold_runs.items()}
     warm_timings = {n: _median(v) for n, v in warm_runs.items()}
 
@@ -230,9 +271,14 @@ def main() -> None:
         # a regression.
         "band_note": (
             "single-host medians; same-tree same-day full-suite runs "
-            "historically span ~±10% (r8: 95.7-117.6s cold). Judge "
-            "deltas against the per-query cold/warm min-max bands."
+            "historically span ~±10% band-to-band with ±40% outliers "
+            "(r10: ambient 1.39x within one hour). Judge deltas "
+            "against the per-query cold/warm min-max bands. The 20 "
+            "slowest queries carry medians-of-5 (2 extra reps each, "
+            "r10 ask #8) — adjudicate those first."
         ),
+        # top-20-by-cold-median queries get reps+2 cold/warm reps
+        "reps_top20": reps + 2 if reps >= 3 else reps,
         "queries": timings,  # per-query COLD median (driver schema)
         "queries_warm": warm_timings,  # per-query WARM median
         "queries_cold_med": timings,

@@ -342,3 +342,161 @@ def naive_bayes_confusion(
     return pred.groupBy(F.col("__y").alias(label_col), "predicted").agg(
         F.count("*").cast("long").alias("n_docs")
     )
+
+
+# --- ROC-AUC via the tie-aware rank-sum identity ------------------------------
+
+
+def logreg_auc_roc(
+    df: DataFrame,
+    label_col,
+    feature_cols: list,
+    lr: float = 0.5,
+    n_steps: int = 3,
+) -> DataFrame:
+    """ROC-AUC of the GD classifier (same seeded training replay as
+    ``logreg_gd_train``) via the tie-aware Mann-Whitney identity,
+    computed over the SCORE HISTOGRAM rather than a global rank:
+
+        AUC = [ Σ_s pos(s) · (neg(<s) + neg(s)/2) ] / (P · N)
+
+    Scores quantize to ROUND(p, 6), so the histogram — and the one
+    ordered cumulative window over it — is bounded by the 1e6+1-value
+    grid, never by the data (the retention-KM bounded-domain
+    argument; a global rank() would be a single-partition sort of the
+    whole corpus). The numerator is kept in LONG arithmetic
+    (pos·(2·cum_neg + neg), halved only in the final division), so
+    replicate sums are exact up to ~4e9 rows per class; one division
+    at the end keeps the double bit-identical cross-engine.
+
+    Returns one row (n_pos, n_neg, auc); auc is NULL when either
+    class is absent, and the frame is empty on empty input."""
+    spark = df.sparkSession
+    feat = _gd_feat(df, label_col, feature_cols)
+    w = _gd_fit(feat, len(feature_cols), lr, n_steps)
+    if w is None:
+        return spark.createDataFrame(
+            [], "n_pos BIGINT, n_neg BIGINT, auc DOUBLE"
+        )
+    from pyspark.sql import Window
+
+    z = F.lit(w[0])
+    for j in range(len(feature_cols)):
+        z = z + F.lit(w[j + 1]) * F.col(f"__x{j}")
+    p6 = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
+    hist = (
+        feat.select(p6.alias("__p"), "__y")
+        .groupBy("__p")
+        .agg(
+            F.sum(F.when(F.col("__y") == 1.0, 1).otherwise(0))
+            .cast("long")
+            .alias("__pos"),
+            F.sum(F.when(F.col("__y") == 1.0, 0).otherwise(1))
+            .cast("long")
+            .alias("__neg"),
+        )
+    )
+    wd = Window.orderBy("__p").rowsBetween(Window.unboundedPreceding, -1)
+    cum = hist.select(
+        "__pos",
+        "__neg",
+        F.coalesce(F.sum("__neg").over(wd), F.lit(0)).alias("__cneg"),
+    )
+    return cum.agg(
+        F.sum("__pos").cast("long").alias("n_pos"),
+        F.sum("__neg").cast("long").alias("n_neg"),
+        F.sum(
+            F.col("__pos") * (F.lit(2) * F.col("__cneg") + F.col("__neg"))
+        ).alias("__u2"),
+    ).select(
+        "n_pos",
+        "n_neg",
+        F.when(
+            (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+            F.round(
+                F.col("__u2") * 1.0 / (2.0 * F.col("n_pos") * F.col("n_neg")),
+                6,
+            ),
+        ).alias("auc"),
+    )
+
+
+# --- depth-1 decision tree (CART root split) ----------------------------------
+
+
+def decision_stump_binary(
+    df: DataFrame,
+    label_col,
+    value_col,
+    bucket_width: float,
+) -> DataFrame:
+    """Best binary split of a numeric column against a 0/1 label —
+    the CART root split, distributed: candidate thresholds live on a
+    ``bucket_width`` grid, so the search is one groupBy(bucket)
+    histogram + one ordered cumulative window over the BOUNDED bucket
+    table (value-range/width rows, never data rows), then an argmin.
+
+    Split quality is the weighted Gini impurity, reduced to integer
+    cross-products (lower is better):
+
+        score = posL·negL/nL + posR·negR/nR      (∝ weighted Gini)
+
+    Counts stay LONG end-to-end; each term does products first and
+    ONE double division, then ROUND(·, 6) before the argmin with a
+    threshold tie-break — the kmeans argmin convention, so both
+    engines pick the identical split. Returns one row (threshold,
+    n_left, n_right, pos_left, pos_right, score); empty when the
+    input has fewer than two non-empty buckets (no valid split)."""
+    from pyspark.sql import Window
+
+    y = (
+        label_col if not isinstance(label_col, str) else F.col(label_col)
+    ).cast("double")
+    v = (
+        value_col if not isinstance(value_col, str) else F.col(value_col)
+    ).cast("double")
+    base = df.select(y.alias("__y"), v.alias("__v")).filter(
+        F.col("__y").isNotNull() & F.col("__v").isNotNull()
+    )
+    hist = (
+        base.select(
+            F.floor(F.col("__v") / bucket_width).cast("long").alias("__b"),
+            "__y",
+        )
+        .groupBy("__b")
+        .agg(
+            F.count("*").cast("long").alias("__n"),
+            F.sum(F.when(F.col("__y") == 1.0, 1).otherwise(0))
+            .cast("long")
+            .alias("__pos"),
+        )
+    )
+    wd = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.orderBy("__b").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = hist.select(
+        "__b",
+        F.sum("__n").over(wd).alias("__nl"),
+        F.sum("__pos").over(wd).alias("__pl"),
+        F.sum("__n").over(wall).alias("__nt"),
+        F.sum("__pos").over(wall).alias("__pt"),
+    ).filter(F.col("__nl") < F.col("__nt"))  # both sides non-empty
+    nl, pl = F.col("__nl"), F.col("__pl")
+    nr = F.col("__nt") - nl
+    pr = F.col("__pt") - pl
+    score = F.round(
+        (pl * (nl - pl)) * 1.0 / nl + (pr * (nr - pr)) * 1.0 / nr, 6
+    )
+    return (
+        cum.select(
+            ((F.col("__b") + 1) * float(bucket_width)).alias("threshold"),
+            nl.alias("n_left"),
+            nr.alias("n_right"),
+            pl.alias("pos_left"),
+            pr.alias("pos_right"),
+            score.alias("score"),
+        )
+        .orderBy("score", "threshold")
+        .limit(1)
+    )

@@ -780,3 +780,120 @@ def q_conformal_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame
         orders, "o_orderkey", "o_orderpriority", "o_totalprice",
         train_frac=0.5, calib_frac=0.3, alpha=0.1, salt="conf",
     )
+
+
+# --- ROC-AUC of the GD classifier (tie-aware rank-sum) ------------------------
+
+_AUC_FINAL = f"""
+    SELECT n_pos, n_neg,
+           CASE WHEN n_pos > 0 AND n_neg > 0
+                THEN ROUND(u2 * 1.0 / (2.0 * n_pos * n_neg), 6) END AS auc
+    FROM (
+      SELECT CAST(SUM(pos) AS BIGINT) AS n_pos,
+             CAST(SUM(neg) AS BIGINT) AS n_neg,
+             CAST(SUM(pos * (2 * cum_neg + neg)) AS BIGINT) AS u2
+      FROM (
+        SELECT pos, neg,
+               COALESCE(SUM(neg) OVER (ORDER BY p6
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS cum_neg
+        FROM (
+          SELECT p6,
+                 CAST(SUM(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS pos,
+                 CAST(SUM(CASE WHEN y = 1.0 THEN 0 ELSE 1 END) AS BIGINT)
+                   AS neg
+          FROM (
+            SELECT y, ROUND(1.0 / (1.0 + exp(-(w.b + w.w1 * x1 + w.w2 * x2
+                                               + w.w3 * x3))), 6) AS p6
+            FROM feat CROSS JOIN w{_CALIB_STEPS} w
+          )
+          GROUP BY p6
+        )
+      )
+      HAVING COUNT(*) > 0
+    )
+    """
+
+
+@register(
+    "logreg_auc_roc",
+    _logreg_oracle(lr=_CALIB_LR, n_steps=_CALIB_STEPS, final=_AUC_FINAL),
+)
+def q_logreg_auc_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC-AUC of the GD quality classifier
+    (operators/classifier.py:logreg_auc_roc): the identical seeded
+    training replay as logreg_calibration_bins (shared oracle CTE
+    chain at 6 steps / lr=8), then the tie-aware Mann-Whitney AUC
+    computed over the ROUND(p, 6) score HISTOGRAM — the one ordered
+    window is bounded by the 1e6+1 score grid, never the data (a
+    global rank() would single-partition-sort the corpus). The
+    numerator stays in LONG arithmetic (pos·(2·cum_neg+neg), halved
+    in the single final division) so both engines produce the
+    bit-identical double before ROUND."""
+    from ..operators.classifier import logreg_auc_roc
+
+    feat = _quality_feat(load_table(spark, sf_dir, "documents"))
+    return logreg_auc_roc(
+        feat, "y", ["len", "stop", "punct"],
+        lr=_CALIB_LR, n_steps=_CALIB_STEPS,
+    )
+
+
+# --- CART root split (depth-1 decision tree) ------------------------------------
+
+_STUMP_WIDTH = 50.0
+
+_STUMP_ORACLE = f"""
+    WITH base AS (
+      SELECT CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+             CAST(n_chars AS DOUBLE) AS v
+      FROM documents WHERE n_chars IS NOT NULL
+    ), hist AS (
+      SELECT CAST(FLOOR(v / {_STUMP_WIDTH}) AS BIGINT) AS b,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS pos
+      FROM base GROUP BY 1
+    ), cum AS (
+      SELECT b,
+             SUM(n) OVER (ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS nl,
+             SUM(pos) OVER (ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS pl,
+             SUM(n) OVER () AS nt,
+             SUM(pos) OVER () AS pt
+      FROM hist
+    )
+    SELECT CAST((b + 1) * {_STUMP_WIDTH} AS DOUBLE) AS threshold,
+           CAST(nl AS BIGINT) AS n_left,
+           CAST(nt - nl AS BIGINT) AS n_right,
+           CAST(pl AS BIGINT) AS pos_left,
+           CAST(pt - pl AS BIGINT) AS pos_right,
+           ROUND((pl * (nl - pl)) * 1.0 / nl
+                 + ((pt - pl) * ((nt - nl) - (pt - pl))) * 1.0
+                   / (nt - nl), 6) AS score
+    FROM cum WHERE nl < nt
+    ORDER BY score, threshold LIMIT 1
+    """
+
+
+@register("stump_doc_length_split", _STUMP_ORACLE)
+def q_stump_doc_length_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CART root split of document length against is-English
+    (operators/classifier.py:decision_stump_binary): candidate
+    thresholds on a 50-char grid, so the split search is one
+    histogram aggregate + one cumulative window over the BOUNDED
+    bucket table (range/50 rows, never data rows); split quality is
+    weighted Gini reduced to integer cross-products with ONE double
+    division per side, ROUND(·, 6) before the argmin with threshold
+    tie-break (the kmeans argmin convention). The depth-1 tree is
+    the in-engine baseline the GD/NB classifiers get compared
+    against."""
+    from ..operators.classifier import decision_stump_binary
+
+    docs = load_table(spark, sf_dir, "documents")
+    feat = docs.select(
+        F.when(F.col("lang") == "en", 1.0).otherwise(0.0).alias("y"),
+        "n_chars",
+    )
+    return decision_stump_binary(feat, "y", "n_chars", _STUMP_WIDTH)

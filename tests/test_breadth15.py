@@ -547,3 +547,88 @@ def test_gmm_far_outlier_underflow_guard(spark):
         for c in ("weight", "mu", "sigma2", "n_soft"):
             assert r[c] == r[c], f"NaN in {c}"  # NaN != NaN
     assert sum(r["n_soft"] for r in rows) == pytest.approx(2001, abs=0.1)
+
+
+def test_auc_perfectly_separable_and_degenerate(spark):
+    from bootcamp_stackacademy_datalake_minio_airflow_spark.operators.classifier import (
+        logreg_auc_roc,
+    )
+
+    # x perfectly separates y and p is monotone in x once w1 > 0, so
+    # tie-aware AUC is exactly 1. Gentle lr on purpose: a hot lr
+    # saturates the sigmoid and ROUND(p, 6) then TIES adjacent x
+    # values across the class boundary (AUC 0.9 at lr=2/8 steps) —
+    # the quantized-score semantics working as specified
+    rows = [(1.0, float(v)) for v in range(6, 11)] + [
+        (0.0, float(v)) for v in range(1, 6)
+    ]
+    df = spark.createDataFrame(rows, ["y", "x"])
+    got = logreg_auc_roc(df, "y", ["x"], lr=0.5, n_steps=3).collect()
+    assert len(got) == 1
+    assert got[0]["n_pos"] == 5 and got[0]["n_neg"] == 5
+    assert got[0]["auc"] == pytest.approx(1.0)
+
+    # label-free scores (x constant): every row ties -> AUC 0.5
+    const = spark.createDataFrame(
+        [(1.0, 2.0)] * 4 + [(0.0, 2.0)] * 4, ["y", "x"]
+    )
+    got = logreg_auc_roc(const, "y", ["x"], lr=2.0, n_steps=3).collect()
+    assert got[0]["auc"] == pytest.approx(0.5)
+
+    # single-class input: AUC undefined -> NULL, counts still real
+    pos_only = spark.createDataFrame([(1.0, float(v)) for v in range(5)], ["y", "x"])
+    got = logreg_auc_roc(pos_only, "y", ["x"]).collect()
+    assert got[0]["n_pos"] == 5 and got[0]["n_neg"] == 0
+    assert got[0]["auc"] is None
+
+    # empty input: empty frame, stable schema
+    empty = spark.createDataFrame([], "y double, x double")
+    out = logreg_auc_roc(empty, "y", ["x"])
+    assert out.columns == ["n_pos", "n_neg", "auc"] and out.count() == 0
+
+
+def test_auc_hand_computed_with_ties(spark):
+    # hand case: scores will rank by x; y = [0,0,1,0,1,1] at
+    # x = [1,1,2,2,3,3] -> per the tie-aware rank-sum:
+    # hist: x=1 (0 pos, 2 neg), x=2 (1 pos, 1 neg), x=3 (2 pos, 1 neg... )
+    from bootcamp_stackacademy_datalake_minio_airflow_spark.operators.classifier import (
+        logreg_auc_roc,
+    )
+
+    rows = [(0.0, 1.0), (0.0, 1.0), (1.0, 2.0), (0.0, 2.0), (1.0, 3.0), (1.0, 3.0)]
+    df = spark.createDataFrame(rows, ["y", "x"])
+    got = logreg_auc_roc(df, "y", ["x"], lr=2.0, n_steps=8).collect()[0]
+    # U = pos(2)*(neg<2 + neg(2)/2) + pos(3)*(neg<3 + neg(3)/2)
+    #   = 1*(2 + 0.5) + 2*(3 + 0)   = 8.5 ; P*N = 3*3 = 9
+    assert got["auc"] == pytest.approx(8.5 / 9.0, abs=1e-6)
+
+
+def test_decision_stump_hand_example(spark):
+    from bootcamp_stackacademy_datalake_minio_airflow_spark.operators.classifier import (
+        decision_stump_binary,
+    )
+
+    # v in 1..10, y = 1 iff v >= 6; bucket_width=2 puts the clean cut
+    # on the bucket-2/3 edge: threshold 6, pure sides, score 0
+    rows = [(1.0 if v >= 6 else 0.0, float(v)) for v in range(1, 11)]
+    df = spark.createDataFrame(rows, ["y", "v"])
+    got = decision_stump_binary(df, "y", "v", bucket_width=2.0).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r["threshold"] == pytest.approx(6.0)
+    assert (r["n_left"], r["n_right"]) == (5, 5)
+    assert (r["pos_left"], r["pos_right"]) == (0, 5)
+    assert r["score"] == pytest.approx(0.0)
+
+    # single non-empty bucket: no valid split -> empty result
+    one = spark.createDataFrame([(1.0, 1.0), (0.0, 1.5)], ["y", "v"])
+    assert decision_stump_binary(one, "y", "v", bucket_width=2.0).count() == 0
+
+    # NULLs drop, not poison
+    dirty = spark.createDataFrame(
+        [(1.0, None), (None, 3.0)] + [(1.0 if v >= 6 else 0.0, float(v))
+                                      for v in range(1, 11)],
+        "y double, v double",
+    )
+    r2 = decision_stump_binary(dirty, "y", "v", bucket_width=2.0).collect()[0]
+    assert r2["threshold"] == pytest.approx(6.0)
