@@ -17,6 +17,12 @@ Usage:
 
 Writes the markdown rows to stdout for COVERAGE.md.
 
+QUIET-HOST requirement (r11 incident): a probe that overlaps another
+Spark job on this box reads garbage ratios — logreg_calibration_bins
+measured 75.9x at 30x while the bench smoke shared the CPUs, and
+15.0x on the quiet re-run. Per-query MIN damps noise WITHIN a run
+but cannot correct a systematically loaded host; run probes alone.
+
 Resource protocol for second-decade (>=30x) probes, measured r10:
 set SPARK_DRIVER_MEMORY=64g — the corpus-gram localCheckpoint in the
 dup-span family OOMs the default 8g single-JVM heap at 100x (passes
