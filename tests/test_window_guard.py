@@ -32,12 +32,18 @@ ALLOWED_GLOBAL_WINDOWS = {
     "filter_funnel_report",
     "heaps_law_fit",
     "hybrid_rrf_search",
+    # AUC's cumulative-negatives window runs over the ROUND(p, 6)
+    # score histogram — bounded by the 1e6+1-value grid, never data
+    "logreg_auc_roc",
     "mixture_epoch_schedule",
     "orders_key_skew",
     "parts_pareto_front",
     "retention_kaplan_meier",
     "retrieval_ndcg",
     "source_lang_chi2",
+    # stump's cumulative window runs over the 50-char bucket table
+    # (|value range|/50 rows), never data rows
+    "stump_doc_length_split",
     "token_zipf_fit",
     "training_shuffle_topk",
 }
