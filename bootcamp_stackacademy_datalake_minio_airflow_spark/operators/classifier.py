@@ -113,9 +113,16 @@ def logreg_gd_train(
             f"in a select() first (got {bad})"
         )
     names = list(feature_cols)
-    feat = _gd_feat(df, label_col, feature_cols)
+    # persist the projected feature frame across the GD loop + the
+    # scoring pass: 4-5 doubles per row (32-40 B — nothing like the
+    # NB (doc, word) cache that measured 2x slower than recompute),
+    # while recomputation per step re-runs the caller's tokenization
+    # and interpreted-HOF stopword filter. Measured at sf0.1 (r11):
+    # calibration 5.6s -> see COVERAGE for the post-change number.
+    feat = _gd_feat(df, label_col, feature_cols).persist()
     w = _gd_fit(feat, len(feature_cols), lr, n_steps)
     if w is None:
+        feat.unpersist(blocking=False)
         return spark.createDataFrame(
             [],
             "n_docs BIGINT, w_bias DOUBLE, "
@@ -132,7 +139,9 @@ def logreg_gd_train(
     correct = (
         (_z(w) >= 0.0) == (F.col("__y") == 1.0)
     ).cast("int")
-    return feat.agg(
+    from .dedup import _materialize_release
+
+    out = feat.agg(
         F.count("*").cast("long").alias("n_docs"),
         F.round(F.sum(correct) / F.count("*"), 4).alias("accuracy"),
     ).select(
@@ -144,6 +153,7 @@ def logreg_gd_train(
         ],
         "accuracy",
     )
+    return _materialize_release(out, feat)
 
 
 def _gd_feat(df: DataFrame, label_col, feature_cols: list) -> DataFrame:
@@ -215,11 +225,13 @@ def logreg_calibration_bins(
     (bin, n_docs, mean_p, frac_pos) — the calibration table a score
     threshold gets picked from. Binning keys on ROUND(p, 6) before
     the floor so a last-ulp exp() difference between engines cannot
-    flip a bin edge. One training pass + one scoring aggregate."""
+    flip a bin edge. One training pass + one scoring aggregate, the
+    feat frame persisted across both (see logreg_gd_train)."""
     spark = df.sparkSession
-    feat = _gd_feat(df, label_col, feature_cols)
+    feat = _gd_feat(df, label_col, feature_cols).persist()
     w = _gd_fit(feat, len(feature_cols), lr, n_steps)
     if w is None:
+        feat.unpersist(blocking=False)
         return spark.createDataFrame(
             [], "bin INT, n_docs BIGINT, mean_p DOUBLE, frac_pos DOUBLE"
         )
@@ -228,7 +240,9 @@ def logreg_calibration_bins(
         z = z + F.lit(w[j + 1]) * F.col(f"__x{j}")
     p6 = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
     b = F.least(F.floor(p6 * n_bins).cast("int"), F.lit(n_bins - 1))
-    return (
+    from .dedup import _materialize_release
+
+    out = (
         feat.select(b.alias("bin"), p6.alias("__p"), "__y")
         .groupBy("bin")
         .agg(
@@ -237,6 +251,7 @@ def logreg_calibration_bins(
             F.round(F.avg("__y"), 4).alias("frac_pos"),
         )
     )
+    return _materialize_release(out, feat)
 
 
 # --- multinomial Naive Bayes (count-exact training -> oracle-replayable) -----
@@ -370,11 +385,13 @@ def logreg_auc_roc(
     at the end keeps the double bit-identical cross-engine.
 
     Returns one row (n_pos, n_neg, auc); auc is NULL when either
-    class is absent, and the frame is empty on empty input."""
+    class is absent, and the frame is empty on empty input. The feat
+    frame persists across training + scoring (see logreg_gd_train)."""
     spark = df.sparkSession
-    feat = _gd_feat(df, label_col, feature_cols)
+    feat = _gd_feat(df, label_col, feature_cols).persist()
     w = _gd_fit(feat, len(feature_cols), lr, n_steps)
     if w is None:
+        feat.unpersist(blocking=False)
         return spark.createDataFrame(
             [], "n_pos BIGINT, n_neg BIGINT, auc DOUBLE"
         )
@@ -402,7 +419,9 @@ def logreg_auc_roc(
         "__neg",
         F.coalesce(F.sum("__neg").over(wd), F.lit(0)).alias("__cneg"),
     )
-    return cum.agg(
+    from .dedup import _materialize_release
+
+    out = cum.agg(
         F.sum("__pos").cast("long").alias("n_pos"),
         F.sum("__neg").cast("long").alias("n_neg"),
         F.sum(
@@ -419,6 +438,7 @@ def logreg_auc_roc(
             ),
         ).alias("auc"),
     )
+    return _materialize_release(out, feat)
 
 
 # --- depth-1 decision tree (CART root split) ----------------------------------
