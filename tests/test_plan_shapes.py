@@ -60,6 +60,14 @@ HISTORICAL = [
     "bootstrap_ci_order_value",
     "embedding_ann_lsh_topk",
     "graph_kcore_membership",
+    # r11 close-out top-10 entrants (ratchet; the joinless ones are
+    # ALSO in JOINLESS below — HISTORICAL makes the pin durable, the
+    # shape declaration picks which assertion applies)
+    "lm_bigram_nll",
+    "doc_dup_span_stats",
+    "winnow_quotation_pairs",
+    "logreg_auc_roc",
+    "kmeans_embedding_clusters",
 ]
 
 
@@ -143,6 +151,10 @@ SCALAR_CROSS_OK = {
     # kcore attaches the convergence verdict (a global MIN aggregate)
     # to every membership row; one-row build by construction
     "graph_kcore_membership",
+    # crossJoin(broadcast(<1-row corpus token total>)) —
+    # operators/text.py cross-entropy family attaches the global
+    # count to every (doc, term) row; one-row build by construction
+    "lm_bigram_nll",
 }
 
 _JOIN_TYPES = (
@@ -176,12 +188,16 @@ def test_no_cartesian_or_nested_loop_anywhere(captured):
 #: as literal arrays in a single aggregate per step — joinless by
 #: design (operators/clustering.py), the plan is *better* than an
 #: equi-join would be.
+#: logreg_auc_roc aggregates the score histogram under a bounded
+#: global window — training is collect-per-step aggregates, scoring
+#: one hash aggregate; no join anywhere by design.
 JOINLESS = {
     "bpe_merge_table",
     "bpe_segment_tokens",
     "bootstrap_ci_order_value",
     "embedding_ann_lsh_topk",
     "kmeans_embedding_clusters",
+    "logreg_auc_roc",
 }
 
 
