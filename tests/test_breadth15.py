@@ -632,3 +632,30 @@ def test_decision_stump_hand_example(spark):
     )
     r2 = decision_stump_binary(dirty, "y", "v", bucket_width=2.0).collect()[0]
     assert r2["threshold"] == pytest.approx(6.0)
+
+
+def test_auc_and_stump_partitioning_invariant(spark):
+    # the argmin tie-breaks and LONG-arithmetic U statistic must make
+    # both operators deterministic under any physical row layout —
+    # shuffle the input across partition counts and demand identical
+    # single-row outputs
+    from bootcamp_stackacademy_datalake_minio_airflow_spark.operators.classifier import (
+        decision_stump_binary,
+        logreg_auc_roc,
+    )
+
+    rows = [
+        (1.0 if (v * 7) % 10 >= 5 else 0.0, float(v % 97), float(v))
+        for v in range(1, 301)
+    ]
+    df = spark.createDataFrame(rows, ["y", "x", "v"])
+    auc_ref = stump_ref = None
+    for n_parts in (1, 7, 32):
+        d = df.repartition(n_parts)
+        a = tuple(logreg_auc_roc(d, "y", ["x"]).collect()[0])
+        s = tuple(decision_stump_binary(d, "y", "v", 25.0).collect()[0])
+        if auc_ref is None:
+            auc_ref, stump_ref = a, s
+        else:
+            assert a == auc_ref, f"AUC varies with partitioning at {n_parts}"
+            assert s == stump_ref, f"stump varies with partitioning at {n_parts}"
