@@ -195,15 +195,18 @@ def main() -> None:
     # of the 67% a global 5-rep protocol would cost. Skipped on smoke
     # runs (reps < 3: the smoke contract is speed, not bands).
     if reps >= 3:
+        # rank REGISTRY queries only, then slice: graph_edge_build is
+        # bookkeeping with its own eviction seam, and letting it into
+        # the slice would silently shrink the top-20 to 19 queries
+        # (r11 self-review)
         ranked = sorted(
             ((m, n) for n, m in
-             ((n, _median(v)) for n, v in cold_runs.items()) if m >= 0),
+             ((n, _median(v)) for n, v in cold_runs.items() if n in qs)
+             if m >= 0),
             reverse=True,
         )
         for _, name in ranked[:20]:
-            fn = qs.get(name)
-            if fn is None:
-                continue  # graph_edge_build has its own eviction seam
+            fn = qs[name]
             for _ in range(2):
                 spark.catalog.clearCache()
                 t0 = time.perf_counter()

@@ -469,6 +469,11 @@ def decision_stump_binary(
     input has fewer than two non-empty buckets (no valid split)."""
     from pyspark.sql import Window
 
+    # a zero/negative width silently floors every value into garbage
+    # buckets instead of a grid — reject (the fuzzy k>2 convention)
+    if not bucket_width > 0:
+        raise ValueError(f"bucket_width must be > 0, got {bucket_width}")
+
     y = (
         label_col if not isinstance(label_col, str) else F.col(label_col)
     ).cast("double")

@@ -129,9 +129,27 @@ def build_lake(copies: int, tables: list[str]) -> str:
     os.makedirs(out_dir, exist_ok=True)
     for t in tables:
         out = os.path.join(out_dir, f"{t}.parquet")
-        if not os.path.exists(out):
-            sql = SCALE_SQL[t].format(base=BASE, copies=copies)
+        sql = SCALE_SQL[t].format(base=BASE, copies=copies)
+        # rule-fingerprint stamp (r11 self-review): the cache was
+        # keyed on PATH alone, so editing a table's replication SQL
+        # (e.g. the r11 orders-offset unification) left older /tmp
+        # lakes silently feeding the new probes — the prose-lake
+        # staleness lesson, reapplied here
+        import hashlib
+
+        stamp = out + ".rule"
+        fp = hashlib.md5(sql.encode()).hexdigest()
+        fresh = (
+            os.path.exists(out)
+            and os.path.exists(stamp)
+            and open(stamp).read().strip() == fp
+        )
+        if not fresh:
+            if os.path.exists(out):
+                os.remove(out)
             duckdb.sql(f"COPY ({sql}) TO '{out}' (FORMAT PARQUET)")
+            with open(stamp, "w") as f:
+                f.write(fp)
     # every other table rides along unchanged (links keep load_table
     # satisfied for tables the probed queries don't scale); the shared
     # helper re-points stale/dangling links if BASE ever changes
