@@ -525,3 +525,87 @@ def decision_stump_binary(
         .orderBy("score", "threshold")
         .limit(1)
     )
+
+
+# --- isotonic (PAV) calibration -------------------------------------------------
+
+
+def isotonic_calibration_bins(
+    df: DataFrame,
+    label_col,
+    feature_cols: list,
+    lr: float = 0.5,
+    n_steps: int = 3,
+    n_bins: int = 1000,
+) -> DataFrame:
+    """Isotonic calibration of the GD classifier via pool-adjacent-
+    violators — the step-function recalibrator that dominates Platt
+    scaling when the reliability curve is non-sigmoid (Zadrozny &
+    Elkan 2002).
+
+    Distribution shape: scores quantize to a FIXED ``n_bins`` grid
+    (floor of ROUND(p, 6)·n_bins), so the per-bin (n, pos) histogram
+    — the only thing collected — is bounded by the grid, never the
+    data (the kmeans-codebook collect posture). PAV itself is
+    inherently sequential, but over ≤ n_bins rows it is a
+    microsecond driver loop; the corpus never moves. The oracle
+    replays the fit through the minimax identity
+    ``iso(i) = max_{k<=i} min_{j>=i} wavg(k, j)`` — O(bins²) segment
+    averages + one running-min window, SQL-expressible because the
+    domain is grid-bounded.
+
+    Determinism: pooled rates are quotients of exact integer block
+    sums, identical IEEE doubles on both engines; raw and fitted
+    rates are half-away-ROUND(·, 6) (SQL ROUND; Python round() is
+    half-even). Returns one row per non-empty bin: (bin, n_docs,
+    frac_pos_raw, frac_pos_iso), iso non-decreasing in bin."""
+    from .multimodal import _round_half_away6
+
+    spark = df.sparkSession
+    schema = "bin INT, n_docs BIGINT, frac_pos_raw DOUBLE, frac_pos_iso DOUBLE"
+    feat = _gd_feat(df, label_col, feature_cols).persist()
+    w = _gd_fit(feat, len(feature_cols), lr, n_steps)
+    if w is None:
+        feat.unpersist(blocking=False)
+        return spark.createDataFrame([], schema)
+    z = F.lit(w[0])
+    for j in range(len(feature_cols)):
+        z = z + F.lit(w[j + 1]) * F.col(f"__x{j}")
+    p6 = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
+    b = F.least(F.floor(p6 * n_bins).cast("int"), F.lit(n_bins - 1))
+    hist = sorted(
+        (int(r["__b"]), int(r["__n"]), int(r["__pos"]))
+        for r in feat.select(b.alias("__b"), "__y")
+        .groupBy("__b")
+        .agg(
+            F.count("*").cast("long").alias("__n"),
+            F.sum(F.when(F.col("__y") == 1.0, 1).otherwise(0))
+            .cast("long")
+            .alias("__pos"),
+        )
+        .collect()  # bounded by n_bins, never by the data
+    )
+    feat.unpersist(blocking=False)
+    # PAV: pool adjacent blocks while the rate sequence decreases.
+    # blocks: [bin_count, n, pos] — rates compared as cross products
+    # (pos_a * n_b vs pos_b * n_a) so pooling decisions are INTEGER-
+    # exact, immune to float comparison noise.
+    blocks: list[list[int]] = []
+    for _bin, n, pos in hist:
+        blocks.append([1, n, pos])
+        while (
+            len(blocks) >= 2
+            and blocks[-2][2] * blocks[-1][1] > blocks[-1][2] * blocks[-2][1]
+        ):
+            c2, n2, p2 = blocks.pop()
+            blocks[-1][0] += c2
+            blocks[-1][1] += n2
+            blocks[-1][2] += p2
+    rows, i = [], 0
+    for cnt, bn, bpos in blocks:
+        iso = _round_half_away6(bpos / bn)
+        for _ in range(cnt):
+            _bin, n, pos = hist[i]
+            rows.append((_bin, n, _round_half_away6(pos / n), iso))
+            i += 1
+    return spark.createDataFrame(rows, schema)

@@ -71,14 +71,15 @@ def oracle_sql() -> dict[str, str]:
 #: since changed substantially — oldest-green-first re-verifies the
 #: stalest evidence each round while new/fixed queries jump the
 #: queue automatically. The block below is the policy's output for
-#: CURRENT_ROUND = 11: the 5 never-green families (the proselake
-#: twins — VERDICT r10 ask #2 — plus the AUC and decision-stump
-#: estimation queries, all newly registered this round and locally
-#: hash-verified before entry), the 2 r1-last-green families
-#: (tpch_q6_shaped, window_running_lag — displaced from the r10
-#: window by that round's never-green influx), then oldest-green
-#: ascending: 6 r3 families, 14 r4 families, 14 r5 families, and the
-#: first 2 (by name) of the r6 families.
+#: CURRENT_ROUND = 11: the 6 never-green families (the proselake
+#: twins — VERDICT r10 ask #2 — plus the AUC, decision-stump, and
+#: isotonic-calibration estimation queries, all newly registered
+#: this round and locally hash-verified before entry), the 2
+#: r1-last-green families (tpch_q6_shaped, window_running_lag —
+#: displaced from the r10 window by that round's never-green
+#: influx), then oldest-green ascending: 6 r3 families, 14 r4
+#: families, 14 r5 families, and the first 1 (by name) of the r6
+#: families.
 #: The round whose driver artifact does not exist yet. The staleness
 #: guard in tests/test_oracle_gate.py reads every CORRECTNESS_r*.json
 #: with round < CURRENT_ROUND, so the glob is self-maintaining
@@ -95,10 +96,11 @@ PRIORITY = [
     "string_normalize",
     "union_all_sources",
     # -- r11 rotation block: policy output (see module comment).
-    # Never-green first (the three proselake twins + the two new
+    # Never-green first (the three proselake twins + the three new
     # estimation queries, all new this round, each locally
     # hash-verified at sf0.01 before entry):
     "logreg_auc_roc",
+    "logreg_isotonic_calibration",
     "proselake_doc_dup_span_stats",
     "proselake_langid_eval_metrics",
     "proselake_winnow_overlap_pairs",
@@ -143,9 +145,8 @@ PRIORITY = [
     "sample_weighted_reservoir",
     "table_change_feed",
     "token_cms_heavy_hitters",
-    # r6-last-green (first 2 by name; the rest re-queue for r12):
+    # r6-last-green (first 1 by name; the rest re-queue for r12):
     "activity_interval_overlap",
-    "cdc_chunk_dedup",
 ]
 
 _LOADED = False

@@ -897,3 +897,71 @@ def q_stump_doc_length_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_chars",
     )
     return decision_stump_binary(feat, "y", "n_chars", _STUMP_WIDTH)
+
+
+# --- isotonic (PAV) calibration --------------------------------------------------
+
+_ISO_BINS = 1000
+
+_ISO_FINAL = f"""
+    , scored AS (
+      SELECT y, ROUND(1.0 / (1.0 + exp(-(w.b + w.w1 * x1 + w.w2 * x2
+                                         + w.w3 * x3))), 6) AS p6
+      FROM feat CROSS JOIN w{_CALIB_STEPS} w
+    ), hist AS (
+      SELECT LEAST(CAST(FLOOR(p6 * {_ISO_BINS}) AS INT), {_ISO_BINS - 1})
+               AS bin,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS pos
+      FROM scored GROUP BY 1
+    ), ord AS (
+      SELECT bin, n, pos,
+             ROW_NUMBER() OVER (ORDER BY bin) AS i,
+             SUM(n) OVER (ORDER BY bin) AS cn,
+             SUM(pos) OVER (ORDER BY bin) AS cp
+      FROM hist
+    ), pairs AS (
+      -- weighted segment average over bins k..j (inclusive prefixes)
+      SELECT k.i AS ki, j.i AS ji,
+             (j.cp - k.cp + k.pos) * 1.0 / (j.cn - k.cn + k.n) AS a
+      FROM ord k JOIN ord j ON k.i <= j.i
+    ), m AS (
+      -- min over segments ENDING at or after ji, for each start ki
+      SELECT ki, ji,
+             MIN(a) OVER (PARTITION BY ki ORDER BY ji DESC
+                          ROWS UNBOUNDED PRECEDING) AS minj
+      FROM pairs
+    ), iso AS (
+      -- minimax identity: iso(i) = max over starts k<=i of
+      -- min over ends j>=i of wavg(k, j)
+      SELECT ji AS i, MAX(minj) AS rate FROM m GROUP BY ji
+    )
+    SELECT o.bin, o.n AS n_docs,
+           ROUND(o.pos * 1.0 / o.n, 6) AS frac_pos_raw,
+           ROUND(iso.rate, 6) AS frac_pos_iso
+    FROM ord o JOIN iso ON o.i = iso.i
+    """
+
+
+@register(
+    "logreg_isotonic_calibration",
+    _logreg_oracle(lr=_CALIB_LR, n_steps=_CALIB_STEPS, final=_ISO_FINAL),
+)
+def q_logreg_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic (PAV) recalibration of the GD quality classifier
+    (operators/classifier.py:isotonic_calibration_bins): the same
+    seeded training replay as logreg_calibration_bins/logreg_auc_roc,
+    then pool-adjacent-violators over the FIXED 1000-bin score grid —
+    the Spark side collects only the grid-bounded histogram and runs
+    the integer-exact PAV loop on the driver; the oracle replays the
+    fit through the minimax identity (O(bins²) segment averages + one
+    running-min window, feasible exactly BECAUSE the domain is
+    grid-bounded). Emits (bin, n_docs, frac_pos_raw, frac_pos_iso)
+    with frac_pos_iso non-decreasing in bin."""
+    from ..operators.classifier import isotonic_calibration_bins
+
+    feat = _quality_feat(load_table(spark, sf_dir, "documents"))
+    return isotonic_calibration_bins(
+        feat, "y", ["len", "stop", "punct"],
+        lr=_CALIB_LR, n_steps=_CALIB_STEPS, n_bins=_ISO_BINS,
+    )

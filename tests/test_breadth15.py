@@ -659,3 +659,55 @@ def test_auc_and_stump_partitioning_invariant(spark):
         else:
             assert a == auc_ref, f"AUC varies with partitioning at {n_parts}"
             assert s == stump_ref, f"stump varies with partitioning at {n_parts}"
+
+
+def test_isotonic_pav_hand_example(spark):
+    from bootcamp_stackacademy_datalake_minio_airflow_spark.operators.classifier import (
+        isotonic_calibration_bins,
+    )
+
+    # two features separate partially; what matters here is the PAV
+    # semantics on the resulting score histogram: fitted rates must be
+    # non-decreasing in bin, pooled blocks must carry the exact
+    # weighted average of their members, and total mass is preserved
+    rows = [
+        (1.0 if (v * 13) % 7 >= 3 else 0.0, float(v % 11), float(v % 5))
+        for v in range(1, 201)
+    ]
+    df = spark.createDataFrame(rows, ["y", "a", "b"])
+    out = isotonic_calibration_bins(
+        df, "y", ["a", "b"], lr=2.0, n_steps=4, n_bins=50
+    ).collect()
+    assert out, "histogram came back empty"
+    iso = [r["frac_pos_iso"] for r in sorted(out, key=lambda r: r["bin"])]
+    assert iso == sorted(iso), "isotonic fit must be non-decreasing"
+    n_total = sum(r["n_docs"] for r in out)
+    assert n_total == 200
+    # mass preservation: sum(n * iso) == sum(n * raw) == total positives
+    pos = sum(r["n_docs"] * r["frac_pos_raw"] for r in out)
+    pos_iso = sum(r["n_docs"] * r["frac_pos_iso"] for r in out)
+    assert pos_iso == pytest.approx(pos, abs=0.01)
+
+    # forced-violation micro case: rates [1.0, 0.0] over equal masses
+    # MUST pool to 0.5 in both bins
+    tiny = spark.createDataFrame(
+        [(1.0, 0.0), (1.0, 0.0), (0.0, 1.0), (0.0, 1.0)], ["y", "x"]
+    )
+    got = {
+        r["bin"]: r
+        for r in isotonic_calibration_bins(
+            tiny, "y", ["x"], lr=4.0, n_steps=4, n_bins=10
+        ).collect()
+    }
+    rates = [got[b]["frac_pos_iso"] for b in sorted(got)]
+    raw = [got[b]["frac_pos_raw"] for b in sorted(got)]
+    if raw == sorted(raw):
+        assert rates == raw  # already monotone: identity fit
+    else:
+        assert rates == [0.5, 0.5]  # the violating pair pools exactly
+
+    # empty input: stable schema, zero rows
+    empty = spark.createDataFrame([], "y double, x double")
+    o = isotonic_calibration_bins(empty, "y", ["x"])
+    assert o.columns == ["bin", "n_docs", "frac_pos_raw", "frac_pos_iso"]
+    assert o.count() == 0
