@@ -119,41 +119,47 @@ def logreg_gd_train(
     # while recomputation per step re-runs the caller's tokenization
     # and interpreted-HOF stopword filter. Measured at sf0.1 (r11):
     # calibration 5.6s -> see COVERAGE for the post-change number.
+    # try/finally so a raise anywhere between persist() and the
+    # materialize cannot leak the cache across invocations in a
+    # long-lived session (ADVICE r11 #1); the extra unpersist after a
+    # successful _materialize_release is a no-op.
     feat = _gd_feat(df, label_col, feature_cols).persist()
-    w = _gd_fit(feat, len(feature_cols), lr, n_steps)
-    if w is None:
-        feat.unpersist(blocking=False)
-        return spark.createDataFrame(
-            [],
-            "n_docs BIGINT, w_bias DOUBLE, "
-            + ", ".join(f"w_{nm} DOUBLE" for nm in names)
-            + ", accuracy DOUBLE",
+    try:
+        w = _gd_fit(feat, len(feature_cols), lr, n_steps)
+        if w is None:
+            return spark.createDataFrame(
+                [],
+                "n_docs BIGINT, w_bias DOUBLE, "
+                + ", ".join(f"w_{nm} DOUBLE" for nm in names)
+                + ", accuracy DOUBLE",
+            )
+
+        def _z(weights):
+            z = F.lit(weights[0])
+            for j in range(len(feature_cols)):
+                z = z + F.lit(weights[j + 1]) * F.col(f"__x{j}")
+            return z
+
+        correct = (
+            (_z(w) >= 0.0) == (F.col("__y") == 1.0)
+        ).cast("int")
+        from .dedup import _materialize_release
+
+        out = feat.agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.round(F.sum(correct) / F.count("*"), 4).alias("accuracy"),
+        ).select(
+            "n_docs",
+            F.lit(w[0]).alias("w_bias"),
+            *[
+                F.lit(w[j + 1]).alias(f"w_{names[j]}")
+                for j in range(len(feature_cols))
+            ],
+            "accuracy",
         )
-
-    def _z(weights):
-        z = F.lit(weights[0])
-        for j in range(len(feature_cols)):
-            z = z + F.lit(weights[j + 1]) * F.col(f"__x{j}")
-        return z
-
-    correct = (
-        (_z(w) >= 0.0) == (F.col("__y") == 1.0)
-    ).cast("int")
-    from .dedup import _materialize_release
-
-    out = feat.agg(
-        F.count("*").cast("long").alias("n_docs"),
-        F.round(F.sum(correct) / F.count("*"), 4).alias("accuracy"),
-    ).select(
-        "n_docs",
-        F.lit(w[0]).alias("w_bias"),
-        *[
-            F.lit(w[j + 1]).alias(f"w_{names[j]}")
-            for j in range(len(feature_cols))
-        ],
-        "accuracy",
-    )
-    return _materialize_release(out, feat)
+        return _materialize_release(out, feat)
+    finally:
+        feat.unpersist(blocking=False)
 
 
 def _gd_feat(df: DataFrame, label_col, feature_cols: list) -> DataFrame:
@@ -228,30 +234,35 @@ def logreg_calibration_bins(
     flip a bin edge. One training pass + one scoring aggregate, the
     feat frame persisted across both (see logreg_gd_train)."""
     spark = df.sparkSession
+    if n_bins < 1:
+        raise ValueError(f"n_bins must be >= 1, got {n_bins}")
+    # leak-proof persist: see logreg_gd_train (ADVICE r11 #1)
     feat = _gd_feat(df, label_col, feature_cols).persist()
-    w = _gd_fit(feat, len(feature_cols), lr, n_steps)
-    if w is None:
-        feat.unpersist(blocking=False)
-        return spark.createDataFrame(
-            [], "bin INT, n_docs BIGINT, mean_p DOUBLE, frac_pos DOUBLE"
-        )
-    z = F.lit(w[0])
-    for j in range(len(feature_cols)):
-        z = z + F.lit(w[j + 1]) * F.col(f"__x{j}")
-    p6 = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
-    b = F.least(F.floor(p6 * n_bins).cast("int"), F.lit(n_bins - 1))
-    from .dedup import _materialize_release
+    try:
+        w = _gd_fit(feat, len(feature_cols), lr, n_steps)
+        if w is None:
+            return spark.createDataFrame(
+                [], "bin INT, n_docs BIGINT, mean_p DOUBLE, frac_pos DOUBLE"
+            )
+        z = F.lit(w[0])
+        for j in range(len(feature_cols)):
+            z = z + F.lit(w[j + 1]) * F.col(f"__x{j}")
+        p6 = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
+        b = F.least(F.floor(p6 * n_bins).cast("int"), F.lit(n_bins - 1))
+        from .dedup import _materialize_release
 
-    out = (
-        feat.select(b.alias("bin"), p6.alias("__p"), "__y")
-        .groupBy("bin")
-        .agg(
-            F.count("*").cast("long").alias("n_docs"),
-            F.round(F.avg("__p"), 4).alias("mean_p"),
-            F.round(F.avg("__y"), 4).alias("frac_pos"),
+        out = (
+            feat.select(b.alias("bin"), p6.alias("__p"), "__y")
+            .groupBy("bin")
+            .agg(
+                F.count("*").cast("long").alias("n_docs"),
+                F.round(F.avg("__p"), 4).alias("mean_p"),
+                F.round(F.avg("__y"), 4).alias("frac_pos"),
+            )
         )
-    )
-    return _materialize_release(out, feat)
+        return _materialize_release(out, feat)
+    finally:
+        feat.unpersist(blocking=False)
 
 
 # --- multinomial Naive Bayes (count-exact training -> oracle-replayable) -----
@@ -388,57 +399,65 @@ def logreg_auc_roc(
     class is absent, and the frame is empty on empty input. The feat
     frame persists across training + scoring (see logreg_gd_train)."""
     spark = df.sparkSession
+    # leak-proof persist: see logreg_gd_train (ADVICE r11 #1)
     feat = _gd_feat(df, label_col, feature_cols).persist()
-    w = _gd_fit(feat, len(feature_cols), lr, n_steps)
-    if w is None:
+    try:
+        w = _gd_fit(feat, len(feature_cols), lr, n_steps)
+        if w is None:
+            return spark.createDataFrame(
+                [], "n_pos BIGINT, n_neg BIGINT, auc DOUBLE"
+            )
+        from pyspark.sql import Window
+
+        z = F.lit(w[0])
+        for j in range(len(feature_cols)):
+            z = z + F.lit(w[j + 1]) * F.col(f"__x{j}")
+        p6 = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
+        hist = (
+            feat.select(p6.alias("__p"), "__y")
+            .groupBy("__p")
+            .agg(
+                F.sum(F.when(F.col("__y") == 1.0, 1).otherwise(0))
+                .cast("long")
+                .alias("__pos"),
+                F.sum(F.when(F.col("__y") == 1.0, 0).otherwise(1))
+                .cast("long")
+                .alias("__neg"),
+            )
+        )
+        wd = Window.orderBy("__p").rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        cum = hist.select(
+            "__pos",
+            "__neg",
+            F.coalesce(F.sum("__neg").over(wd), F.lit(0)).alias("__cneg"),
+        )
+        from .dedup import _materialize_release
+
+        out = cum.agg(
+            F.sum("__pos").cast("long").alias("n_pos"),
+            F.sum("__neg").cast("long").alias("n_neg"),
+            F.sum(
+                F.col("__pos")
+                * (F.lit(2) * F.col("__cneg") + F.col("__neg"))
+            ).alias("__u2"),
+        ).select(
+            "n_pos",
+            "n_neg",
+            F.when(
+                (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+                F.round(
+                    F.col("__u2")
+                    * 1.0
+                    / (2.0 * F.col("n_pos") * F.col("n_neg")),
+                    6,
+                ),
+            ).alias("auc"),
+        )
+        return _materialize_release(out, feat)
+    finally:
         feat.unpersist(blocking=False)
-        return spark.createDataFrame(
-            [], "n_pos BIGINT, n_neg BIGINT, auc DOUBLE"
-        )
-    from pyspark.sql import Window
-
-    z = F.lit(w[0])
-    for j in range(len(feature_cols)):
-        z = z + F.lit(w[j + 1]) * F.col(f"__x{j}")
-    p6 = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
-    hist = (
-        feat.select(p6.alias("__p"), "__y")
-        .groupBy("__p")
-        .agg(
-            F.sum(F.when(F.col("__y") == 1.0, 1).otherwise(0))
-            .cast("long")
-            .alias("__pos"),
-            F.sum(F.when(F.col("__y") == 1.0, 0).otherwise(1))
-            .cast("long")
-            .alias("__neg"),
-        )
-    )
-    wd = Window.orderBy("__p").rowsBetween(Window.unboundedPreceding, -1)
-    cum = hist.select(
-        "__pos",
-        "__neg",
-        F.coalesce(F.sum("__neg").over(wd), F.lit(0)).alias("__cneg"),
-    )
-    from .dedup import _materialize_release
-
-    out = cum.agg(
-        F.sum("__pos").cast("long").alias("n_pos"),
-        F.sum("__neg").cast("long").alias("n_neg"),
-        F.sum(
-            F.col("__pos") * (F.lit(2) * F.col("__cneg") + F.col("__neg"))
-        ).alias("__u2"),
-    ).select(
-        "n_pos",
-        "n_neg",
-        F.when(
-            (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
-            F.round(
-                F.col("__u2") * 1.0 / (2.0 * F.col("n_pos") * F.col("n_neg")),
-                6,
-            ),
-        ).alias("auc"),
-    )
-    return _materialize_release(out, feat)
 
 
 # --- depth-1 decision tree (CART root split) ----------------------------------
@@ -563,29 +582,42 @@ def isotonic_calibration_bins(
 
     spark = df.sparkSession
     schema = "bin INT, n_docs BIGINT, frac_pos_raw DOUBLE, frac_pos_iso DOUBLE"
-    feat = _gd_feat(df, label_col, feature_cols).persist()
-    w = _gd_fit(feat, len(feature_cols), lr, n_steps)
-    if w is None:
-        feat.unpersist(blocking=False)
-        return spark.createDataFrame([], schema)
-    z = F.lit(w[0])
-    for j in range(len(feature_cols)):
-        z = z + F.lit(w[j + 1]) * F.col(f"__x{j}")
-    p6 = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
-    b = F.least(F.floor(p6 * n_bins).cast("int"), F.lit(n_bins - 1))
-    hist = sorted(
-        (int(r["__b"]), int(r["__n"]), int(r["__pos"]))
-        for r in feat.select(b.alias("__b"), "__y")
-        .groupBy("__b")
-        .agg(
-            F.count("*").cast("long").alias("__n"),
-            F.sum(F.when(F.col("__y") == 1.0, 1).otherwise(0))
-            .cast("long")
-            .alias("__pos"),
+    # Range-guard the grid (VERDICT r11 nit / the bucket_width
+    # convention): the collect below is bounded by n_bins and the
+    # oracle's minimax replay is O(n_bins²) segment averages — a
+    # caller passing 10⁶ would get a silent quadratic oracle and a
+    # million-row collect instead of a calibration table. 10⁴ bins is
+    # already 10× finer than any reliability diagram needs.
+    if not 1 <= n_bins <= 10_000:
+        raise ValueError(
+            f"n_bins must be in [1, 10000] (driver collect and the "
+            f"O(n_bins^2) oracle replay are grid-bounded), got {n_bins}"
         )
-        .collect()  # bounded by n_bins, never by the data
-    )
-    feat.unpersist(blocking=False)
+    # leak-proof persist: see logreg_gd_train (ADVICE r11 #1)
+    feat = _gd_feat(df, label_col, feature_cols).persist()
+    try:
+        w = _gd_fit(feat, len(feature_cols), lr, n_steps)
+        if w is None:
+            return spark.createDataFrame([], schema)
+        z = F.lit(w[0])
+        for j in range(len(feature_cols)):
+            z = z + F.lit(w[j + 1]) * F.col(f"__x{j}")
+        p6 = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
+        b = F.least(F.floor(p6 * n_bins).cast("int"), F.lit(n_bins - 1))
+        hist = sorted(
+            (int(r["__b"]), int(r["__n"]), int(r["__pos"]))
+            for r in feat.select(b.alias("__b"), "__y")
+            .groupBy("__b")
+            .agg(
+                F.count("*").cast("long").alias("__n"),
+                F.sum(F.when(F.col("__y") == 1.0, 1).otherwise(0))
+                .cast("long")
+                .alias("__pos"),
+            )
+            .collect()  # bounded by n_bins, never by the data
+        )
+    finally:
+        feat.unpersist(blocking=False)
     # PAV: pool adjacent blocks while the rate sequence decreases.
     # blocks: [bin_count, n, pos] — rates compared as cross products
     # (pos_a * n_b vs pos_b * n_a) so pooling decisions are INTEGER-

@@ -71,20 +71,18 @@ def oracle_sql() -> dict[str, str]:
 #: since changed substantially — oldest-green-first re-verifies the
 #: stalest evidence each round while new/fixed queries jump the
 #: queue automatically. The block below is the policy's output for
-#: CURRENT_ROUND = 11: the 6 never-green families (the proselake
-#: twins — VERDICT r10 ask #2 — plus the AUC, decision-stump, and
-#: isotonic-calibration estimation queries, all newly registered
-#: this round and locally hash-verified before entry), the 2
-#: r1-last-green families (tpch_q6_shaped, window_running_lag —
-#: displaced from the r10 window by that round's never-green
-#: influx), then oldest-green ascending: 6 r3 families, 14 r4
-#: families, 14 r5 families, and the first 1 (by name) of the r6
-#: families.
+#: CURRENT_ROUND = 12: zero never-green families remain (r11 went
+#: 50/50 and every family has a green row somewhere in r1–r11), and
+#: the stalest evidence is now r6-era — the window takes the 13
+#: remaining r6-last-green families (incl. the re-queued
+#: cdc_chunk_dedup, exactly as the r11 comment predicted), all 21 r7
+#: families, and the first 9 (by name) of the r8 families. After r12
+#: lands green, no family's driver evidence predates r8.
 #: The round whose driver artifact does not exist yet. The staleness
 #: guard in tests/test_oracle_gate.py reads every CORRECTNESS_r*.json
 #: with round < CURRENT_ROUND, so the glob is self-maintaining
 #: (ADVICE r9 #1) — bump this when writing the next round's block.
-CURRENT_ROUND = 11
+CURRENT_ROUND = 12
 
 PRIORITY = [
     # -- reference parity (the deliverable; permanently in-window) --
@@ -95,58 +93,53 @@ PRIORITY = [
     "timestamp_to_date",
     "string_normalize",
     "union_all_sources",
-    # -- r11 rotation block: policy output (see module comment).
-    # Never-green first (the three proselake twins + the three new
-    # estimation queries, all new this round, each locally
-    # hash-verified at sf0.01 before entry):
-    "logreg_auc_roc",
-    "logreg_isotonic_calibration",
-    "proselake_doc_dup_span_stats",
-    "proselake_langid_eval_metrics",
-    "proselake_winnow_overlap_pairs",
-    "stump_doc_length_split",
-    # the two r1-last-green stragglers displaced from the r10 window:
-    "tpch_q6_shaped",
-    "window_running_lag",
-    # r3-last-green:
-    "array_collect_orders",
-    "events_tumbling_window",
-    "json_extract_events",
-    "sort_limit_topk",
-    "stats_aggregates",
-    "text_token_count",
-    # r4-last-green:
-    "dedup_cross_doc_ngrams",
-    "dedup_minhash_documents",
-    "dedup_simhash_pairs",
-    "doc_winnow_fingerprints",
-    "embedding_ann_lsh_topk",
-    "embedding_centroid_confusion",
-    "embedding_pq_recall",
-    "event_attribution",
-    "graph_pagerank_parts",
-    "merge_upsert_semantics",
-    "multimodal_png_roundtrip",
-    "sample_source_mixture",
-    "text_clean_stats",
-    "text_repetition_signals",
-    # r5-last-green:
-    "bm25_search_topk",
-    "bpe_merge_table",
-    "curation_chunks_v2",
-    "dp_source_counts",
-    "events_distinct_users_hll",
-    "events_rate_anomaly",
-    "events_salted_distinct_users",
-    "fuzzy_name_neighbors",
-    "graph_triangle_counts",
-    "lm_bigram_nll",
-    "multimodal_wav_roundtrip",
-    "sample_weighted_reservoir",
-    "table_change_feed",
-    "token_cms_heavy_hitters",
-    # r6-last-green (first 1 by name; the rest re-queue for r12):
-    "activity_interval_overlap",
+    # -- r12 rotation block: policy output (see module comment).
+    # r6-last-green (the 13 remaining after r11 took the first):
+    "cdc_chunk_dedup",
+    "doc_length_outliers",
+    "events_ewma_scores",
+    "fuzzy_name_neighbors_k2",
+    "graph_kcore_membership",
+    "graph_label_propagation",
+    "heaps_law_fit",
+    "orders_sampled_quantiles",
+    "phrase_search",
+    "source_overlap_kmv",
+    "token_chunks",
+    "token_zipf_fit",
+    "unpivot_roundtrip",
+    # r7-last-green (all 21):
+    "basket_association_rules",
+    "doc_char_entropy",
+    "doc_fingerprint",
+    "dq_expectations_lineitem",
+    "dq_orphan_lineitems",
+    "event_transition_matrix",
+    "events_debounced",
+    "events_imputed_values",
+    "explode_unnest",
+    "grouping_sets_agg",
+    "join_semi_anti",
+    "k_anonymity_audit",
+    "lineitem_hot_key_join",
+    "orders_ntile_quartiles",
+    "orders_table_checksum",
+    "orders_winsorized_stats",
+    "split_leak_audit",
+    "token_budget_selection",
+    "user_sessionization",
+    "vendas_flagship_sqlapi",
+    "window_rank",
+    # r8-last-green (first 9 by name; the rest re-queue for r13):
+    "ann_batch_topk",
+    "asof_join_events_orders",
+    "bigram_pmi",
+    "blocklist_filter_stats",
+    "contamination_ngram",
+    "corpus_datacard_sketch",
+    "curation_pipeline",
+    "dedup_embedding_cosine_pairs",
+    "dedup_exact_documents",
 ]
 
 _LOADED = False

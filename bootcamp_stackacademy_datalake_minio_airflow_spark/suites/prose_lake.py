@@ -40,6 +40,7 @@ from __future__ import annotations
 import hashlib
 import os
 import random
+import tempfile
 
 from ..catalog import link_donor_tables
 from .prose import LINCOLN_QUOTE, MELVILLE_QUOTE, PROSE
@@ -49,6 +50,19 @@ from .prose import LINCOLN_QUOTE, MELVILLE_QUOTE, PROSE
 _PROTOCOL = "prose-lake-v1"
 
 N_DOCS = 5000
+
+
+def _default_lake_dir() -> str:
+    """Per-user, env-overridable lake location (ADVICE r11 #2): a
+    fixed world-shared /tmp/prose-lake lets any local user pre-create
+    or tamper with the predictable path and feed both engines
+    attacker-controlled data. Keyed on UID so concurrent users never
+    collide; SPARK_GRAFT_PROSE_LAKE_DIR overrides for CI layouts."""
+    env = os.environ.get("SPARK_GRAFT_PROSE_LAKE_DIR")
+    if env:
+        return env
+    uid = os.getuid() if hasattr(os, "getuid") else "u"
+    return os.path.join(tempfile.gettempdir(), f"prose-lake-{uid}")
 
 
 def _words_by_lang() -> dict[str, list[list[str]]]:
@@ -104,13 +118,17 @@ def _fingerprint(rows: list[tuple[int, str, str, str, int]]) -> str:
     return h.hexdigest()
 
 
-def prose_lake_dir(
-    link_from: str | None, out_dir: str = "/tmp/prose-lake"
-) -> str:
+def prose_lake_dir(link_from: str | None, out_dir: str | None = None) -> str:
     """Build (or reuse, fingerprint-checked) the prose lake; link the
     nine non-document tables from ``link_from`` (``None`` skips the
     donor linking — enough for callers that read only documents,
-    e.g. the import-time pre-build below)."""
+    e.g. the import-time pre-build below). ``out_dir`` defaults to
+    the per-user ``_default_lake_dir()``. Rebuilds are atomic:
+    parquet and stamp are written to same-directory temp names and
+    ``os.replace``d, so a concurrent oracle read (DuckDB in the
+    driver's gate) never sees a half-written file — it sees the old
+    complete lake or the new complete lake (ADVICE r11 #2)."""
+    out_dir = out_dir or _default_lake_dir()
     rows = _rows()
     fp = _fingerprint(rows)
     stamp = os.path.join(out_dir, ".fingerprint")
@@ -134,9 +152,15 @@ def prose_lake_dir(
                 "n_chars": pa.array([r[4] for r in rows], pa.int64()),
             }
         )
-        pq.write_table(table, doc_path)
-        with open(stamp, "w") as f:
+        # write-to-temp + atomic rename, parquet before stamp: a crash
+        # in between leaves a mismatched stamp -> next call rebuilds
+        tmp_doc = doc_path + f".tmp.{os.getpid()}"
+        pq.write_table(table, tmp_doc)
+        os.replace(tmp_doc, doc_path)
+        tmp_stamp = stamp + f".tmp.{os.getpid()}"
+        with open(tmp_stamp, "w") as f:
             f.write(fp)
+        os.replace(tmp_stamp, stamp)
     if link_from is not None:
         link_donor_tables(link_from, out_dir, exclude={"documents.parquet"})
     return out_dir
@@ -153,8 +177,11 @@ def prose_lake_dir(
 # engines read the identical file and the SQL semantics stay
 # byte-for-byte those of the already-green synthetic-lake twin.
 
-#: absolute so the DuckDB oracle resolves it regardless of cwd
-_LAKE_DOCS = "/tmp/prose-lake/documents.parquet"
+#: absolute so the DuckDB oracle resolves it regardless of cwd; the
+#: per-user default (or the env override) is baked into the oracle
+#: SQL at registration time, so both engines resolve the same file
+#: within a process lifetime
+_LAKE_DOCS = os.path.join(_default_lake_dir(), "documents.parquet")
 
 
 def _on_lake(sql: str) -> str:
