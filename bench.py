@@ -16,11 +16,16 @@ Timings are COLD AND WARM per query (VERDICT r5 next-round #2 — a
 single number kept mispricing cache-heavy queries and every round
 devolved into host-noise arguments):
 
-- an untimed run at $SPARK_GRAFT_WARM_DIR (default sf0.001 — trivial
-  data) first compiles this query's generated code (Janino) and lets
-  C2 JIT it, so neither timed number carries process one-timers (on a
-  long-lived cluster JIT happens once per executor lifetime, not once
-  per query; measured ~5s on the first wide dedup query at ANY sf);
+- ALL queries are first warmed untimed at $SPARK_GRAFT_WARM_DIR
+  (default sf0.001 — trivial data) in ONE pre-pass before ANY timing
+  (r12 protocol change, VERDICT r11 ask #2): the old interleaved
+  warm-up (warm q_i, time q_i, warm q_{i+1}, ...) left Spark's
+  SHARED JIT paths cold for early registry slots — the two
+  top-of-registry dedup heavyweights read 5.3-5.8s in-suite vs
+  1.3-2.7s after a full pre-pass, a positional artifact wide enough
+  to swallow a real 2x regression. On a long-lived cluster JIT
+  happens once per executor lifetime, so the pre-pass is the honest
+  steady-state model — and it makes slot position stop mattering;
 - "cold" is the first timed run at the bench SF from a cleared SQL
   cache — it pays cache fills, broadcast builds, and shared-
   projection materialization (the honest end-to-end cost);
@@ -35,6 +40,16 @@ per-query MEDIAN; BENCH_FULL.json carries the full
 one-rep outlier is visible as a wide band instead of a fake
 regression. The shared graph edge cache is evicted before every cold
 rep so each rep's `graph_edge_build` pays the real build.
+
+The 20 queries that were most expensive in the PRIOR round's
+committed BENCH_FULL.json run reps+2 reps IN PLACE (medians-of-5 at
+their natural suite position) — ADVICE r11 #3: the r11 protocol
+appended the extra reps at the END of the suite, when page cache and
+JIT were maximally warm, so exactly the adjudicated queries carried
+systematically faster medians and bands mixing early-slot and
+end-of-suite samples spanned 5.5x. Sourcing the top-20 set from the
+prior committed artifact keeps the extra sampling at natural
+position; the chosen names are recorded in "top20_prior".
 
 The headline "value" is the COLD median sum; "warm_total" sits
 alongside. The stdout "queries" map stays name->cold seconds (the
@@ -60,6 +75,7 @@ from bootcamp_stackacademy_datalake_minio_airflow_spark.session import get_spark
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -84,6 +100,56 @@ def main() -> None:
     reps = max(1, int(os.environ.get("SPARK_GRAFT_REPS", "3")))
     cold_runs: dict[str, list[float]] = {}
     warm_runs: dict[str, list[float]] = {}
+
+    # Full untimed warm-up pre-pass over EVERY query (module
+    # docstring: r12 protocol — kills the positional-JIT inflation on
+    # early registry slots). Periodic clearCache bounds the cache
+    # pressure the pass itself accumulates. Skipped on smoke runs
+    # (reps < 3), where speed beats band quality.
+    warmups_ok = 0
+    if reps >= 3:
+        for i, (name, fn) in enumerate(qs.items()):
+            try:
+                fn(spark, warm_dir).count()
+                warmups_ok += 1
+            except Exception:  # noqa: BLE001
+                pass
+            if i % 25 == 24:
+                spark.catalog.clearCache()
+        spark.catalog.clearCache()
+
+    # Top-20-by-prior-round-cold-median run reps+2 reps at natural
+    # position (module docstring; ADVICE r11 #3). Prior artifact
+    # missing/stale names degrade gracefully to uniform reps.
+    top20_prior: list[str] = []
+    if reps >= 3:
+        try:
+            with open(
+                os.path.join(
+                    os.path.dirname(os.path.abspath(__file__)),
+                    "BENCH_FULL.json",
+                )
+            ) as f:
+                prior_full = json.load(f)
+            # only trust a prior ranking measured at THIS sf with real
+            # reps — a smoke run (reps=1, sf0.01) must not pick the
+            # adjudication set for the official sf0.1 artifact
+            if (
+                str(prior_full.get("sf")) != str(sf_val)
+                or prior_full.get("reps", 0) < 3
+            ):
+                raise ValueError("prior artifact is a different protocol")
+            prior = prior_full.get("queries_cold_med", {})
+            top20_prior = [
+                n
+                for n, _ in sorted(
+                    ((n, m) for n, m in prior.items() if n in qs and m >= 0),
+                    key=lambda kv: kv[1],
+                    reverse=True,
+                )[:20]
+            ]
+        except (OSError, ValueError):
+            pass
 
     def _median(vals: list[float]) -> float:
         ok = sorted(v for v in vals if v >= 0)
@@ -145,19 +211,20 @@ def main() -> None:
         cold_runs["graph_edge_build"].append(-1.0)
         warm_runs["graph_edge_build"].append(-1.0)
 
-    warmups_ok = 0
     for name, fn in qs.items():
-        # untimed JIT/codegen warm-up at the tiny SF (see module
-        # docstring); identical plan constants -> codegen cache hit
-        # on the timed runs. Once per query, not per rep.
-        try:
-            fn(spark, warm_dir).count()
-            warmups_ok += 1
-        except Exception:  # noqa: BLE001
-            pass
+        if reps < 3:
+            # smoke runs skip the global pre-pass; keep the old
+            # interleaved per-query warm-up so the single rep still
+            # gets a codegen-cache hit
+            try:
+                fn(spark, warm_dir).count()
+                warmups_ok += 1
+            except Exception:  # noqa: BLE001
+                pass
         cold_runs[name] = []
         warm_runs[name] = []
-        for _ in range(reps):
+        n_reps = reps + 2 if name in top20_prior else reps
+        for _ in range(n_reps):
             spark.catalog.clearCache()
             t0 = time.perf_counter()
             try:
@@ -187,50 +254,6 @@ def main() -> None:
     # main loop above like everything else — so set(BENCH) minus
     # set(registry) is exactly {graph_edge_build}.
 
-    # Top-20 extra reps (VERDICT r10 ask #8): host-band swings forced
-    # same-hour A/B controls two rounds running, and the adjudication
-    # always happens on the MOST EXPENSIVE queries. Give the top-20
-    # by cold median two extra cold/warm reps — medians-of-5 exactly
-    # where deltas get litigated, +~15-20% suite wall-clock instead
-    # of the 67% a global 5-rep protocol would cost. Skipped on smoke
-    # runs (reps < 3: the smoke contract is speed, not bands).
-    if reps >= 3:
-        # rank REGISTRY queries only, then slice: graph_edge_build is
-        # bookkeeping with its own eviction seam, and letting it into
-        # the slice would silently shrink the top-20 to 19 queries
-        # (r11 self-review)
-        ranked = sorted(
-            ((m, n) for n, m in
-             ((n, _median(v)) for n, v in cold_runs.items() if n in qs)
-             if m >= 0),
-            reverse=True,
-        )
-        for _, name in ranked[:20]:
-            fn = qs[name]
-            for _ in range(2):
-                spark.catalog.clearCache()
-                t0 = time.perf_counter()
-                try:
-                    fn(spark, sf_dir).count()
-                    cold_runs[name].append(
-                        round(time.perf_counter() - t0, 3)
-                    )
-                except Exception as e:  # noqa: BLE001
-                    print(f"bench error in {name}: {e}", file=sys.stderr)
-                    cold_runs[name].append(-1.0)
-                    warm_runs[name].append(-1.0)
-                    break
-                t0 = time.perf_counter()
-                try:
-                    fn(spark, sf_dir).count()
-                    warm_runs[name].append(
-                        round(time.perf_counter() - t0, 3)
-                    )
-                except Exception as e:  # noqa: BLE001
-                    print(f"bench warm error in {name}: {e}", file=sys.stderr)
-                    warm_runs[name].append(-1.0)
-            spark.catalog.clearCache()
-
     timings = {n: _median(v) for n, v in cold_runs.items()}
     warm_timings = {n: _median(v) for n, v in warm_runs.items()}
 
@@ -243,7 +266,6 @@ def main() -> None:
     )
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     warm_total = round(sum(t for t in warm_timings.values() if t >= 0), 3)
-    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     full = {
         "metric": "headline_queries_total",
         "value": total,  # COLD sum — the honest end-to-end headline
@@ -276,12 +298,33 @@ def main() -> None:
             "single-host medians; same-tree same-day full-suite runs "
             "historically span ~±10% band-to-band with ±40% outliers "
             "(r10: ambient 1.39x within one hour). Judge deltas "
-            "against the per-query cold/warm min-max bands. The 20 "
-            "slowest queries carry medians-of-5 (2 extra reps each, "
-            "r10 ask #8) — adjudicate those first."
+            "against the per-query cold/warm min-max bands. r12 "
+            "PROTOCOL CHANGE: all queries warmed in one pre-pass "
+            "before any timing (kills early-slot positional-JIT "
+            "inflation — r11 read the two top-of-registry dedups at "
+            "~5.5s that a pre-passed run times at ~1.5s), and the "
+            "top-20 extra reps now run IN PLACE using the prior "
+            "round's artifact ranking (ADVICE r11 #3: end-of-suite "
+            "extras were systematically warm-biased). Expect most "
+            "early-slot queries to read faster than r11 for harness "
+            "reasons, not code reasons."
         ),
-        # top-20-by-cold-median queries get reps+2 cold/warm reps
-        "reps_top20": reps + 2 if reps >= 3 else reps,
+        # top-20-by-PRIOR-round-cold-median queries ran reps+2
+        # cold/warm reps at natural position; the chosen set is
+        # recorded so the artifact is self-describing
+        "reps_top20": reps + 2 if top20_prior else reps,
+        "top20_prior": top20_prior,
+        # ADVICE r11 #4: an intermittently failing query must be
+        # visible in the artifact, not only on stderr — per-query
+        # successful-COLD-rep counts wherever any cold/warm rep of the
+        # query errored or the query ran a non-default rep count
+        "reps_effective": {
+            n: sum(1 for x in cold_runs[n] if x >= 0)
+            for n in cold_runs
+            if any(x < 0 for x in cold_runs[n])
+            or any(x < 0 for x in warm_runs.get(n, []))
+            or (n in qs and len(cold_runs[n]) != reps)
+        },
         "queries": timings,  # per-query COLD median (driver schema)
         "queries_warm": warm_timings,  # per-query WARM median
         "queries_cold_med": timings,
@@ -333,6 +376,9 @@ def main() -> None:
     for k in list(compact):
         if k.startswith("queries_cold_") or k.startswith("queries_warm_"):
             del compact[k]
+    # self-describing-but-long maps live in BENCH_FULL.json only
+    compact.pop("top20_prior", None)
+    compact.pop("reps_effective", None)
     compact["queries"] = slowest  # 10 slowest only; full map in BENCH_FULL.json
     compact["queries_warm"] = {k: warm_timings[k] for k in slowest}
     print(json.dumps(compact, separators=(",", ":")))
