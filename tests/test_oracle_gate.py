@@ -147,3 +147,38 @@ def test_rotation_follows_staleness_policy():
         "rotation block violates oldest-green-first policy; expected "
         f"{expected}"
     )
+
+
+def test_staleness_dashboard_consistent():
+    """VERDICT r11 ask #8: COVERAGE.md carries a machine-generated
+    evidence-freshness table (family -> last driver-green round).
+    Regenerate it from the artifacts and fail on drift, and
+    cross-check the tool's green-round map against this test file's
+    independent implementation so the dashboard and the rotation
+    policy can never disagree."""
+    import pathlib
+    import sys
+
+    repo = pathlib.Path(__file__).resolve().parent.parent
+    sys.path.insert(0, str(repo / "tools"))
+    import staleness_table as st
+
+    tool_latest = st.latest_green_rounds(repo)
+    if not tool_latest:
+        import pytest
+
+        pytest.skip("no CORRECTNESS_r*.json artifacts visible")
+    assert tool_latest == _latest_green_rounds(), (
+        "tool and rotation policy disagree on latest-green rounds"
+    )
+    text = (repo / "COVERAGE.md").read_text()
+    assert st.BEGIN in text and st.END in text, (
+        "COVERAGE.md is missing the staleness block — run "
+        "python tools/staleness_table.py --write"
+    )
+    committed = text.split(st.BEGIN, 1)[1].split(st.END, 1)[0]
+    expected = st.render(repo).split(st.BEGIN, 1)[1].split(st.END, 1)[0]
+    assert committed == expected, (
+        "COVERAGE.md staleness block is stale — re-run "
+        "python tools/staleness_table.py --write"
+    )
