@@ -41,6 +41,13 @@ import time
 
 import duckdb
 
+
+def hashlib_md5(s: str) -> str:
+    import hashlib
+
+    return hashlib.md5(s.encode()).hexdigest()
+
+
 sys.path.insert(0, ".")
 
 import __spark_entry__ as ep  # noqa: E402
@@ -124,12 +131,16 @@ SCALE_SQL = {
 }
 
 
-def build_lake(copies: int, tables: list[str]) -> str:
-    out_dir = f"/tmp/probe{copies}x_{'_'.join(sorted(tables))}"
+def build_lake(copies: int, tables: list[str], base: str = BASE) -> str:
+    # a non-default base (e.g. the prose lake, r11 ask #7) gets its own
+    # cache dir; the rule stamp below also embeds the base path via the
+    # formatted SQL, so a same-named collision would still rebuild
+    tag = "" if base == BASE else "_b" + hashlib_md5(base)[:8]
+    out_dir = f"/tmp/probe{copies}x_{'_'.join(sorted(tables))}{tag}"
     os.makedirs(out_dir, exist_ok=True)
     for t in tables:
         out = os.path.join(out_dir, f"{t}.parquet")
-        sql = SCALE_SQL[t].format(base=BASE, copies=copies)
+        sql = SCALE_SQL[t].format(base=base, copies=copies)
         # rule-fingerprint stamp (r11 self-review): the cache was
         # keyed on PATH alone, so editing a table's replication SQL
         # (e.g. the r11 orders-offset unification) left older /tmp
@@ -153,7 +164,7 @@ def build_lake(copies: int, tables: list[str]) -> str:
     # every other table rides along unchanged (links keep load_table
     # satisfied for tables the probed queries don't scale); the shared
     # helper re-points stale/dangling links if BASE ever changes
-    link_donor_tables(BASE, out_dir, exclude={f"{t}.parquet" for t in tables})
+    link_donor_tables(base, out_dir, exclude={f"{t}.parquet" for t in tables})
     return out_dir
 
 
@@ -161,12 +172,18 @@ def main() -> None:
     args = sys.argv[1:]
     copies = COPIES
     tables = ["documents"]
+    base = BASE
     names: list[str] = []
     for a in args:
         if a.startswith("--copies="):
             copies = int(a.split("=", 1)[1])
         elif a.startswith("--scale-tables="):
             tables = a.split("=", 1)[1].split(",")
+        elif a.startswith("--base="):
+            # replication source override (r11 ask #7): lets the probe
+            # scale a non-sf lake — e.g. the real-prose lake — so the
+            # proselake twins' plan can be probed on prose content
+            base = a.split("=", 1)[1].rstrip("/")
         else:
             names.append(a)
     names = names or DEFAULT
@@ -179,14 +196,14 @@ def main() -> None:
             f"--scale-tables: no replication SQL for {unknown_tables}; "
             f"supported: {sorted(SCALE_SQL)}"
         )
-    big_dir = build_lake(copies, tables)
+    big_dir = build_lake(copies, tables, base)
     nx = f"{copies}x"
     spark = get_spark("scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
     qs = ep.queries()
     for t in tables:
         a = duckdb.sql(
-            f"SELECT COUNT(*) FROM read_parquet('{BASE}/{t}.parquet')"
+            f"SELECT COUNT(*) FROM read_parquet('{base}/{t}.parquet')"
         ).fetchone()
         b = duckdb.sql(
             f"SELECT COUNT(*) FROM read_parquet('{big_dir}/{t}.parquet')"
@@ -199,7 +216,7 @@ def main() -> None:
         fn(spark, WARM).count()  # JIT/codegen warm-up, untimed
         times: dict[str, float] = {}
         rows: dict[str, int] = {}
-        for label, d in (("1x", BASE), (nx, big_dir)):
+        for label, d in (("1x", base), (nx, big_dir)):
             best = float("inf")
             for _ in range(REPS):
                 spark.catalog.clearCache()
