@@ -11,6 +11,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from .dedup import fanout_repartition
+
 
 def pareto_front_2d(df: DataFrame, cost_col: str, gain_col: str) -> DataFrame:
     """Rows NOT dominated in the (minimize ``cost_col``, maximize
@@ -634,9 +636,23 @@ def poisson_bootstrap_mean_ci(
         cdf.append(_hex_threshold(min(cum, 1.0)))
         pmf /= k + 1
 
-    vals = df.select(
-        F.col(key_col).alias("__k"), F.col(val_col).cast("double").alias("__v")
-    ).filter(F.col(val_col).isNotNull())
+    # The block-explode below fans every row out 25x (n_reps/4) and
+    # runs one md5 per (block, key) — the operator's dominant compute.
+    # Repartition the NARROW (key, value) projection first so that
+    # fan-out stage parallelism is decoupled from scan splits (a
+    # single-row-group parquet scans as ONE task and would run the
+    # whole B x rows hash serially — guide §2.5 repartition-after-
+    # read; the exchange itself carries 16 bytes/row, nothing next to
+    # the 25x md5 work above it). Weight draws are md5-deterministic
+    # per (rep, key), so partitioning cannot change any draw; replicate
+    # sums were already order-free (map-side partials).
+    vals = (
+        df.select(
+            F.col(key_col).alias("__k"), F.col(val_col).cast("double").alias("__v")
+        )
+        .filter(F.col(val_col).isNotNull())
+        .transform(lambda d: fanout_repartition(d, "__k"))
+    )
     # one md5 yields 32 hex chars = FOUR independent 8-hex draws, so
     # replicates are lane-packed 4-per-hash: rep r reads lane (r-1)%4
     # of md5(salt:block:key), block = (r-1)//4. Crucially the hash is
@@ -741,12 +757,23 @@ def split_conformal_coverage(
     spark = df.sparkSession
     t_train = _hex_threshold(train_frac)
     t_calib = _hex_threshold(train_frac + calib_frac)
-    base = df.select(
-        F.col(key_col).alias("__id"),
-        F.col(group_col).alias("__g"),
-        F.col(val_col).cast("double").alias("__v"),
-        _draw(F.col(key_col), f"{salt}:").alias("__d"),
-    ).filter(F.col("__v").isNotNull())
+    from .dedup import _materialize_release, fanout_repartition
+
+    # explicit-N repartition + persist: the three split slices (train
+    # x2 actions, calib, test) each re-ran the scan + per-row md5 draw
+    # inside the one-task scan stage; one narrow exchange + cache runs
+    # it once, parallel (guide §2.5 / §5; rationale in
+    # operators/dedup.py:fanout_repartition). Released via the house
+    # materialize-release on the 1-row result below.
+    base = fanout_repartition(
+        df.select(
+            F.col(key_col).alias("__id"),
+            F.col(group_col).alias("__g"),
+            F.col(val_col).cast("double").alias("__v"),
+            _draw(F.col(key_col), f"{salt}:").alias("__d"),
+        ).filter(F.col("__v").isNotNull()),
+        "__id",
+    ).persist()
     train = base.filter(F.col("__d") < t_train)
     calib = base.filter((F.col("__d") >= t_train) & (F.col("__d") < t_calib))
     test = base.filter(F.col("__d") >= t_calib)
@@ -766,6 +793,7 @@ def split_conformal_coverage(
     try:
         n_calib = res.count()
         if n_calib == 0:
+            base.unpersist(blocking=False)
             return spark.createDataFrame(
                 [],
                 "n_train BIGINT, n_calib BIGINT, n_test BIGINT, "
@@ -778,27 +806,31 @@ def split_conformal_coverage(
     finally:
         res.unpersist()
 
-    scored = test.join(F.broadcast(model), "__g").select(
-        F.round(F.abs(F.col("__v") - F.col("__pred")), 4).alias("__r")
-    )
-    return (
-        train.agg(F.count("*").cast("long").alias("n_train"))
-        .crossJoin(
-            scored.agg(
-                F.count("*").cast("long").alias("n_test"),
-                F.round(
-                    F.avg(
-                        F.when(F.col("__r") <= q_hat, 1.0).otherwise(0.0)
-                    ),
-                    4,
-                ).alias("coverage"),
+    try:
+        scored = test.join(F.broadcast(model), "__g").select(
+            F.round(F.abs(F.col("__v") - F.col("__pred")), 4).alias("__r")
+        )
+        out = (
+            train.agg(F.count("*").cast("long").alias("n_train"))
+            .crossJoin(
+                scored.agg(
+                    F.count("*").cast("long").alias("n_test"),
+                    F.round(
+                        F.avg(
+                            F.when(F.col("__r") <= q_hat, 1.0).otherwise(0.0)
+                        ),
+                        4,
+                    ).alias("coverage"),
+                )
+            )
+            .select(
+                "n_train",
+                F.lit(n_calib).cast("long").alias("n_calib"),
+                "n_test",
+                F.lit(q_hat).alias("q_hat"),
+                "coverage",
             )
         )
-        .select(
-            "n_train",
-            F.lit(n_calib).cast("long").alias("n_calib"),
-            "n_test",
-            F.lit(q_hat).alias("q_hat"),
-            "coverage",
-        )
-    )
+        return _materialize_release(out, base)
+    finally:
+        base.unpersist(blocking=False)

@@ -32,15 +32,24 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .dedup import fanout_repartition
+
 
 def word_vocab(df: DataFrame, text_col: str) -> DataFrame:
     """(w, cnt): every distinct word, char-segmented ('h e l l o'),
     with its corpus frequency."""
     from .dedup import normalize_text
 
-    words = df.select(
-        F.explode(F.split(normalize_text(text_col), " ")).alias("word")
-    ).filter(F.length("word") > 0)
+    # one narrow text-projection exchange ahead of the token explode
+    # so the fan-out + partial word counts run at shuffle parallelism
+    # rather than inside the scan stage (one task on a single-
+    # row-group parquet; guide §2.5 repartition-after-read)
+    words = (
+        df.select(F.col(text_col).alias("__txt"))
+        .transform(lambda d: fanout_repartition(d, "__txt"))
+        .select(F.explode(F.split(normalize_text("__txt"), " ")).alias("word"))
+        .filter(F.length("word") > 0)
+    )
     return words.groupBy("word").agg(F.count(F.lit(1)).alias("cnt")).select(
         F.trim(F.regexp_replace("word", "(.)", "$1 ")).alias("w"), "cnt"
     )

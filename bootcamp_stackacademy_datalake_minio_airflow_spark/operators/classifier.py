@@ -21,6 +21,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .dedup import fanout_repartition
+
 
 def train_embedding_classifier(
     df: DataFrame,
@@ -305,6 +307,15 @@ def naive_bayes_confusion(
             F.col(label_col).alias("__y"),
             tokens(text_col).alias("__ts"),
         )
+        # one narrow (id, label, tokens) exchange ahead of the
+        # explode/groupBy fan-outs: dw's four consumers then all reuse
+        # the SAME shuffle output (ReusedExchange — tokenization runs
+        # once per query instead of once per consumer, without the
+        # cache cost the docstring above rejects), and the token
+        # explode runs at shuffle parallelism rather than inside the
+        # scan stage (one task on a single-row-group parquet — guide
+        # §2.5 repartition-after-read).
+        .transform(lambda d: fanout_repartition(d, "__id"))
     )
     # dw feeds four consumers (docs, cw via cls and s1, the scalar
     # agg) and is deliberately NOT persisted: the KMV multi-consumer

@@ -32,42 +32,52 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .dedup import fanout_repartition
+
 #: hard ceiling on the codebook collect — k*dim rows, not corpus rows
 _MAX_CODEBOOK_CELLS = 65536
 
 
-def _dot_lit(vec_col, centroid: list[float]):
-    """v · c for a literal centroid, as a left-to-right JVM fold."""
-    arr = F.array(*[F.lit(float(x)) for x in centroid])
-    return F.aggregate(
-        F.zip_with(vec_col, arr, lambda a, b: a * b),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+def _dbl(x: float) -> str:
+    """An exact IEEE-double SQL literal: repr() round-trips in Python
+    and Double.parseDouble is correctly rounded, so the cast yields
+    the identical bit pattern F.lit(float) would."""
+    return f"CAST('{float(x)!r}' AS DOUBLE)"
 
 
-def _assign_expr(vec_col, vv, centroids: dict[int, list[float]]):
-    """(cluster_id, rounded-d²) of the nearest centroid.
+def _dot_sql(vec: str, centroid: list[float]) -> str:
+    """v · c for a literal centroid as a left-to-right chain —
+    ``((0.0 + v[0]*c0) + v[1]*c1) + ...`` — the exact fold order (and
+    therefore the exact IEEE result) of the interpreted
+    ``aggregate(zip_with(v, c, *), 0.0, +)`` form it replaces, but in
+    whole-stage codegen and parsed ONCE as a SQL string instead of
+    k·dim py4j Column calls (guide §4.1: prefer built-in expressions;
+    interpreted HOF lambdas run row-at-a-time outside codegen —
+    measured as the dominant cost of the Lloyd passes)."""
+    acc = _dbl(0.0)
+    for i, x in enumerate(centroid):
+        acc = f"({acc} + ({vec}[{i}] * {_dbl(x)}))"
+    return acc
 
-    d² = v·v − 2·v·c + c·c, rounded to 4 before the argmin; ties go to
-    the smaller centroid id via struct ordering (the oracle's
-    ``ROW_NUMBER() ... ORDER BY d2r, cid`` twin).
-    """
+
+def _assign_sql(vec: str, vv: str, centroids: dict[int, list[float]]):
+    """SQL strings ``(cluster_expr, rounded-d² expr)`` of the nearest
+    centroid. d² = v·v − 2·v·c + c·c, rounded to 4 before the argmin;
+    ties go to the smaller centroid id via struct ordering (the
+    oracle's ``ROW_NUMBER() ... ORDER BY d2r, cid`` twin)."""
     cands = []
     for cid in sorted(centroids):
         c = centroids[cid]
         cc = 0.0
         for x in c:  # plain left-to-right sum: mirrors list_inner_product
             cc += float(x) * float(x)
-        d2 = vv - 2.0 * _dot_lit(vec_col, c) + F.lit(cc)
-        cands.append(
-            F.struct(F.round(d2, 4).alias("d"), F.lit(cid).alias("c"))
-        )
-    # F.least requires >= 2 columns; a single surviving centroid (all
+        d2 = f"(({vv} - ({_dbl(2.0)} * {_dot_sql(vec, c)})) + {_dbl(cc)})"
+        cands.append(f"named_struct('d', round({d2}, 4), 'c', {cid})")
+    # least() requires >= 2 args; a single surviving centroid (all
     # points in one cluster, or k=1) is a legitimate state — every
     # point trivially assigns to it
-    best = cands[0] if len(cands) == 1 else F.least(*cands)
-    return best.getField("c"), best.getField("d")
+    best = cands[0] if len(cands) == 1 else f"least({', '.join(cands)})"
+    return f"({best}).c", f"({best}).d"
 
 
 def kmeans_lloyd_seeded(
@@ -93,57 +103,70 @@ def kmeans_lloyd_seeded(
         )
     spark = df.sparkSession
     vec = F.col(vec_col).cast("array<double>")
+    # __vv as a codegen'd left-to-right chain (identical fold order —
+    # and so identical IEEE doubles — to the interpreted
+    # aggregate(zip_with(v, v, *)) form it replaces; see _dot_sql).
+    # The frame is hash-repartitioned on the id and PERSISTED: the
+    # seed pass, every Lloyd assignment/mean pass, and the final
+    # report all re-read it (n_iter + 2 passes), and without the
+    # exchange all of that per-row distance arithmetic runs inside
+    # the scan stage — one task on a single-row-group parquet (guide
+    # §2.5 repartition-after-read; §5 persist-on-reuse). Released via
+    # the house materialize-release discipline below.
+    vv_sql = _dbl(0.0)
+    for i in range(dim):
+        vv_sql = f"({vv_sql} + (__v[{i}] * __v[{i}]))"
     base = (
         df.filter(F.col(vec_col).isNotNull() & (F.size(vec_col) == dim))
-        .select(
-            F.col(id_col).alias("__id"),
-            vec.alias("__v"),
-            F.aggregate(
-                F.zip_with(vec, vec, lambda a, b: a * b),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            ).alias("__vv"),
-        )
+        .select(F.col(id_col).alias("__id"), vec.alias("__v"))
+        .transform(lambda d: fanout_repartition(d, "__id"))
+        .selectExpr("__id", "__v", f"{vv_sql} AS __vv")
+        .persist()
     )
-
-    # seeds: k smallest (md5(id), id) — codebook-sized collect
-    seed_rows = (
-        base.select(
-            "__id", "__v", F.md5(F.col("__id").cast("string")).alias("__h")
-        )
-        .orderBy("__h", "__id")
-        .limit(k)
-        .collect()
-    )
-    if not seed_rows:
-        return spark.createDataFrame(
-            [], "cluster_id INT, n_points BIGINT, inertia DOUBLE"
-        )
-    centroids = {i: list(r["__v"]) for i, r in enumerate(seed_rows)}
-
-    for _ in range(n_iter):
-        cid, _d = _assign_expr(F.col("__v"), F.col("__vv"), centroids)
-        assigned = base.select("__id", "__v", "__vv", cid.alias("__c"))
-        # one k*dim-cell aggregate; means rounded to 6 BETWEEN iterations
-        mean_rows = (
-            assigned.select("__c", F.posexplode("__v").alias("__i", "__x"))
-            .groupBy("__c", "__i")
-            .agg(F.round(F.avg("__x"), 6).alias("__m"))
+    try:
+        # seeds: k smallest (md5(id), id) — codebook-sized collect
+        seed_rows = (
+            base.select(
+                "__id", "__v", F.md5(F.col("__id").cast("string")).alias("__h")
+            )
+            .orderBy("__h", "__id")
+            .limit(k)
             .collect()
         )
-        nxt: dict[int, list[float]] = {}
-        for r in mean_rows:
-            nxt.setdefault(int(r["__c"]), [0.0] * dim)[int(r["__i"])] = float(
-                r["__m"]
+        if not seed_rows:
+            return spark.createDataFrame(
+                [], "cluster_id INT, n_points BIGINT, inertia DOUBLE"
             )
-        centroids = nxt  # empty clusters drop out on BOTH engines
+        centroids = {i: list(r["__v"]) for i, r in enumerate(seed_rows)}
 
-    cid, d2r = _assign_expr(F.col("__v"), F.col("__vv"), centroids)
-    return (
-        base.select(cid.alias("cluster_id"), d2r.alias("__d"))
-        .groupBy("cluster_id")
-        .agg(
-            F.count("*").cast("long").alias("n_points"),
-            F.round(F.sum("__d"), 2).alias("inertia"),
+        for _ in range(n_iter):
+            cid, _d = _assign_sql("__v", "__vv", centroids)
+            assigned = base.selectExpr("__id", "__v", "__vv", f"{cid} AS __c")
+            # one k*dim-cell aggregate; means rounded to 6 BETWEEN iterations
+            mean_rows = (
+                assigned.select("__c", F.posexplode("__v").alias("__i", "__x"))
+                .groupBy("__c", "__i")
+                .agg(F.round(F.avg("__x"), 6).alias("__m"))
+                .collect()
+            )
+            nxt: dict[int, list[float]] = {}
+            for r in mean_rows:
+                nxt.setdefault(int(r["__c"]), [0.0] * dim)[int(r["__i"])] = float(
+                    r["__m"]
+                )
+            centroids = nxt  # empty clusters drop out on BOTH engines
+
+        cid, d2r = _assign_sql("__v", "__vv", centroids)
+        out = (
+            base.selectExpr(f"{cid} AS cluster_id", f"{d2r} AS __d")
+            .groupBy("cluster_id")
+            .agg(
+                F.count("*").cast("long").alias("n_points"),
+                F.round(F.sum("__d"), 2).alias("inertia"),
+            )
         )
-    )
+        from .dedup import _materialize_release
+
+        return _materialize_release(out, base)
+    finally:
+        base.unpersist(blocking=False)

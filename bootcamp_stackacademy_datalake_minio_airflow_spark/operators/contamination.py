@@ -24,6 +24,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .dedup import fanout_repartition
+
 from .dedup import normalize_text
 
 
@@ -43,7 +45,7 @@ def _gram_table(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
     base = df.select(
         F.col(id_col).alias("__id"),
         F.split(normalize_text(text_col), " ").alias("__toks"),
-    ).repartition("__id")
+    ).transform(lambda d: fanout_repartition(d, "__id"))
     return base.select(
         "__id",
         F.explode(F.array_distinct(word_ngrams(F.col("__toks"), n))).alias("__gram"),

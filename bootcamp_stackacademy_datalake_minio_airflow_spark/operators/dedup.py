@@ -101,6 +101,29 @@ def _word_shingles_of(c: Column, n: int) -> Column:
     )
 
 
+def fanout_repartition(df: DataFrame, *cols: str) -> DataFrame:
+    """Hash-repartition a narrow frame on ``cols`` with an EXPLICIT
+    partition count — ``spark.sql.shuffle.partitions`` — ahead of a
+    CPU-heavy fan-out stage (explode × hash/regex per element).
+
+    Why explicit and not ``repartition(cols)``: AQE's partition
+    coalescing sizes post-shuffle partitions by BYTES
+    (``minPartitionSize``, 1 MB), so a kilobyte-scale exchange whose
+    downstream stage does 25-100x per-row fan-out work is folded back
+    to ONE partition — bytes are the proxy AQE trusts, and fan-out
+    compute defeats it (measured r12: the keyless form coalesced every
+    operator exchange on this lake to 1 partition; the explicit form
+    ran the GD feature build 35% faster warm at identical plans
+    otherwise). An explicit count is honored by AQE, and
+    ``spark.sql.shuffle.partitions`` is the deployment's scale knob
+    (set 2-3x total cores on a cluster per session.py), so stage
+    parallelism tracks the cluster, not a local constant — exactly
+    the non-AQE semantics every shuffle had before coalescing.
+    """
+    n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    return df.repartition(n, *cols)
+
+
 def _norm_base(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(__id, __txt) with normalization materialized via an exchange
     boundary so downstream per-element expressions read a concrete
@@ -114,10 +137,11 @@ def _norm_base(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     while an independent engine (whose unnest drops NULL lists)
     emits nothing (found by the NULL tier of
     tools/degenerate_data.py)."""
-    return (
-        df.filter(F.col(text_col).isNotNull())
-        .select(F.col(id_col).alias("__id"), normalize_text(text_col).alias("__txt"))
-        .repartition("__id")
+    return fanout_repartition(
+        df.filter(F.col(text_col).isNotNull()).select(
+            F.col(id_col).alias("__id"), normalize_text(text_col).alias("__txt")
+        ),
+        "__id",
     )
 
 
@@ -615,10 +639,19 @@ def _simhash_table(
     60-63 are always 0, which only shrinks the signature — any engine
     with md5 reproduces it bit-for-bit, so the DuckDB oracle can
     verify the pairs).
+
+    The corpus routes through ``_norm_base`` (one narrow exchange on
+    the doc id) BEFORE the token explode: the per-token hash + 64
+    partial bit-sums are the operator's dominant compute, and running
+    them below the first exchange pins the whole stage to however few
+    splits the scan produced (one task on an unsplittable single-
+    row-group parquet — guide §2.5's repartition-after-read fix).
+    NULL texts were already dropped implicitly (split(NULL) explodes
+    to nothing), so the _norm_base NULL filter changes no rows.
     """
-    toks = df.select(
-        F.col(id_col).alias("__id"),
-        F.explode(F.split(normalize_text(text_col), " ")).alias("__t"),
+    toks = _norm_base(df, id_col, text_col).select(
+        "__id",
+        F.explode(F.split(F.col("__txt"), " ")).alias("__t"),
     )
     if hash_fn == "xxhash64":
         token_hash = F.xxhash64("__t")
@@ -765,7 +798,7 @@ def _gram_prefix_index(
             F.col(id_col).alias("__id"),
             F.split(normalize_text(text_col), " ").alias("__toks"),
         )
-        .repartition("__id")
+        .transform(lambda d: fanout_repartition(d, "__id"))
     )
     toks = F.col("__toks")
     grams = F.array_distinct(
@@ -909,10 +942,19 @@ def cross_doc_ngram_stats(
     strings).
     """
     hasher = F.md5 if hash_fn == "md5" else F.xxhash64
-    # NULL text dropped — see _norm_base's docstring
-    norm = df.filter(F.col(text_col).isNotNull()).select(
-        F.col(id_col).alias("__id"),
-        F.split(normalize_text(text_col), " ").alias("__w"),
+    # NULL text dropped — see _norm_base's docstring. The repartition
+    # puts one narrow exchange (id + token array) ahead of the
+    # gram explode + per-gram hash + partial distinct — the dominant
+    # compute, which otherwise runs inside the scan stage and is
+    # bounded by scan splits (one task on a single-row-group parquet;
+    # guide §2.5 repartition-after-read).
+    norm = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col).alias("__id"),
+            F.split(normalize_text(text_col), " ").alias("__w"),
+        )
+        .transform(lambda d: fanout_repartition(d, "__id"))
     )
     exploded = norm.select(
         "__id",

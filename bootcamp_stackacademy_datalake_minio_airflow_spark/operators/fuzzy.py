@@ -128,13 +128,26 @@ def fuzzy_neighbor_counts(
             "all pairs"
         )
     variants_of = deletion_variants if max_distance == 1 else deletion_variants_k2
+    from .dedup import fanout_repartition
+
     base = df.select(
         F.col(id_col).alias("__id"), F.col(name_col).alias("__nm")
     )
     names = base.groupBy("__nm").agg(F.count("*").cast("long").alias("__cnt"))
-    idx = names.select(
-        "__nm", F.explode(variants_of(F.col("__nm"))).alias("__v")
-    ).select("__nm", F.xxhash64("__v").alias("__vh"))
+    # explicit-N repartition on the VARIANT HASH between the
+    # (interpreted, O(L²)-per-name) deletion-variant explode and the
+    # self-join: the join's equi-key is __vh, so HashPartitioning
+    # (__vh, shuffle.partitions) satisfies both sides' distribution —
+    # same exchange count — while defeating AQE's byte-based coalesce,
+    # which folded this KB-sized-but-levenshtein-heavy join down to
+    # one task (the whole DP verify ran serially; guide §2.5 / the
+    # fanout_repartition rationale in operators/dedup.py)
+    idx = fanout_repartition(
+        fanout_repartition(names, "__nm")
+        .select("__nm", F.explode(variants_of(F.col("__nm"))).alias("__v"))
+        .select("__nm", F.xxhash64("__v").alias("__vh")),
+        "__vh",
+    )
     l, r = idx.alias("l"), idx.alias("r")
     # the DP verify runs BEFORE the dedup exchange: a pair sharing m
     # variants (plus hash-collision false candidates) would otherwise

@@ -16,6 +16,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .dedup import fanout_repartition
+
 
 def cooccurrence_edges(
     df: DataFrame,
@@ -42,8 +44,19 @@ def cooccurrence_edges(
     clustering requirement from the explicit repartition and adds no
     second exchange — an iterative consumer (PageRank) inherits
     dst-partitioning for free instead of re-shuffling |E| rows."""
-    grouped = df.groupBy(F.col(group_col)).agg(
-        F.collect_list(F.col(item_col)).alias("__items")
+    # explicit repartition on the group key BEFORE the aggregate: the
+    # groupBy needs exactly this clustering, so the plan still has ONE
+    # exchange — but the collect_list (whose partial mode reduces
+    # nothing: the lists carry every row either way) now builds
+    # post-exchange at shuffle parallelism instead of inside the scan
+    # stage (one task on a single-row-group parquet; guide §2.5 /
+    # §2.4 share-one-exchange). List order within a group was already
+    # arrival-nondeterministic; every consumer is set-semantic.
+    grouped = (
+        df.select(F.col(group_col), F.col(item_col))
+        .transform(lambda d: fanout_repartition(d, group_col))
+        .groupBy(F.col(group_col))
+        .agg(F.collect_list(F.col(item_col)).alias("__items"))
     )
     pairs = (
         grouped.select(F.explode("__items").alias("src"), "__items")
@@ -57,9 +70,11 @@ def cooccurrence_edges(
         # ignoring partition_by here handed consumers an
         # unpartitioned stream they trusted as co-located — review
         # finding)
-        return pairs.repartition(partition_by) if partition_by else pairs
+        return (
+            fanout_repartition(pairs, partition_by) if partition_by else pairs
+        )
     if partition_by is not None:
-        return pairs.repartition(partition_by).dropDuplicates()
+        return fanout_repartition(pairs, partition_by).dropDuplicates()
     return pairs.distinct()
 
 
@@ -143,7 +158,7 @@ def pagerank(
     else:
         ce = (
             e.join(hint(deg), "src")
-            .repartition("dst" if small else "src")
+            .transform(lambda d: fanout_repartition(d, "dst" if small else "src"))
             .cache()
         )
         iter_caches = (ce, deg) if external_edge_cache else (ce, deg, e)
@@ -207,7 +222,7 @@ def label_propagation(
     if small and edges_prepartitioned:
         e = edges if external_edge_cache else edges.cache()
     else:
-        e = edges.repartition("dst" if small else "src").cache()
+        e = edges.transform(lambda d: fanout_repartition(d, "dst" if small else "src")).cache()
         external_edge_cache = False  # the repartitioned copy is ours
     labels = nodes.select("node", F.col("node").alias("lab"))
     for _ in range(iters):

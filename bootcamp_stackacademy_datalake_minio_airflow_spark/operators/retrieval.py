@@ -28,6 +28,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from .dedup import fanout_repartition
+
 from .dedup import normalize_text
 
 __all__ = [
@@ -91,9 +93,19 @@ def bm25_topk(
     # oracle of this family loses NULL ids at its tf JOIN dls equi-join
     # anyway — keeping them here let a NULL-id doc occupy a top-k slot
     # on the Spark side only (r8 review finding).
-    base = docs.filter(
-        F.col(id_col).isNotNull() & (F.length(F.trim(F.col(text_col))) > 0)
-    ).select(F.col(id_col), _toks(text_col).alias("toks"))
+    # repartition the narrow (id, tokens) projection before the two
+    # consumers (length stats + posting explode): the exchange
+    # decouples the token fan-out from scan splits (one task on a
+    # single-row-group parquet — guide §2.5), and both consumers
+    # reuse the SAME exchange output (ReusedExchange), so the
+    # normalize+split pipeline runs once instead of twice.
+    base = (
+        docs.filter(
+            F.col(id_col).isNotNull() & (F.length(F.trim(F.col(text_col))) > 0)
+        )
+        .select(F.col(id_col), _toks(text_col).alias("toks"))
+        .transform(lambda d: fanout_repartition(d, id_col))
+    )
     # scalar corpus stats: one row, broadcast
     stats = base.select(F.size("toks").cast("long").alias("dl")).agg(
         F.count("*").cast("double").alias("n_docs"),
@@ -161,9 +173,16 @@ def bigram_nll_score(
     worst — tiny next to the corpus), broadcast-joined back onto the
     per-doc bigram counts. The corpus never leaves the executors.
     """
-    base = docs.select(F.col(id_col), _toks(text_col).alias("toks")).filter(
-        F.size("toks") >= 2
+    # one narrow (id, tokens) exchange shared by BOTH the bigram
+    # branch and the vocabulary scalar (ReusedExchange): tokenization
+    # runs once, and the bigram explode + vocabulary distinct run at
+    # shuffle parallelism instead of inside the (possibly one-task)
+    # scan stage — guide §2.5 repartition-after-read.
+    base0 = (
+        docs.select(F.col(id_col), _toks(text_col).alias("toks"))
+        .transform(lambda d: fanout_repartition(d, id_col))
     )
+    base = base0.filter(F.size("toks") >= 2)
     # per-doc bigram multiset, as "w1 w2" strings (breadth6 bigram idiom)
     bg = base.select(
         F.col(id_col),
@@ -184,7 +203,7 @@ def bigram_nll_score(
         F.split("b", " ").getItem(0).alias("w1"), F.col("c12")
     ).groupBy("w1").agg(F.sum("c12").alias("c1"))
     vocab = (
-        docs.select(F.explode(_toks(text_col)).alias("w"))
+        base0.select(F.explode("toks").alias("w"))
         # split('') is [''] — the blank-doc artifact token is not a
         # unigram and must not inflate V (same guard as bm25/chunking)
         .filter(F.col("w") != "")

@@ -24,6 +24,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from .dedup import fanout_repartition
+
 #: hex digits of md5 used for the draw; 8 digits = 32-bit resolution
 _PREFIX_W = 8
 _PREFIX_SPACE = 16**_PREFIX_W
@@ -392,13 +394,18 @@ def dsir_importance(
     """
     from .dedup import normalize_text
 
+    # narrow (id, flag, tokens) exchange before the token explode so
+    # the fan-out runs at shuffle parallelism, not inside the scan
+    # stage (one task on a single-row-group parquet; guide §2.5)
     tok = (
         df.filter(F.col(text_col).isNotNull())
         .select(
             F.col(id_col).alias("__id"),
             target_pred.cast("int").alias("__t"),
-            F.explode(F.split(normalize_text(text_col), " ")).alias("__w"),
+            F.split(normalize_text(text_col), " ").alias("__ts"),
         )
+        .transform(lambda d: fanout_repartition(d, "__id"))
+        .select("__id", "__t", F.explode("__ts").alias("__w"))
         .filter(F.col("__w") != "")
     )
     cnt = tok.groupBy("__w").agg(
@@ -474,8 +481,13 @@ def token_budget_select(
     # otherwise be recomputed per branch (measured 0.3s -> 3.0s at
     # sf0.1 when the shard level landed without this). Released after
     # the result materializes, same discipline as dedup's pair caches.
+    # explicit-N repartition BEFORE the scoring projection so the
+    # regex-heavy quality expressions evaluate at shuffle parallelism
+    # during the cache fill, not inside the one-task scan stage
+    # (guide §2.5; rationale in operators/dedup.py:fanout_repartition)
     scored = (
-        df.select(
+        fanout_repartition(df, id_col)
+        .select(
             F.col(id_col),
             q.alias("__q"),
             n_tokens.cast("long").alias("__nt"),

@@ -11,6 +11,8 @@ from __future__ import annotations
 from pyspark.sql import Column, Window
 from pyspark.sql import functions as F
 
+from .dedup import fanout_repartition
+
 from .dedup import normalize_text
 
 
@@ -200,7 +202,7 @@ def winnow_table(
             F.sequence(F.lit(1), F.greatest(F.length("__txt") - F.lit(k - 1), F.lit(1))),
             lambda i: gram_hash(F.substr(F.col("__txt"), i, F.lit(k))),
         ).alias("__hg"),
-    ).repartition("__id")
+    ).transform(lambda d: fanout_repartition(d, "__id"))
     n_windows = F.greatest(F.size("__hg") - F.lit(window - 1), F.lit(1))
     return grams.select(
         F.col("__id").alias(id_col),
@@ -263,7 +265,7 @@ def repetition_signals(
     base = df.select(
         F.col(id_col).alias("__id"),
         F.split(normalize_text(text_col), " ").alias("__toks"),
-    ).repartition("__id")
+    ).transform(lambda d: fanout_repartition(d, "__id"))
 
     toks = F.col("__toks")
     scalars = base.select(
@@ -408,10 +410,16 @@ def unigram_cross_entropy(
     they have no tokens and no entropy (repo-wide NULL-payload
     convention).
     """
+    # narrow (id, tokens) exchange before the explode so the token
+    # fan-out + per-(doc, term) partial counts run at shuffle
+    # parallelism, not inside the scan stage (one task on a
+    # single-row-group parquet — guide §2.5 repartition-after-read)
     toks = (
         df.filter(F.col(text_col).isNotNull())
         .filter(F.length(F.trim(F.col(text_col))) > 0)
-        .select(F.col(id_col).alias("__id"), F.explode(tokens(text_col)).alias("__w"))
+        .select(F.col(id_col).alias("__id"), tokens(text_col).alias("__ts"))
+        .transform(lambda d: fanout_repartition(d, "__id"))
+        .select("__id", F.explode("__ts").alias("__w"))
     )
     dw = toks.groupBy("__id", "__w").agg(F.count(F.lit(1)).alias("__c"))
     vocab = dw.groupBy("__w").agg(F.sum("__c").alias("__tf"))
@@ -459,6 +467,8 @@ def bigram_cross_entropy(
     bigram/context keys where hot keys (function-word pairs) are
     AQE-splittable. No windows, no driver state.
     """
+    # narrow (id, tokens) exchange before the position explode — same
+    # rationale as unigram_cross_entropy (guide §2.5)
     words = (
         df.filter(F.col(text_col).isNotNull())
         .filter(F.length(F.trim(F.col(text_col))) > 0)
@@ -467,6 +477,7 @@ def bigram_cross_entropy(
             F.split(normalize_text(text_col), " ").alias("__w"),
         )
         .filter(F.size("__w") >= 2)
+        .transform(lambda d: fanout_repartition(d, "__id"))
     )
     big = words.select(
         "__id",
@@ -568,7 +579,7 @@ def boilerplate_ngram_stats(
         F.col(id_col).alias("__id"),
         F.col(source_col).alias("__src"),
         F.split(normalize_text(text_col), " ").alias("__toks"),
-    ).repartition("__id")
+    ).transform(lambda d: fanout_repartition(d, "__id"))
     grams = base.select(
         "__id",
         "__src",

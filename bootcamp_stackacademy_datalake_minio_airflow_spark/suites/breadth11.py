@@ -13,6 +13,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators.dedup import fanout_repartition
+
 from ..catalog import load_table
 from ..queries import register
 from .extensions import _hex_fold
@@ -326,9 +328,19 @@ def q_heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import normalize_text
 
     docs = load_table(spark, sf_dir, "documents")
-    nz = docs.select(
-        "doc_id", F.explode(F.split(normalize_text("text"), " ")).alias("token")
-    ).filter(F.col("token") != "")
+    # narrow (id, tokens) exchange shared by BOTH consumers of the
+    # token stream (bucket totals + first-occurrence — ReusedExchange,
+    # so tokenize runs once) and parallelizing the explode beyond the
+    # scan's split count (one task on a single-row-group parquet;
+    # guide §2.5 repartition-after-read)
+    nz = (
+        docs.select(
+            "doc_id", F.split(normalize_text("text"), " ").alias("__ts")
+        )
+        .transform(lambda d: fanout_repartition(d, "doc_id"))
+        .select("doc_id", F.explode("__ts").alias("token"))
+        .filter(F.col("token") != "")
+    )
     w_row = docs.agg(
         F.ceil((F.max("doc_id") + 1) / 50.0).cast("long").alias("w")
     )

@@ -21,6 +21,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..operators.dedup import fanout_repartition
+
 from ..catalog import load_table
 from ..operators.dedup import normalize_text
 from ..operators.contamination import semantic_contamination
@@ -583,8 +585,16 @@ def q_bpe_segment_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     merges = bpe_train(docs, "text", n_merges=10)
+    # the segment pass is ~30 chained whole-text replaces per row —
+    # repartition first so it runs at shuffle parallelism instead of
+    # inside the scan stage (one task on a single-row-group parquet;
+    # guide §2.5). The operator itself stays map-only.
     return (
-        bpe_segment(docs.filter(F.col("text").isNotNull()), "text", merges)
+        bpe_segment(
+            fanout_repartition(docs.filter(F.col("text").isNotNull()), "doc_id"),
+            "text",
+            merges,
+        )
         .select("doc_id", "bpe_tokens")
     )
 

@@ -24,6 +24,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators.dedup import fanout_repartition
+
 from ..catalog import load_table
 from ..queries import register
 from .extensions import _hex_fold
@@ -193,9 +195,17 @@ def _quality_feat(docs: DataFrame) -> DataFrame:
     ``feat`` CTE."""
     from ..operators.text import STOPWORDS, punct_ratio, tokens
 
-    base = docs.filter(
-        F.col("text").isNotNull() & (F.length(F.trim("text")) > 0)
-    ).select("lang", "text", tokens("text").alias("__ts"))
+    # repartition BEFORE the token/stopword/punct projections: all
+    # four GD queries materialize this frame through persist(), and
+    # without an exchange the tokenize + interpreted stopword filter
+    # run inside the scan stage — one task on a single-row-group
+    # parquet (guide §2.5 repartition-after-read). The exchange
+    # carries (doc_id, lang, text) only.
+    base = (
+        docs.filter(F.col("text").isNotNull() & (F.length(F.trim("text")) > 0))
+        .transform(lambda d: fanout_repartition(d, "doc_id"))
+        .select("lang", "text", tokens("text").alias("__ts"))
+    )
     nt = F.size("__ts")
     stop = F.size(F.filter("__ts", lambda t: t.isin(*STOPWORDS["en"])))
     return base.select(

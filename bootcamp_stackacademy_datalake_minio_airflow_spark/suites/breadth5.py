@@ -19,6 +19,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..operators.dedup import fanout_repartition
+
 from ..catalog import load_table
 from ..operators.contamination import ngram_contamination
 from ..operators.dedup import normalize_text
@@ -193,8 +195,17 @@ def q_source_term_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     total tables are tiny and AQE broadcasts them back onto the
     (source, term) counts."""
     docs = load_table(spark, sf_dir, "documents")
-    tok = docs.select(
-        "source", F.explode(F.split(normalize_text("text"), " ")).alias("term")
+    # narrow exchange on the doc id (NOT on source — an enum-sized
+    # key would collapse parallelism to |sources| partitions) before
+    # the token explode, so the fan-out + partial (source, term)
+    # counts run at shuffle parallelism instead of inside the scan
+    # stage (one task on a single-row-group parquet; guide §2.5)
+    tok = (
+        docs.select(
+            "doc_id", "source", F.split(normalize_text("text"), " ").alias("__ts")
+        )
+        .transform(lambda d: fanout_repartition(d, "doc_id"))
+        .select("source", F.explode("__ts").alias("term"))
     )
     st = tok.groupBy("source", "term").agg(F.count("*").alias("cnt"))
     stot = st.groupBy("source").agg(F.sum("cnt").alias("stot"))

@@ -19,6 +19,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators.dedup import fanout_repartition
+
 from ..catalog import load_table
 from ..operators.dedup import normalize_text
 from ..operators.packing import pack_sequences
@@ -135,7 +137,13 @@ def q_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     and broadcasts back onto the bigram counts (collocation mining /
     tokenizer-merge diagnostics)."""
     docs = load_table(spark, sf_dir, "documents")
-    base = docs.select(F.split(normalize_text("text"), " ").alias("toks"))
+    # narrow (id, tokens) exchange shared by BOTH explode branches
+    # (ReusedExchange — tokenize once) so the unigram/bigram fan-outs
+    # run at shuffle parallelism instead of inside the scan stage
+    # (one task on a single-row-group parquet; guide §2.5)
+    base = docs.select(
+        "doc_id", F.split(normalize_text("text"), " ").alias("toks")
+    ).transform(lambda d: fanout_repartition(d, "doc_id"))
     uni = base.select(F.explode("toks").alias("w"))
     ucnt = uni.groupBy("w").agg(F.count("*").alias("c"))
     n_tok = ucnt.agg(F.sum("c").alias("n"))

@@ -13,6 +13,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators.dedup import fanout_repartition
+
 from ..catalog import load_table
 from ..operators.dedup import (
     dedup_exact,
@@ -907,9 +909,13 @@ def q_source_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     n = 4
+    # narrow (id, source, tokens) exchange before the 4-gram explode
+    # so the per-position slice/join + partial distinct run at shuffle
+    # parallelism, not inside the scan stage (one task on a
+    # single-row-group parquet; guide §2.5 repartition-after-read)
     words = docs.select(
-        "source", F.split(normalize_text("text"), " ").alias("__w")
-    )
+        "doc_id", "source", F.split(normalize_text("text"), " ").alias("__w")
+    ).transform(lambda d: fanout_repartition(d, "doc_id")).select("source", "__w")
     grams = (
         words.select(
             "source",
