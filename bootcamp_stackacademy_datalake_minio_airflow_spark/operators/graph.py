@@ -70,11 +70,19 @@ def cooccurrence_edges(
         # ignoring partition_by here handed consumers an
         # unpartitioned stream they trusted as co-located — review
         # finding)
-        return (
-            fanout_repartition(pairs, partition_by) if partition_by else pairs
-        )
+        # keyless form ON PURPOSE (not fanout_repartition): the
+        # consumers of this partitioning are ITERATIVE algorithms whose
+        # per-round work is byte-proportional over the cached edge set
+        # — AQE's size-based partition choice is correct for them, and
+        # pinning 32 explicit partitions measured the consumers 1.3-1.4x
+        # SLOWER at sf0.1 (label-prop 2.18->3.03s, triangles
+        # 3.41->4.58s standalone A/B): many small per-round jobs paid
+        # 32-task scheduling for no CPU-fan-out gain. Explicit N stays
+        # reserved for fan-out stages (see dedup.fanout_repartition).
+        return pairs.repartition(partition_by) if partition_by else pairs
     if partition_by is not None:
-        return fanout_repartition(pairs, partition_by).dropDuplicates()
+        # keyless on purpose — see the dedup=False branch note above
+        return pairs.repartition(partition_by).dropDuplicates()
     return pairs.distinct()
 
 
@@ -158,7 +166,7 @@ def pagerank(
     else:
         ce = (
             e.join(hint(deg), "src")
-            .transform(lambda d: fanout_repartition(d, "dst" if small else "src"))
+            .repartition("dst" if small else "src")  # keyless on purpose: iterative consumer (see cooccurrence_edges note)
             .cache()
         )
         iter_caches = (ce, deg) if external_edge_cache else (ce, deg, e)
@@ -222,7 +230,7 @@ def label_propagation(
     if small and edges_prepartitioned:
         e = edges if external_edge_cache else edges.cache()
     else:
-        e = edges.transform(lambda d: fanout_repartition(d, "dst" if small else "src")).cache()
+        e = edges.repartition("dst" if small else "src")  # keyless on purpose: iterative consumer (see cooccurrence_edges note).cache()
         external_edge_cache = False  # the repartitioned copy is ours
     labels = nodes.select("node", F.col("node").alias("lab"))
     for _ in range(iters):
