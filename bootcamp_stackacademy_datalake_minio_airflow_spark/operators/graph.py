@@ -230,7 +230,8 @@ def label_propagation(
     if small and edges_prepartitioned:
         e = edges if external_edge_cache else edges.cache()
     else:
-        e = edges.repartition("dst" if small else "src")  # keyless on purpose: iterative consumer (see cooccurrence_edges note).cache()
+        # keyless on purpose: iterative consumer (see cooccurrence_edges note)
+        e = edges.repartition("dst" if small else "src").cache()
         external_edge_cache = False  # the repartitioned copy is ours
     labels = nodes.select("node", F.col("node").alias("lab"))
     for _ in range(iters):

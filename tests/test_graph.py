@@ -155,3 +155,46 @@ def test_shared_edge_cache_public_evict_seam(spark, sf_dir):
     # post-evict rebuild works and yields the same graph
     _e2, n2 = gs.part_cooccurrence_edges(spark, sf_dir)
     assert n2 == n1
+
+
+def test_label_propagation_caches_repartitioned_edges(spark, monkeypatch):
+    """r12 regression pin: a trailing comment swallowed the `.cache()`
+    on label_propagation's repartitioned edge set (operators/graph.py,
+    c67693e), so every non-prepartitioned caller recomputed the edge
+    shuffle per iteration. Pin that the non-prepartitioned path
+    persists exactly one edge form (nodes + repartitioned edges = 2
+    cache calls) and the external-cache path persists only nodes."""
+    import itertools
+
+    from bootcamp_stackacademy_datalake_minio_airflow_spark.operators.graph import (
+        label_propagation,
+    )
+
+    und = list(itertools.combinations([1, 2, 3, 4], 2))
+    sym = und + [(b, a) for a, b in und]
+    edges = spark.createDataFrame(sym, "src long, dst long")
+
+    # patch the CONCRETE DataFrame class (pyspark.sql.DataFrame is an
+    # abstract facade in Spark 4; instances use the classic subclass)
+    cls = type(edges)
+    calls = []
+    orig_cache = cls.cache
+
+    def counting_cache(self):
+        calls.append(self)
+        return orig_cache(self)
+
+    monkeypatch.setattr(cls, "cache", counting_cache)
+
+    calls.clear()
+    out = {r.node: r.community for r in label_propagation(edges, iters=2).collect()}
+    assert out == {n: 1 for n in (1, 2, 3, 4)}
+    # non-prepartitioned path: nodes + the repartitioned edge set
+    assert len(calls) == 2
+
+    calls.clear()
+    label_propagation(
+        edges, iters=2, edges_prepartitioned=True, external_edge_cache=True
+    ).collect()
+    # caller owns the edge materialization: only nodes is cached here
+    assert len(calls) == 1
