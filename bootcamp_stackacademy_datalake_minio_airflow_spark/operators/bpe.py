@@ -43,10 +43,20 @@ def word_vocab(df: DataFrame, text_col: str) -> DataFrame:
     # one narrow text-projection exchange ahead of the token explode
     # so the fan-out + partial word counts run at shuffle parallelism
     # rather than inside the scan stage (one task on a single-
-    # row-group parquet; guide §2.5 repartition-after-read)
+    # row-group parquet; guide §2.5 repartition-after-read). Keyed on
+    # a synthetic per-row id, NOT the text value: hashing on the text
+    # itself collapses a duplicate-heavy corpus onto a few partitions
+    # (ADVICE r12 #4), while keyless round-robin pays a local
+    # sort-before-repartition of the FULL document rows (measured
+    # ~0.4s at sf0.1). monotonically_increasing_id is deterministic
+    # per scan layout and placement is semantics-free — the
+    # downstream groupBy("word") re-aggregates regardless.
     words = (
-        df.select(F.col(text_col).alias("__txt"))
-        .transform(lambda d: fanout_repartition(d, "__txt"))
+        df.select(
+            F.col(text_col).alias("__txt"),
+            F.monotonically_increasing_id().alias("__rid"),
+        )
+        .transform(lambda d: fanout_repartition(d, "__rid"))
         .select(F.explode(F.split(normalize_text("__txt"), " ")).alias("word"))
         .filter(F.length("word") > 0)
     )

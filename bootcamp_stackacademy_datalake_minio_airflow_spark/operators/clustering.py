@@ -29,6 +29,8 @@ no clustering at all (SURVEY §2 marks the category absent).
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -41,8 +43,15 @@ _MAX_CODEBOOK_CELLS = 65536
 def _dbl(x: float) -> str:
     """An exact IEEE-double SQL literal: repr() round-trips in Python
     and Double.parseDouble is correctly rounded, so the cast yields
-    the identical bit pattern F.lit(float) would."""
-    return f"CAST('{float(x)!r}' AS DOUBLE)"
+    the identical bit pattern F.lit(float) would. Non-finite values
+    are rejected loudly (ADVICE r12): repr renders them 'inf'/'nan',
+    which Java's parseDouble (expecting 'Infinity'/'NaN') turns into
+    NULL — a degenerate centroid would silently corrupt every
+    distance expression instead of failing."""
+    x = float(x)
+    if not math.isfinite(x):
+        raise ValueError(f"non-finite centroid coordinate: {x!r}")
+    return f"CAST('{x!r}' AS DOUBLE)"
 
 
 def _dot_sql(vec: str, centroid: list[float]) -> str:

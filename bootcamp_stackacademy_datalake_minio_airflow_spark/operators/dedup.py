@@ -119,9 +119,25 @@ def fanout_repartition(df: DataFrame, *cols: str) -> DataFrame:
     (set 2-3x total cores on a cluster per session.py), so stage
     parallelism tracks the cluster, not a local constant — exactly
     the non-AQE semantics every shuffle had before coalescing.
+
+    With no ``cols`` this is a round-robin exchange — the right form
+    when no near-unique key exists: hash-partitioning on a DATA VALUE
+    column (a measure, a raw text) collapses to a handful of
+    partitions the moment the value distribution degenerates
+    (constant column, duplicate-heavy corpus), recreating the serial
+    stage the exchange exists to break (guide §2.5; VERDICT r12 #3).
+    Round-robin placement is deterministic (sortBeforeRepartition)
+    and callers here feed global/grouped aggregates, so placement
+    cannot change any result.
     """
-    n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    return df.repartition(n, *cols)
+    # the conf may be non-numeric on deployments with auto-optimized
+    # shuffle ("auto"); fall back to the context's parallelism rather
+    # than breaking every operator routed through this helper
+    try:
+        n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        n = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n, *cols) if cols else df.repartition(n)
 
 
 def _norm_base(df: DataFrame, id_col: str, text_col: str) -> DataFrame:

@@ -76,15 +76,19 @@ def gmm_em_1d(
 
     spark = df.sparkSession
     x = F.col(val_col).cast("double")
-    # explicit-N repartition (hash on the value — deterministic) +
-    # persist: the EM loop re-aggregates this frame 3 + n_iter times,
-    # and each pass evaluates two exp()-responsibilities per row —
-    # without the exchange all of it re-scans and recomputes inside
-    # the one-task scan stage per action (guide §2.5 / §5
-    # persist-on-reuse; the fanout_repartition rationale in
-    # operators/dedup.py). Released in the finally below.
+    # explicit-N ROUND-ROBIN repartition + persist: the EM loop
+    # re-aggregates this frame 3 + n_iter times, and each pass
+    # evaluates two exp()-responsibilities per row — without the
+    # exchange all of it re-scans and recomputes inside the one-task
+    # scan stage per action (guide §2.5 / §5 persist-on-reuse; the
+    # fanout_repartition rationale in operators/dedup.py). Keyless on
+    # purpose (VERDICT r12 #3): hashing on the value column "__r"
+    # serializes the exp() fan-out the moment the value distribution
+    # degenerates (constant/low-cardinality lake); every consumer is
+    # a global aggregate on a ROUND(·,6) grid, so placement is
+    # semantics-free. Released in the finally below.
     raw = fanout_repartition(
-        df.select(x.alias("__r")).filter(F.col("__r").isNotNull()), "__r"
+        df.select(x.alias("__r")).filter(F.col("__r").isNotNull())
     ).persist()
 
     try:

@@ -155,6 +155,13 @@ SCALAR_CROSS_OK = {
     # operators/text.py cross-entropy family attaches the global
     # count to every (doc, term) row; one-row build by construction
     "lm_bigram_nll",
+    # crossJoin(broadcast(<enum-sized class table>)) — operators/
+    # classifier.py scores every doc against each candidate class;
+    # the build side is |classes| rows (a handful of languages) by
+    # construction, never data-sized. Entered the auto-derived top-10
+    # on the r13 bench artifact (the r12 artifact ranked it 7th too —
+    # it was only unpinned because AUTO tracked a stale file mid-run).
+    "naive_bayes_langid",
 }
 
 _JOIN_TYPES = (
