@@ -48,14 +48,53 @@ def zone_path(zone: str, table: str, base: str | None = None) -> str:
     return f"{base.rstrip('/')}/{zone}/olist/{table}/"
 
 
+#: (app_id, abspath, (mtime_ns, size)) -> DataFrame HANDLE cache.
+#: This memoizes the LOGICAL PLAN OBJECT (schema read + relation
+#: construction + py4j traffic), never data: every action on the
+#: returned frame still scans the parquet files. Measured ~0.1 s per
+#: spark.read.parquet call on this host even warm — across the
+#: 214-query bench's ~300+ load_table calls that is tens of seconds
+#: of pure per-query metadata overhead (the r12 scaling block's
+#: "per-job fixed cost" floor; guide §1.2 — fix the structure before
+#: the per-task work). A production engine holds exactly this state
+#: in its catalog/metastore. Staleness is handled, not assumed away:
+#: the key carries the file's (mtime_ns, size), so a rewritten or
+#: re-linked lake (tools/degenerate_data.py, prose-lake builds) misses
+#: and re-reads; LRU-bounded like suites/graph_shared.
+_DF_CACHE: "dict[tuple, DataFrame]" = {}
+_DF_CACHE_MAX = 128
+
+
+def _df_cache_key(spark: SparkSession, path: str):
+    try:
+        st = os.stat(path)
+    except OSError:
+        return None  # missing path: let spark.read raise, cache nothing
+    return (
+        spark.sparkContext.applicationId,
+        os.path.abspath(path),
+        st.st_mtime_ns,
+        st.st_size,
+    )
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one synthetic testdata table (parquet).
 
     The events table is written with nanosecond timestamps, which
     Spark's parquet reader rejects by default; read them as longs and
     convert to (microsecond) TimestampType.
+
+    Returns a cached plan handle when the same (session, file
+    version) was loaded before — see ``_DF_CACHE`` above. DataFrames
+    are immutable, so sharing the object is safe; queries that load
+    the same table twice already behaved as self-joins of one
+    relation (breadth4's ann_batch filters one handle twice).
     """
     path = f"{sf_dir.rstrip('/')}/{name}.parquet"
+    key = _df_cache_key(spark, path)
+    if key is not None and key in _DF_CACHE:
+        return _DF_CACHE[key]
     if name == "events":
         from pyspark.sql import functions as F
 
@@ -65,8 +104,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # integer division: float division loses precision at
             # nanosecond-epoch magnitudes (~1e18 > 2^53)
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        return df
-    return spark.read.parquet(path)
+    else:
+        df = spark.read.parquet(path)
+    if key is not None:
+        while len(_DF_CACHE) >= _DF_CACHE_MAX:
+            _DF_CACHE.pop(next(iter(_DF_CACHE)))
+        _DF_CACHE[key] = df
+    return df
 
 
 def load_tables(

@@ -397,23 +397,25 @@ def triangle_counts(
         .groupBy("n")
         .agg(F.count("*").alias("deg"))
     )
+    # BOTH degree lookups join the SAME deg subtree via alias(), not
+    # via two renaming Projects: a Project on top of the exchange
+    # child changes its canonical plan, so the old form built (and
+    # fully re-aggregated) the degree table twice — once per
+    # broadcast. With identical children, ReuseExchange ships ONE
+    # build to both joins (and on the past-budget path, one shuffle
+    # of deg serves both sides — guide §2.4 share one exchange).
+    d1, d2 = deg.alias("d1"), deg.alias("d2")
     e = (
-        und.join(
-            hint(deg.select(F.col("n").alias("u"), F.col("deg").alias("du"))),
-            "u",
-        )
-        .join(
-            hint(deg.select(F.col("n").alias("v"), F.col("deg").alias("dv"))),
-            "v",
-        )
+        und.alias("e")
+        .join(hint(d1), F.col("e.u") == F.col("d1.n"))
+        .join(hint(d2), F.col("e.v") == F.col("d2.n"))
     )
-    u_first = (F.col("du") < F.col("dv")) | (
-        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
-    )
+    du, dv = F.col("d1.deg"), F.col("d2.deg")
+    u_first = (du < dv) | ((du == dv) & (F.col("e.u") < F.col("e.v")))
     oriented = e.select(
-        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("s"),
-        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("t"),
-        F.when(u_first, F.col("dv")).otherwise(F.col("du")).alias("dt"),
+        F.when(u_first, F.col("e.u")).otherwise(F.col("e.v")).alias("s"),
+        F.when(u_first, F.col("e.v")).otherwise(F.col("e.u")).alias("t"),
+        F.when(u_first, dv).otherwise(du).alias("dt"),
     ).cache()
     from .dedup import _materialize_release
 
@@ -434,23 +436,29 @@ def triangle_counts(
         adj = oriented.groupBy("s").agg(
             F.sort_array(F.collect_list("t")).alias("nbrs")
         )
+        # same alias-not-Project discipline as the degree joins above:
+        # the two adjacency lookups (by s and by t) broadcast the SAME
+        # subtree, so the collect_list aggregation + driver collect +
+        # broadcast build — the dense path's heaviest setup — runs
+        # ONCE and ReuseExchange serves the second join from it
+        a1, a2 = adj.alias("a1"), adj.alias("a2")
         tri_edges = (
             oriented.select("s", "t")
-            .join(F.broadcast(adj.select("s", F.col("nbrs").alias("__ns"))), "s")
+            .alias("o")
+            .join(F.broadcast(a1), F.col("o.s") == F.col("a1.s"))
             .join(
-                F.broadcast(
-                    adj.select(F.col("s").alias("t"), F.col("nbrs").alias("__nt"))
-                ),
-                "t",
+                F.broadcast(a2),
+                F.col("o.t") == F.col("a2.s"),
                 "left",  # sink nodes have no out-list
             )
             .select(
-                "s",
-                "t",
+                F.col("o.s").alias("s"),
+                F.col("o.t").alias("t"),
                 # empty-of-the-right-type via slice(ns, 1, 0): keeps the
                 # operator generic over node id type (bigint, string, ...)
                 F.array_intersect(
-                    "__ns", F.coalesce("__nt", F.slice("__ns", 1, 0))
+                    F.col("a1.nbrs"),
+                    F.coalesce(F.col("a2.nbrs"), F.slice(F.col("a1.nbrs"), 1, 0)),
                 ).alias("__w"),
             )
             .filter(F.size("__w") > 0)

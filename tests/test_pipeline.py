@@ -339,3 +339,49 @@ def test_unknown_payment_type_fails_loudly(spark):
     ).collect()
     assert len(lax) == 1
     assert lax[0].VALOR_BOLETO == 0.0 and lax[0].VALOR_CREDITO == 0.0
+
+
+def test_load_table_handle_cache_hits_and_invalidates(spark, tmp_path):
+    """r13: load_table memoizes the DataFrame HANDLE (plan object) per
+    (session, path, file version) — pure metadata, never results. Pin
+    that (a) the same lake file returns the same object, (b) a
+    rewritten file (new mtime/size) misses and re-reads fresh data —
+    the staleness seam the prose-lake/donor-relink flows depend on."""
+    import shutil
+    import time as _time
+
+    from bootcamp_stackacademy_datalake_minio_airflow_spark.catalog import (
+        _DF_CACHE,
+        load_table,
+    )
+
+    lake = tmp_path / "lake"
+    lake.mkdir()
+    src = "/root/testdata/sf0.001/region.parquet"
+    dst = lake / "region.parquet"
+    shutil.copy(src, dst)
+
+    d1 = load_table(spark, str(lake), "region")
+    d2 = load_table(spark, str(lake), "region")
+    assert d1 is d2  # handle cache hit
+    n1 = d1.count()
+    assert n1 > 0
+
+    # rewrite the file with fewer rows: the (mtime_ns, size) key must
+    # miss and the reload must see the NEW contents
+    _time.sleep(0.01)
+    import duckdb
+
+    duckdb.sql(
+        f"COPY (SELECT * FROM read_parquet('{src}') LIMIT 1) "
+        f"TO '{dst}' (FORMAT PARQUET)"
+    )
+    d3 = load_table(spark, str(lake), "region")
+    assert d3 is not d1
+    assert d3.count() == 1
+    # cache stays bounded
+    from bootcamp_stackacademy_datalake_minio_airflow_spark.catalog import (
+        _DF_CACHE_MAX,
+    )
+
+    assert len(_DF_CACHE) <= _DF_CACHE_MAX
