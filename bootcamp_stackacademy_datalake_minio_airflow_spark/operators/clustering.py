@@ -35,6 +35,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .dedup import fanout_repartition
+from .multimodal import _round_half_away6
 
 #: hard ceiling on the codebook collect — k*dim rows, not corpus rows
 _MAX_CODEBOOK_CELLS = 65536
@@ -54,39 +55,14 @@ def _dbl(x: float) -> str:
     return f"CAST('{x!r}' AS DOUBLE)"
 
 
-def _dot_sql(vec: str, centroid: list[float]) -> str:
-    """v · c for a literal centroid as a left-to-right chain —
-    ``((0.0 + v[0]*c0) + v[1]*c1) + ...`` — the exact fold order (and
-    therefore the exact IEEE result) of the interpreted
-    ``aggregate(zip_with(v, c, *), 0.0, +)`` form it replaces, but in
-    whole-stage codegen and parsed ONCE as a SQL string instead of
-    k·dim py4j Column calls (guide §4.1: prefer built-in expressions;
-    interpreted HOF lambdas run row-at-a-time outside codegen —
-    measured as the dominant cost of the Lloyd passes)."""
-    acc = _dbl(0.0)
-    for i, x in enumerate(centroid):
-        acc = f"({acc} + ({vec}[{i}] * {_dbl(x)}))"
-    return acc
-
-
-def _assign_sql(vec: str, vv: str, centroids: dict[int, list[float]]):
-    """SQL strings ``(cluster_expr, rounded-d² expr)`` of the nearest
-    centroid. d² = v·v − 2·v·c + c·c, rounded to 4 before the argmin;
-    ties go to the smaller centroid id via struct ordering (the
-    oracle's ``ROW_NUMBER() ... ORDER BY d2r, cid`` twin)."""
-    cands = []
-    for cid in sorted(centroids):
-        c = centroids[cid]
-        cc = 0.0
-        for x in c:  # plain left-to-right sum: mirrors list_inner_product
-            cc += float(x) * float(x)
-        d2 = f"(({vv} - ({_dbl(2.0)} * {_dot_sql(vec, c)})) + {_dbl(cc)})"
-        cands.append(f"named_struct('d', round({d2}, 4), 'c', {cid})")
-    # least() requires >= 2 args; a single surviving centroid (all
-    # points in one cluster, or k=1) is a legitimate state — every
-    # point trivially assigns to it
-    best = cands[0] if len(cands) == 1 else f"least({', '.join(cands)})"
-    return f"({best}).c", f"({best}).d"
+# NOTE r13: the per-centroid assignment used to be emitted here as
+# whole-stage-codegen SQL add-chains (r12's _dot_sql/_assign_sql).
+# Measured this round: the k·dim·|codebook| chain compiles into ONE
+# generated method past HotSpot's huge-method JIT limit, so it ran as
+# permanently interpreted bytecode (~0.5 s/pass at sf0.1, flat over
+# 10 reps — never JIT-warmed); splitting the projection didn't help
+# (CollapseProject re-merges it). The assignment now runs as a numpy
+# batch kernel inside mapInArrow — see _lloyd_partials below.
 
 
 def kmeans_lloyd_seeded(
@@ -149,33 +125,121 @@ def kmeans_lloyd_seeded(
         centroids = {i: list(r["__v"]) for i, r in enumerate(seed_rows)}
 
         for _ in range(n_iter):
-            cid, _d = _assign_sql("__v", "__vv", centroids)
-            assigned = base.selectExpr("__id", "__v", "__vv", f"{cid} AS __c")
-            # one k*dim-cell aggregate; means rounded to 6 BETWEEN iterations
-            mean_rows = (
-                assigned.select("__c", F.posexplode("__v").alias("__i", "__x"))
-                .groupBy("__c", "__i")
-                .agg(F.round(F.avg("__x"), 6).alias("__m"))
-                .collect()
-            )
-            nxt: dict[int, list[float]] = {}
-            for r in mean_rows:
-                nxt.setdefault(int(r["__c"]), [0.0] * dim)[int(r["__i"])] = float(
-                    r["__m"]
-                )
-            centroids = nxt  # empty clusters drop out on BOTH engines
+            parts = _lloyd_partials(base, centroids, want_inertia=False)
+            # driver reduction over <=(partitions x k) partial rows,
+            # in collect (= partition) order — deterministic; the
+            # ROUND(mean, 6) grid between iterations absorbs sum-order
+            # noise exactly as it already absorbed the engine split
+            acc: dict[int, tuple[int, list[float]]] = {}
+            for r in parts:
+                c = int(r["__c"])
+                n0, s0 = acc.get(c, (0, [0.0] * dim))
+                acc[c] = (n0 + int(r["__n"]), [a + b for a, b in zip(s0, r["__s"])])
+            centroids = {
+                c: [_round_half_away6(s_j / n) for s_j in s]
+                for c, (n, s) in acc.items()
+            }  # empty clusters drop out on BOTH engines
 
-        cid, d2r = _assign_sql("__v", "__vv", centroids)
-        out = (
-            base.selectExpr(f"{cid} AS cluster_id", f"{d2r} AS __d")
-            .groupBy("cluster_id")
-            .agg(
-                F.count("*").cast("long").alias("n_points"),
-                F.round(F.sum("__d"), 2).alias("inertia"),
-            )
+        # final pass under the final centroids: per-cluster counts and
+        # inertia partials, reduced driver-side; the result is a
+        # codebook-sized literal table (bounded by k, never data)
+        parts = _lloyd_partials(base, centroids, want_inertia=True)
+        from .multimodal import _round_half_away
+
+        acc2: dict[int, tuple[int, float]] = {}
+        for r in parts:
+            c = int(r["__c"])
+            n0, d0 = acc2.get(c, (0, 0.0))
+            acc2[c] = (n0 + int(r["__n"]), d0 + float(r["__sd"]))
+        rows = [
+            (c, n, _round_half_away(d, 1e2)) for c, (n, d) in sorted(acc2.items())
+        ]
+        return spark.createDataFrame(
+            rows, "cluster_id INT, n_points BIGINT, inertia DOUBLE"
         )
-        from .dedup import _materialize_release
-
-        return _materialize_release(out, base)
     finally:
         base.unpersist(blocking=False)
+
+
+def _lloyd_partials(base: DataFrame, centroids: dict[int, list[float]], want_inertia: bool):
+    """One Lloyd pass as a single job: numpy assignment + per-cluster
+    partial sums inside ``mapInArrow`` (guide §4.2 — Spark distributes,
+    the batch kernel runs vectorized native code; the same posture as
+    similarity's matmul pair kernels), collected as <=(partitions x k)
+    tiny rows. Replaces one whole-stage-codegen assignment expression
+    (k x dim add-chains in ONE generated method — past HotSpot's huge-
+    method limit, so it executed as permanently interpreted bytecode at
+    ~0.5 s per pass on 2000 rows) plus a posexplode shuffle per
+    iteration with one exchange-free pass.
+
+    Exactness contract (same recurrence the DuckDB oracle replays):
+    d² = ROUND(__vv − 2·v·c + c·c, 4) — the half-away round mirrors
+    SQL ROUND via the floor(p)+carry formula (multimodal's helper,
+    vectorized); ties at the quantized d² go to the smallest cluster
+    id (np.argmin keeps the FIRST minimum over the cid-sorted
+    codebook — exactly least(struct(d, c))'s tie rule). Sum orders
+    inside a pass differ from the old aggregate's, which is already
+    immaterial: every cross-iteration value sits on a ROUND(·,6)/
+    ROUND(·,4) grid ~10⁵ coarser than any summation-order noise, and
+    the oracle gate re-proves it at 3 SFs + the degenerate lake.
+    """
+    import numpy as np
+
+    ks = sorted(centroids)
+    cm = np.array([centroids[c] for c in ks], dtype=np.float64)
+    cc = []
+    for c in ks:
+        s = 0.0
+        for x in centroids[c]:  # left-to-right: mirrors list_inner_product
+            s += float(x) * float(x)
+        cc.append(s)
+    ccv = np.array(cc, dtype=np.float64)
+    bc = base.sparkSession.sparkContext.broadcast((ks, cm, ccv, bool(want_inertia)))
+
+    def fn(batches):
+        import numpy as _np
+        import pyarrow as pa
+
+        ks_, cm_, cc_, want_d = bc.value
+        for b in batches:
+            if b.num_rows == 0:
+                continue
+            v = _np.array(b.column("__v").to_pylist(), dtype=_np.float64)
+            vv = _np.asarray(b.column("__vv"), dtype=_np.float64)
+            # ROUND(x, 4) half-away, vectorized (mirrors SQL ROUND —
+            # the house std::round formula from operators/multimodal)
+            p = (vv[:, None] - 2.0 * (v @ cm_.T) + cc_[None, :]) * 1e4
+            fl = _np.floor(p)
+            d2 = _np.where(p - fl >= 0.5, fl + 1.0, fl) / 1e4
+            a = d2.argmin(axis=1)  # first min == smallest cid (ks sorted)
+            cols: dict[str, list] = {"__c": [], "__n": []}
+            cols["__sd" if want_d else "__s"] = []
+            for j, c in enumerate(ks_):
+                m = a == j
+                if not m.any():
+                    continue
+                cols["__c"].append(int(c))
+                cols["__n"].append(int(m.sum()))
+                if want_d:
+                    cols["__sd"].append(float(d2[m, j].sum()))
+                else:
+                    cols["__s"].append([float(x) for x in v[m].sum(axis=0)])
+            if not cols["__c"]:
+                continue
+            arrays = [
+                pa.array(cols["__c"], pa.int32()),
+                pa.array(cols["__n"], pa.int64()),
+                pa.array(cols["__sd"], pa.float64())
+                if want_d
+                else pa.array(cols["__s"], pa.list_(pa.float64())),
+            ]
+            yield pa.RecordBatch.from_arrays(
+                arrays, ["__c", "__n", "__sd" if want_d else "__s"]
+            )
+
+    schema = (
+        "__c int, __n long, __sd double"
+        if want_inertia
+        else "__c int, __n long, __s array<double>"
+    )
+    return base.select("__v", "__vv").mapInArrow(fn, schema).collect()

@@ -716,10 +716,19 @@ def _basket_rules(
     tests can assert both paths agree on a long-tail lake."""
     from ..operators.dedup import _materialize_release
 
+    from ..operators.dedup import fanout_repartition
+
     li = load_table(spark, sf_dir, "lineitem")
+    # explicit-N exchange between the basket aggregate and its cached
+    # consumers: AQE byte-coalesces the groupBy's output to a couple
+    # of partitions (the basket table is only a few MB), so the
+    # double-explode pair fan-out below — ~|basket|² rows per order,
+    # the operator's dominant compute — ran nearly serial out of the
+    # cache (guide §2.5; the dedup.fanout_repartition rationale).
     grouped = (
         li.groupBy("l_orderkey")
         .agg(F.collect_set("l_partkey").alias("__items"))
+        .transform(lambda d: fanout_repartition(d, "l_orderkey"))
         .persist()
     )
     n_orders = grouped.agg(F.count(F.lit(1)).cast("double").alias("n"))
