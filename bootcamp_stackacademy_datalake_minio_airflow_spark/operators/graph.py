@@ -238,12 +238,17 @@ def label_propagation(
         votes = e.join(hint(labels), e.src == labels.node).select(
             F.col("dst").alias("n"), "lab"
         )
-        cnt = votes.groupBy("n", "lab").agg(F.count(F.lit(1)).alias("c"))
-        labels = (
-            cnt.groupBy("n")
-            .agg(F.max(F.struct(F.col("c"), (-F.col("lab")).alias("nl"))).alias("m"))
-            .select(F.col("n").alias("node"), (-F.col("m.nl")).alias("lab"))
-        )
+        # ONE aggregation per round (r13): mode(lab, deterministic) IS
+        # the per-node argmax with ties to the LOWEST label — the
+        # exact (count DESC, label ASC) rule the old count-then-
+        # max(struct) pair computed in TWO exchanges per iteration
+        # (hashpartitioning(n,lab) then hashpartitioning(n), verified
+        # in the executed plan). mode partial-aggregates its count
+        # map map-side, so shuffle bytes stay comparable and the
+        # per-round stage count halves (guide §2.4 remove shuffles).
+        labels = votes.groupBy("n").agg(
+            F.expr("mode(lab, true)").alias("lab")
+        ).select(F.col("n").alias("node"), "lab")
     out = labels.select("node", F.col("lab").alias("community"))
     from .dedup import _materialize_release
 
