@@ -71,18 +71,16 @@ def oracle_sql() -> dict[str, str]:
 #: since changed substantially — oldest-green-first re-verifies the
 #: stalest evidence each round while new/fixed queries jump the
 #: queue automatically. The block below is the policy's output for
-#: CURRENT_ROUND = 12: zero never-green families remain (r11 went
-#: 50/50 and every family has a green row somewhere in r1–r11), and
-#: the stalest evidence is now r6-era — the window takes the 13
-#: remaining r6-last-green families (incl. the re-queued
-#: cdc_chunk_dedup, exactly as the r11 comment predicted), all 21 r7
-#: families, and the first 9 (by name) of the r8 families. After r12
-#: lands green, no family's driver evidence predates r8.
+#: CURRENT_ROUND = 13: zero never-green families remain, and the
+#: stalest evidence is now r8-era — the window takes the 34 remaining
+#: r8-last-green families (exactly the re-queue the r12 comment
+#: predicted) and the first 9 (by name) of the r9 families. After r13
+#: lands green, no family's driver evidence predates r9.
 #: The round whose driver artifact does not exist yet. The staleness
 #: guard in tests/test_oracle_gate.py reads every CORRECTNESS_r*.json
 #: with round < CURRENT_ROUND, so the glob is self-maintaining
 #: (ADVICE r9 #1) — bump this when writing the next round's block.
-CURRENT_ROUND = 12
+CURRENT_ROUND = 13
 
 PRIORITY = [
     # -- reference parity (the deliverable; permanently in-window) --
@@ -93,53 +91,52 @@ PRIORITY = [
     "timestamp_to_date",
     "string_normalize",
     "union_all_sources",
-    # -- r12 rotation block: policy output (see module comment).
-    # r6-last-green (the 13 remaining after r11 took the first):
-    "cdc_chunk_dedup",
-    "doc_length_outliers",
-    "events_ewma_scores",
-    "fuzzy_name_neighbors_k2",
-    "graph_kcore_membership",
-    "graph_label_propagation",
-    "heaps_law_fit",
-    "orders_sampled_quantiles",
-    "phrase_search",
-    "source_overlap_kmv",
-    "token_chunks",
-    "token_zipf_fit",
-    "unpivot_roundtrip",
-    # r7-last-green (all 21):
-    "basket_association_rules",
-    "doc_char_entropy",
-    "doc_fingerprint",
-    "dq_expectations_lineitem",
-    "dq_orphan_lineitems",
-    "event_transition_matrix",
-    "events_debounced",
-    "events_imputed_values",
-    "explode_unnest",
-    "grouping_sets_agg",
-    "join_semi_anti",
-    "k_anonymity_audit",
-    "lineitem_hot_key_join",
-    "orders_ntile_quartiles",
-    "orders_table_checksum",
-    "orders_winsorized_stats",
-    "split_leak_audit",
-    "token_budget_selection",
-    "user_sessionization",
-    "vendas_flagship_sqlapi",
-    "window_rank",
-    # r8-last-green (first 9 by name; the rest re-queue for r13):
-    "ann_batch_topk",
-    "asof_join_events_orders",
-    "bigram_pmi",
-    "blocklist_filter_stats",
-    "contamination_ngram",
-    "corpus_datacard_sketch",
-    "curation_pipeline",
-    "dedup_embedding_cosine_pairs",
-    "dedup_exact_documents",
+    # -- r13 rotation block: policy output (see module comment).
+    # r8-last-green (the 34 remaining after r12 took the first 9):
+    "dedup_minhash_pairs",
+    "dedup_ngram_jaccard_pairs",
+    "doc_dup_span_stats",
+    "embedding_cosine_topk",
+    "embedding_dim_stats",
+    "embedding_int8_quantize",
+    "embedding_ivf_recall",
+    "embedding_power_iteration",
+    "embedding_random_projection",
+    "events_changepoint",
+    "events_funnel_conversion",
+    "events_hour_baseline",
+    "events_sliding_exact",
+    "filter_predicates",
+    "groupby_aggregates",
+    "incremental_dedup_new_batch",
+    "join_inner_agg",
+    "mixture_temperature_weights",
+    "multimodal_features",
+    "orders_bloom_prune",
+    "parts_pareto_front",
+    "pii_redaction",
+    "range_join_price_bands",
+    "sample_hash_documents",
+    "semantic_dedup_clusters",
+    "sequence_packing",
+    "source_term_lift",
+    "text_language_id",
+    "text_quality_score",
+    "tfidf_top_source_terms",
+    "tpch_q21_shaped",
+    "training_shuffle_topk",
+    "winnow_quotation_pairs",
+    "zorder_orders",
+    # r9-last-green (first 9 by name; the rest re-queue for r14):
+    "bpe_segment_tokens",
+    "contamination_semantic",
+    "corpus_datacard",
+    "corpus_mixture_entropy",
+    "corpus_top_tokens",
+    "dedup_canonical_docs",
+    "dedup_ngram_containment_pairs",
+    "doc_bigram_cross_entropy",
+    "doc_boilerplate_ratio",
 ]
 
 _LOADED = False
