@@ -716,19 +716,16 @@ def _basket_rules(
     tests can assert both paths agree on a long-tail lake."""
     from ..operators.dedup import _materialize_release
 
-    from ..operators.dedup import fanout_repartition
-
     li = load_table(spark, sf_dir, "lineitem")
-    # explicit-N exchange between the basket aggregate and its cached
-    # consumers: AQE byte-coalesces the groupBy's output to a couple
-    # of partitions (the basket table is only a few MB), so the
-    # double-explode pair fan-out below — ~|basket|² rows per order,
-    # the operator's dominant compute — ran nearly serial out of the
-    # cache (guide §2.5; the dedup.fanout_repartition rationale).
+    # NOTE r13: an explicit-N exchange between this aggregate and its
+    # cached consumers was tried and REVERTED — measured no-op: the
+    # persisted aggregate's own shuffle already materializes at the
+    # full spark.sql.shuffle.partitions count on this path (verified
+    # 32/32 partitions in the cache with and without), so the pair
+    # fan-out below never ran coalesced. See OPTIMIZATION_r13.md.
     grouped = (
         li.groupBy("l_orderkey")
         .agg(F.collect_set("l_partkey").alias("__items"))
-        .transform(lambda d: fanout_repartition(d, "l_orderkey"))
         .persist()
     )
     n_orders = grouped.agg(F.count(F.lit(1)).cast("double").alias("n"))
