@@ -90,7 +90,9 @@ def kmeans_lloyd_seeded(
     vec = F.col(vec_col).cast("array<double>")
     # __vv as a codegen'd left-to-right chain (identical fold order —
     # and so identical IEEE doubles — to the interpreted
-    # aggregate(zip_with(v, v, *)) form it replaces; see _dot_sql).
+    # aggregate(zip_with(v, v, *)) form it replaced in r12); at dim
+    # terms it stays under the JIT limits that killed the k·dim
+    # assignment chain (see the NOTE above).
     # The frame is hash-repartitioned on the id and PERSISTED: the
     # seed pass, every Lloyd assignment/mean pass, and the final
     # report all re-read it (n_iter + 2 passes), and without the

@@ -213,11 +213,13 @@ def label_propagation(
     Shape per iteration: map-side join of the cached dst-partitioned
     edge set against the |V|-row label table (broadcast under
     ``broadcast_label_budget``, exactly the pagerank regime split),
-    a (node, label) count aggregation, then a per-node argmax folded
-    into ONE aggregation via max(struct(count, -label)) — no window,
-    no second sort; the tie rule (count DESC, label ASC) is the
-    struct's lexicographic max. Past the budget the label join
-    degrades to a co-partitioned shuffle join, like pagerank.
+    then ONE per-node aggregation: ``mode(lab, deterministic)`` is
+    the argmax-by-frequency with ties to the LOWEST label — the exact
+    (count DESC, label ASC) rule — and partial-aggregates its count
+    map map-side, where the previous count-then-max(struct) pair cost
+    a second exchange every round (r13; guide §2.4). Past the budget
+    the label join degrades to a co-partitioned shuffle join, like
+    pagerank.
     """
     nodes = edges.select(F.col("dst").alias("node")).distinct().cache()
     n = nodes.count()
@@ -468,20 +470,40 @@ def triangle_counts(
             )
             .filter(F.size("__w") > 0)
         )
+        # ONE pass over the intersect stream (r13): the previous 3-way
+        # union referenced tri_edges three times, and with nothing but
+        # map-side broadcast joins below it there is no exchange for
+        # ReuseExchange to dedupe — the scan + double join + intersect
+        # subtree executed THREE times (measured: the probe+agg leg
+        # alone ran ~3x the single-pass cost). Each row now emits all
+        # of its incidences — (s, |w|), (t, |w|), and (x, 1) per
+        # closing vertex — through a single Generate (§2.4 do fewer
+        # passes). The transform() lambda is interpreted, but it runs
+        # once per TRIANGLE, not once per probe pass.
         out = (
             tri_edges.select(
-                F.col("s").alias("node"), F.size("__w").cast("long").alias("c")
+                F.explode(
+                    F.concat(
+                        F.array(
+                            F.struct(
+                                F.col("s").alias("node"),
+                                F.size("__w").cast("long").alias("c"),
+                            ),
+                            F.struct(
+                                F.col("t").alias("node"),
+                                F.size("__w").cast("long").alias("c"),
+                            ),
+                        ),
+                        F.transform(
+                            "__w",
+                            lambda x: F.struct(
+                                x.alias("node"), F.lit(1).cast("long").alias("c")
+                            ),
+                        ),
+                    )
+                ).alias("__e")
             )
-            .unionAll(
-                tri_edges.select(
-                    F.col("t").alias("node"), F.size("__w").cast("long").alias("c")
-                )
-            )
-            .unionAll(
-                tri_edges.select(
-                    F.explode("__w").alias("node"), F.lit(1).cast("long").alias("c")
-                )
-            )
+            .select(F.col("__e.node").alias("node"), F.col("__e.c").alias("c"))
             .groupBy("node")
             .agg(F.sum("c").cast("long").alias("n_triangles"))
         )
@@ -502,10 +524,15 @@ def triangle_counts(
     )
     closing = oriented.select(F.col("s").alias("lo"), F.col("t").alias("hi"))
     tris = wedges.join(closing, ["lo", "hi"])
+    # one pass: each triangle row explodes into its three member nodes
+    # instead of the 3-way union re-reading the join output (r13,
+    # same rationale as the dense path's single-pass incidence emit)
     out = (
-        tris.select(F.col("apex").alias("node"))
-        .unionAll(tris.select(F.col("lo").alias("node")))
-        .unionAll(tris.select(F.col("hi").alias("node")))
+        tris.select(
+            F.explode(F.array(F.col("apex"), F.col("lo"), F.col("hi"))).alias(
+                "node"
+            )
+        )
         .groupBy("node")
         .agg(F.count("*").cast("long").alias("n_triangles"))
     )
