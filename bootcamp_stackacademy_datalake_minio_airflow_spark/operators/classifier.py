@@ -335,17 +335,25 @@ def naive_bayes_confusion(
     cw = dw.groupBy(F.col("__y").alias("__cls"), "__w").agg(
         F.sum("__c").alias("__cnt")
     )
-    # two corpus scalars + the enum-sized class-stats broadcast
-    scal = dw.agg(
-        F.countDistinct("__w").alias("v"), F.countDistinct("__id").alias("n")
-    ).collect()
-    v_size, n_total = int(scal[0]["v"] or 0), int(scal[0]["n"] or 0)
-    if n_total == 0:
-        # fall through with a safe denominator: every downstream frame
-        # is empty anyway, and the result keeps the label column's
-        # NATIVE type (a hardcoded STRING schema here disagreed with
-        # the non-empty path for non-string labels — r10 review)
-        n_total = 1
+    # the two corpus scalars (|V|, N) ride as a 1-row broadcast
+    # cross-attach instead of a collect (r13): the collect was a
+    # SEPARATE action that re-ran the whole tokenize/explode/dw
+    # aggregation just for two numbers (~1.1 s at sf0.1 — AQE's
+    # runtime stage reuse only dedupes WITHIN one execution, never
+    # across actions). Derived from cw/docs (same values as the old
+    # dw-level countDistincts: distinct words survive into cw, one
+    # label per doc makes docs one row per doc), whose exchanges the
+    # main execution reuses anyway. The arithmetic is unchanged —
+    # tot + V and ndocs·1.0/N were already double ops on these exact
+    # values; empty input now short-circuits naturally (no rows, no
+    # division) instead of via the old n_total=1 fallback, keeping
+    # the label column's native type as before.
+    vn = (
+        cw.agg(F.countDistinct("__w").cast("double").alias("__vsz"))
+        .crossJoin(
+            docs.agg(F.countDistinct("__id").cast("double").alias("__ntot"))
+        )
+    )
     cls = cw.groupBy("__cls").agg(F.sum("__cnt").alias("__tot")).join(
         docs.groupBy(F.col("__y").alias("__cls")).agg(
             F.countDistinct("__id").alias("__ndocs")
@@ -361,14 +369,15 @@ def naive_bayes_confusion(
     scored = (
         docs.crossJoin(F.broadcast(cls))  # enum-sized build side
         .join(s1, ["__id", "__cls"], "left")
+        .crossJoin(F.broadcast(vn))  # 1-row (|V|, N) scalar attach
         .select(
             "__id",
             "__y",
             "__cls",
             F.round(
                 F.coalesce(F.col("__s1"), F.lit(0.0))
-                - F.col("__nd") * F.log(F.col("__tot") + F.lit(float(v_size)))
-                + F.log(F.col("__ndocs") * 1.0 / F.lit(float(n_total))),
+                - F.col("__nd") * F.log(F.col("__tot") + F.col("__vsz"))
+                + F.log(F.col("__ndocs") * 1.0 / F.col("__ntot")),
                 4,
             ).alias("__score"),
         )
